@@ -1,20 +1,19 @@
-"""squirtle_spark — a PySpark-native analytics engine with the query surface of
-DSLAM-UMD/Squirtle (Flock): NEXMark q0-q13 + YSB + a DataFusion-equivalent batch
-SQL surface, rebuilt Spark-first (DataFrame/SQL + Catalyst + Structured
-Streaming), plus large-scale training-data pipeline operators (dedup,
-similarity search, text analysis, multimodal plumbing).
+"""squirtle_spark — a PySpark-native analytics engine with the query surface
+of DSLAM-UMD/Squirtle ("Flock", a serverless streaming SQL engine; see
+SURVEY.md for the full blueprint).
 
-Layout
-------
-- ``session``    SparkSession factory tuned for local[N] and cluster scale.
-- ``catalog``    testdata table loading + deterministic NEXMark/YSB derived views.
-- ``queries``    every declared query (SURVEY.md §2.11) as a DataFrame builder
-                 with a matching DuckDB oracle SQL string.
-- ``operators``  dedup / similarity / text / multimodal / window helpers.
-- ``sources``    deterministic NEXMark & YSB event generators (batch + stream).
-- ``streaming``  Structured Streaming wiring (windows, watermarks, sinks).
+Layout:
 
-Reference parity citations use ``/root/reference`` file:line in docstrings.
+- ``session``   — tuned SparkSession factory (AQE, Arrow, UTC).
+- ``catalog``   — fixture tables + derived NEXMark/YSB views, dual-dialect.
+- ``dialect``   — Spark-SQL/DuckDB dual-dialect emission helpers.
+- ``registry``  — the query registry driving correctness + bench + tests.
+- ``queries``   — NEXMark q0–q13, YSB, TPC-H subset, window operators, core ops.
+- ``operators`` — LLM-pipeline operators: dedup, similarity, text, multimodal.
+- ``sources``   — deterministic NEXMark/YSB event generators.
+- ``streaming`` — Structured Streaming wiring (windows, watermarks, sinks).
 """
 
-__version__ = "0.1.0"
+from .session import get_spark
+
+__all__ = ["get_spark"]

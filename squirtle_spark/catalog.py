@@ -1,0 +1,225 @@
+"""Table catalog: fixture loading + derived NEXMark/YSB views.
+
+The driver's fixtures are a TPC-H-ish star schema plus a generic ``events``
+stream table (see TESTDATA.md). The reference engine's query surface is
+NEXMark/YSB (person/auction/bid/ad_event tables — schemas at
+flock/src/datasource/nexmark/event.rs:130-148,220-246,336-353 and
+flock/src/datasource/ysb/event.rs:43-59). We bridge the two by deriving the
+NEXMark/YSB entities *deterministically* from ``events`` with pure SQL that
+renders identically in Spark and DuckDB, so every NEXMark query is
+oracle-checkable end to end.
+
+Scale note: the derivations are fixture plumbing, not engine code — on a
+real deployment the NEXMark entities arrive as their own streams/tables
+(see sources.py for the deterministic generators). Everything here is a
+lazy temp view: no materialization, no collect, predicate pushdown reaches
+the parquet scan through the view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dialect as dl
+from .dialect import DUCK, SPARK
+
+#: Every fixture table the driver ships (one parquet file each).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
+#: natively; we read them as int64 (legacy.parquet.nanosAsLong) and convert
+#: with integer division (ns DIV 1000 → µs) to match DuckDB's truncation.
+NANO_TS_COLS = {"events": ["ts"]}
+
+
+def configure(spark: SparkSession) -> None:
+    """Set the runtime-settable confs every query depends on.
+
+    Called defensively on whatever session we're handed (the driver builds
+    its own), since getOrCreate() ignores builder configs on reuse.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing all timestamps to TIMESTAMP_NTZ.
+
+    NTZ everywhere means Spark and the DuckDB oracle both hand back naive
+    wall-clock-UTC values — no tz-aware/naive mismatch in the comparator.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in NANO_TS_COLS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(
+                c, F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)")
+            )
+    for c, t in df.dtypes:
+        if t == "timestamp":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Derived NEXMark / YSB views (dialect-parameterized SQL)
+# ---------------------------------------------------------------------------
+
+# Auctions stay open 5–10 days out of the fixtures' ~30-day span so the
+# winning-bid queries (q4/q6/q9: bid ts BETWEEN auction start AND expires)
+# produce a meaningful match rate, mirroring NEXMark's long-lived auctions.
+_AUCTION_MIN_LIFE_S = 432_000  # 5 days
+_AUCTION_LIFE_MOD_S = 432_000  # + up to 5 more days
+
+#: Bids reference a dense 1..N_BID_AUCTIONS id range (all of which exist at
+#: every fixture scale) so bid→auction joins hit real auctions.
+N_BID_AUCTIONS = 1000
+
+_STATES = ["OR", "ID", "CA", "WA", "NY", "TX", "FL", "MA", "AZ", "NV"]
+
+
+def _person_sql(d: str) -> str:
+    state_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_STATES[:-1])
+    )
+    return f"""
+SELECT user_id AS p_id,
+       'person_' || CAST(user_id AS STRING) AS name,
+       'user_' || CAST(user_id AS STRING) || '@example.com' AS email_address,
+       CAST((user_id * 7919) % 10000 AS STRING) AS credit_card,
+       'city_' || CAST(user_id % 37 AS STRING) AS city,
+       CASE CAST(user_id % 10 AS INT) {state_case} ELSE '{_STATES[-1]}' END AS state,
+       MIN(ts) AS p_date_time
+FROM events
+WHERE event_type = 'signup'
+GROUP BY user_id
+"""
+
+
+def _auction_sql(d: str) -> str:
+    life = f"({_AUCTION_MIN_LIFE_S} + (event_id % {_AUCTION_LIFE_MOD_S}))"
+    return f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS a_id,
+       'item_' || CAST(event_id % 1000 AS STRING) AS item_name,
+       'desc_' || CAST(event_id % 101 AS STRING) AS description,
+       CAST(FLOOR(value * 10) AS INT) + 1 AS initial_bid,
+       CAST(FLOOR(value * 10) AS INT) + 1 + CAST(user_id % 50 AS INT) AS reserve,
+       ts AS a_date_time,
+       {dl.secadd('ts', life, d)} AS expires,
+       user_id AS seller,
+       CAST(event_id % 20 AS INT) AS category,
+       'a_extra_' || CAST(event_id % 89 AS STRING) AS extra
+FROM events
+WHERE event_type = 'view'
+"""
+
+
+def _bid_sql(d: str) -> str:
+    return f"""
+SELECT 1 + ((event_id * 13) % {N_BID_AUCTIONS}) AS auction,
+       user_id AS bidder,
+       CAST(FLOOR(value * 100) AS INT) + 1 AS price,
+       ts AS b_date_time,
+       'b_extra_' || CAST(event_id % 97 AS STRING) AS extra
+FROM events
+WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def _side_input_sql(d: str) -> str:
+    """q13's bounded side input (flock registers it as a CSV side table;
+    flock/src/datasource/nexmark/event.rs:375-385)."""
+    return f"""
+SELECT CAST(k AS BIGINT) AS key,
+       'side_' || CAST(k % 42 AS STRING) AS value
+FROM {dl.series_0_to(N_BID_AUCTIONS, 'k', d)} s
+"""
+
+
+def _ad_event_sql(d: str) -> str:
+    """YSB ad event stream (flock/src/datasource/ysb/event.rs:43-59)."""
+    return """
+SELECT CAST(user_id AS STRING) AS ysb_user_id,
+       'page_' || CAST(event_id % 100 AS STRING) AS page_id,
+       CAST(event_id % 1000 AS STRING) AS ad_id,
+       CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN 'banner' WHEN 1 THEN 'modal' WHEN 2 THEN 'sponsored-search'
+            WHEN 3 THEN 'mail' ELSE 'mobile' END AS ad_type,
+       event_type,
+       ts AS event_time,
+       '10.0.0.' || CAST(user_id % 256 AS STRING) AS ip_address
+FROM events
+"""
+
+
+def _campaign_sql(d: str) -> str:
+    """YSB's static 1000-ad / 100-campaign map (flock/src/datasource/ysb/event.rs:76-83)."""
+    return f"""
+SELECT CAST(k AS STRING) AS c_ad_id,
+       'campaign_' || CAST(k % 100 AS STRING) AS campaign_id
+FROM {dl.series_0_to(1000, 'k', d)} s
+"""
+
+
+#: name → dialect-parameterized SQL body. Order matters for the DuckDB CTE
+#: prefix (later views may reference earlier ones).
+DERIVED_VIEWS: dict[str, callable] = {
+    "person": _person_sql,
+    "auction": _auction_sql,
+    "bid": _bid_sql,
+    "side_input": _side_input_sql,
+    "ad_event": _ad_event_sql,
+    "campaign": _campaign_sql,
+}
+
+
+# session-id → sf_dir already registered (temp views are idempotent; skip
+# re-reading 10 parquet schemas on every query of a run)
+_REGISTERED: dict[int, str] = {}
+
+
+def register_all(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every fixture table + derived view as a temp view."""
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if not force and _REGISTERED.get(key) == sf_dir:
+        return
+    configure(spark)
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    for name, sql_fn in DERIVED_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql_fn(SPARK)}")
+    _REGISTERED[key] = sf_dir
+
+
+def oracle_cte_prefix() -> str:
+    """``WITH …`` prefix defining all derived views for a DuckDB oracle query.
+
+    The driver pre-registers only the base parquet tables; oracle SQL must be
+    self-contained, so every oracle body gets this prefix. Unused CTEs cost
+    nothing (DuckDB only materializes referenced CTEs).
+    """
+    parts = [f"{name} AS ({fn(DUCK)})" for name, fn in DERIVED_VIEWS.items()]
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+def wrap_oracle(body: str) -> str:
+    """Make a DuckDB oracle body self-contained (prepend derived-view CTEs).
+
+    If the body has its own ``WITH`` clause, the two CTE lists are merged.
+    """
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH"):
+        return oracle_cte_prefix() + ", " + stripped[len("WITH"):].lstrip()
+    return oracle_cte_prefix() + body

@@ -1,0 +1,141 @@
+"""Text analysis over the ``documents`` table.
+
+Training-data-pipeline basics: token counting (whitespace + BPE-ish regex
+pre-tokenization), quality scoring (length/punctuation/stopword ratios),
+language ID (stopword n-gram heuristic), and document fingerprinting
+(content hash + order-invariant token-set hash).
+
+Everything is built-in SQL functions (JVM-side, whole-stage codegen) — no
+Python UDFs in the hot path, so the same plan runs unchanged over 100 TB:
+pure per-row projections, no shuffle at all until a downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans"],
+    "es": ["el", "los", "las", "es", "para", "con", "una"],
+}
+
+
+def _word_alt(words: list[str], d: str) -> str:
+    # Spark SQL string literals treat backslash as an escape (so the SQL text
+    # needs \\b to reach the regex engine as \b); DuckDB strings don't.
+    b = r"\\b" if d == dl.SPARK else r"\b"
+    return b + "(" + "|".join(words) + ")" + b
+
+
+def _text_stats(d: str) -> str:
+    toks = dl.split_tokens("text", d)
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {dl.array_len(toks, d)} AS n_tokens,
+       {dl.array_len(f'list_distinct({toks})' if d == dl.DUCK else f'array_distinct({toks})', d)} AS n_uniq_tokens,
+       {dl.regex_count('text', '[0-9]', d)} AS n_digits,
+       {dl.regex_count('text', '[.!?,;:]', d)} AS n_punct
+FROM documents
+"""
+
+
+register_sql(
+    "text_stats",
+    _text_stats,
+    doc="Per-document token/char/punct statistics (pure built-ins, no shuffle).",
+    bench=True,
+)
+
+
+def _token_count_bpe(d: str) -> str:
+    # BPE-ish pre-tokenizer: word pieces, digit runs, single non-space symbols.
+    pat = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\\\s]" if d == dl.SPARK else "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+    return f"""
+SELECT doc_id,
+       {dl.regex_count('text', pat, d)} AS n_bpe_tokens,
+       {dl.array_len(dl.split_tokens('text', d), d)} AS n_ws_tokens
+FROM documents
+"""
+
+
+register_sql(
+    "token_count",
+    _token_count_bpe,
+    doc="Token counting: whitespace + BPE-style regex pre-tokenization.",
+)
+
+
+def _quality(d: str) -> str:
+    toks = dl.split_tokens("text", d)
+    n_tok = dl.array_len(toks, d)
+    stop = dl.regex_count("text", _word_alt(_STOPWORDS["en"], d), d)
+    punct = dl.regex_count("text", "[.!?,;:]", d)
+    return f"""
+SELECT doc_id,
+       lang,
+       (CAST({stop} AS DOUBLE) / ({n_tok} + 1)) AS stopword_ratio,
+       (CAST({punct} AS DOUBLE) / (length(text) + 1)) AS punct_ratio,
+       (CAST(length(text) AS DOUBLE) / ({n_tok} + 1)) AS mean_token_span,
+       CAST(length(text) >= 100 AND {n_tok} >= 20 AS INT) AS passes_length_gate
+FROM documents
+"""
+
+
+register_sql(
+    "text_quality",
+    _quality,
+    doc="Quality scoring: stopword/punct/length ratios + hard length gate.",
+)
+
+
+def _lang_guess(d: str) -> str:
+    scores = {
+        lang: dl.regex_count("text", _word_alt(words, d), d)
+        for lang, words in _STOPWORDS.items()
+    }
+    zh = dl.regex_count("text", "[\\u4e00-\\u9fff]" if d == dl.SPARK else "[\\x{4e00}-\\x{9fff}]", d)
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return f"""
+SELECT doc_id,
+       lang AS lang_label,
+       CASE
+         WHEN {zh} > 0 THEN 'zh'
+         WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+         WHEN {de} >= {fr} AND {de} >= {es} THEN 'de'
+         WHEN {fr} >= {es} THEN 'fr'
+         ELSE 'es'
+       END AS lang_guess
+FROM documents
+"""
+
+
+register_sql(
+    "lang_id",
+    _lang_guess,
+    doc="Language ID: stopword-hit heuristic with deterministic tie-break.",
+)
+
+
+def _fingerprint(d: str) -> str:
+    toks = dl.split_tokens("lower(text)", d)
+    if d == dl.SPARK:
+        tokset = f"array_join(array_sort(array_distinct({toks})), ' ')"
+    else:
+        tokset = f"array_to_string(list_sort(list_distinct({toks})), ' ')"
+    return f"""
+SELECT doc_id,
+       md5(text) AS content_fp,
+       md5({tokset}) AS tokenset_fp
+FROM documents
+"""
+
+
+register_sql(
+    "doc_fingerprint",
+    _fingerprint,
+    doc="Document fingerprints: exact content hash + order-invariant token-set hash.",
+)

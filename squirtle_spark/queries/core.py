@@ -1,0 +1,190 @@
+"""Core relational operator coverage (SURVEY.md §2.2/§2.4/§2.6).
+
+Each query exercises one operator family end to end over the ``events``
+fixture table: scan, projection+arithmetic, filter (AND/OR/BETWEEN/MOD),
+CAST, grouped aggregation (COUNT/COUNT DISTINCT/MIN/MAX/SUM/AVG), global
+aggregate, global sort + LIMIT, top-k per group, DISTINCT.
+
+Reference parity: these are DataFusion-inherited operators in flock
+(ProjectionExec/FilterExec/HashAggregateExec/SortExec — see
+flock/src/distributed_plan/stage.rs:277-355 for how flock stages them);
+Spark's Catalyst owns the same semantics here.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+
+def _scan(d: str) -> str:
+    return "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+
+
+register_sql(
+    "events_scan",
+    _scan,
+    doc="Full scan / pass-through projection (parity: nexmark q0 shape).",
+)
+
+
+def _project_arith(d: str) -> str:
+    return """
+SELECT event_id,
+       user_id,
+       CAST(0.42 AS DOUBLE) * value AS adj_value,
+       value * 2.0 + 1.0 AS scaled,
+       event_id % 7 AS bucket_id,
+       MOD(user_id, 13) AS user_mod
+FROM events
+"""
+
+
+register_sql(
+    "events_project_arith",
+    _project_arith,
+    doc="Projection + arithmetic + MOD (parity: nexmark q1/q2 expressions).",
+)
+
+
+def _filter(d: str) -> str:
+    return """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value BETWEEN 10.0 AND 200.0
+  AND event_type = 'click'
+  AND (user_id % 2 = 0 OR value > 150.0)
+"""
+
+
+register_sql(
+    "events_filter",
+    _filter,
+    doc="Filter: comparison, AND/OR, BETWEEN (FilterExec parity).",
+)
+
+
+def _cast(d: str) -> str:
+    return f"""
+SELECT event_id,
+       {dl.to_int('value', d)} AS value_floor,
+       CAST(event_id AS STRING) AS id_str,
+       CAST(user_id AS DOUBLE) AS uid_d,
+       CAST(value > 100.0 AS INT) AS is_big
+FROM events
+"""
+
+
+register_sql(
+    "events_cast",
+    _cast,
+    doc="CAST across int/string/double/bool (CastExpr parity).",
+)
+
+
+def _agg_groups(d: str) -> str:
+    return f"""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS users,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       {dl.dsum('value', d)} AS sum_value,
+       {dl.davg('value', d)} AS avg_value,
+       {dl.bsum('CASE WHEN value > 100 THEN 1 ELSE 0 END', d)} AS n_big
+FROM events
+GROUP BY event_type
+"""
+
+
+register_sql(
+    "agg_event_stats",
+    _agg_groups,
+    doc="Two-phase grouped agg: COUNT/COUNT DISTINCT/MIN/MAX/SUM/AVG + conditional.",
+    bench=True,
+)
+
+
+def _agg_multikey(d: str) -> str:
+    return f"""
+SELECT event_type,
+       user_id % 10 AS user_bucket,
+       COUNT(*) AS cnt,
+       {dl.dsum('value', d)} AS sum_value
+FROM events
+GROUP BY event_type, user_id % 10
+"""
+
+
+register_sql(
+    "agg_multikey",
+    _agg_multikey,
+    doc="Multi-key GROUP BY incl. computed key (parity: q4 GROUP BY a_id, category).",
+)
+
+
+def _agg_global(d: str) -> str:
+    return f"""
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       {dl.dsum('value', d)} AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+"""
+
+
+register_sql(
+    "agg_global",
+    _agg_global,
+    doc="Global (ungrouped) aggregate.",
+)
+
+
+def _orderby_limit(d: str) -> str:
+    return """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT 100
+"""
+
+
+register_sql(
+    "orderby_limit",
+    _orderby_limit,
+    doc="Global sort + LIMIT with a total-order tiebreak (SortExec+LimitExec parity).",
+)
+
+
+def _topk_per_group(d: str) -> str:
+    return """
+SELECT event_type, event_id, user_id, value
+FROM (
+    SELECT event_type, event_id, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+)
+WHERE rn <= 3
+"""
+
+
+register_sql(
+    "topk_per_group",
+    _topk_per_group,
+    doc="Top-k per group via ROW_NUMBER (parity: nexmark q9 k=1 / q6 k=10 pattern).",
+)
+
+
+def _distinct(d: str) -> str:
+    return """
+SELECT DISTINCT event_type, user_id % 5 AS user_bucket
+FROM events
+"""
+
+
+register_sql(
+    "distinct_pairs",
+    _distinct,
+    doc="DISTINCT as aggregate-based dedup (parity: nexmark q8 GROUP BY dedup).",
+)

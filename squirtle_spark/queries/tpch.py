@@ -1,0 +1,206 @@
+"""TPC-H subset on the driver fixtures.
+
+The reference ships all 22 TPC-H queries + schemas
+(flock/src/datasource/tpch/queries/q1.sql…q22.sql, schemas at
+flock/src/datasource/tpch/mod.rs:24-29) as its aspirational OLAP surface.
+The driver's fixture star schema is a column-subset of TPC-H (no partsupp,
+no l_shipmode/l_commitdate/l_receiptdate, o_orderpriority instead of
+o_shippriority), so queries whose predicates touch missing columns are
+adapted — same operator shape, available columns. Each docstring notes the
+adaptation.
+
+Scale notes: q1/q6 are scan-heavy partial-agg queries (map-side combine,
+filter pushed to parquet); q3/q5/q10 are multi-join — nation/region/supplier
+are broadcast-size at any SF, customer⋈orders⋈lineitem shuffle on keys with
+AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+# Money columns route through DECIMAL so sums are exact (order-independent)
+# and bitwise-comparable across engines; final results surface as DOUBLE.
+_PRICE = "CAST(l_extendedprice AS DECIMAL(18,4))"
+_DISC = "CAST(l_discount AS DECIMAL(8,4))"
+_TAX = "CAST(l_tax AS DECIMAL(8,4))"
+
+
+def _q1(d: str) -> str:
+    """q1 pricing summary report — verbatim (queries/q1.sql)."""
+    return f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {dl.dsum('l_quantity', d)} AS sum_qty,
+       CAST(SUM({_PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})) AS DOUBLE) AS sum_charge,
+       {dl.davg('l_quantity', d)} AS avg_qty,
+       {dl.davg('l_extendedprice', d, 'DECIMAL(18,4)')} AS avg_price,
+       {dl.davg('l_discount', d, 'DECIMAL(8,4)')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= {dl.ts_lit('1998-09-02 00:00:00', d)}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+register_sql(
+    "tpch_q1",
+    _q1,
+    doc="TPC-H q1: scan-heavy grouped aggregate with exact decimal sums.",
+    bench=True,
+)
+
+
+def _q3(d: str) -> str:
+    """q3 shipping priority (queries/q3.sql) — o_orderpriority stands in for
+    the fixture-absent o_shippriority."""
+    return f"""
+SELECT l_orderkey,
+       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < {dl.ts_lit('1998-03-15 00:00:00', d)}
+  AND l_shipdate > {dl.ts_lit('1998-03-15 00:00:00', d)}
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+register_sql(
+    "tpch_q3",
+    _q3,
+    doc="TPC-H q3: customer⋈orders⋈lineitem, filter, grouped revenue.",
+    bench=True,
+)
+
+
+def _q5(d: str) -> str:
+    """q5 local supplier volume — verbatim (queries/q5.sql); ASIA→our region."""
+    return f"""
+SELECT n_name,
+       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+  AND o_orderdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+GROUP BY n_name
+"""
+
+
+register_sql(
+    "tpch_q5",
+    _q5,
+    doc="TPC-H q5: 6-table join (broadcast dims) + grouped revenue.",
+    bench=True,
+)
+
+
+def _q6(d: str) -> str:
+    """q6 forecasting revenue change — verbatim (queries/q6.sql)."""
+    return f"""
+SELECT CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+  AND l_shipdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+register_sql(
+    "tpch_q6",
+    _q6,
+    doc="TPC-H q6: pure pushed-down filter + global exact sum.",
+    bench=True,
+)
+
+
+def _q12(d: str) -> str:
+    """q12 shipping-mode line counts (queries/q12.sql), adapted: fixture has
+    no l_shipmode/l_commitdate/l_receiptdate, so the date sanity predicates
+    become l_shipdate vs o_orderdate and grouping is by l_returnflag. The
+    operator shape (join + conditional two-way counts) is unchanged."""
+    return f"""
+SELECT l_returnflag,
+       {dl.bsum("CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END", d)} AS high_line_count,
+       {dl.bsum("CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END", d)} AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+  AND l_shipdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+GROUP BY l_returnflag
+"""
+
+
+register_sql(
+    "tpch_q12",
+    _q12,
+    doc="TPC-H q12 (adapted): join + CASE conditional counts.",
+)
+
+
+def _q4(d: str) -> str:
+    """q4 order-priority checking (queries/q4.sql), adapted: EXISTS predicate
+    is l_shipdate > o_orderdate (fixture lacks commit/receipt dates).
+    Exercises the semi-join path."""
+    return f"""
+SELECT o_orderpriority,
+       COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= {dl.ts_lit('1996-07-01 00:00:00', d)}
+  AND o_orderdate < {dl.ts_lit('1996-10-01 00:00:00', d)}
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+register_sql(
+    "tpch_q4",
+    _q4,
+    doc="TPC-H q4 (adapted): EXISTS → left-semi hash join + count.",
+)
+
+
+def _q10(d: str) -> str:
+    """q10 returned-item reporting (queries/q10.sql), adapted to available
+    columns (no c_address/phone/comment). Top-20 customers by lost revenue;
+    fully tiebroken ORDER BY so LIMIT is deterministic."""
+    return f"""
+SELECT c_custkey,
+       c_name,
+       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue,
+       c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+  AND o_orderdate < {dl.ts_lit('1996-04-01 00:00:00', d)}
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+register_sql(
+    "tpch_q10",
+    _q10,
+    doc="TPC-H q10 (adapted): 4-table join + grouped revenue + deterministic top-20.",
+)

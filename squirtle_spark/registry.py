@@ -1,0 +1,105 @@
+"""Query registry: one place every implemented operator/query signs in.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` and the pytest oracle
+harness all iterate this registry, so adding a query here automatically
+wires it into the correctness gate, the test suite and (if flagged) the
+benchmark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .dialect import DUCK, SPARK
+
+
+@dataclass
+class Query:
+    name: str
+    #: (spark, sf_dir) -> DataFrame; must register whatever views it needs.
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    #: Self-contained DuckDB SQL over the driver's pre-registered parquet
+    #: views, or None for non-SQL-expressible ops (rows-only check).
+    oracle: str | None
+    doc: str = ""
+    #: Include in bench.py's headline run.
+    bench: bool = False
+    tags: list[str] = field(default_factory=list)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _add(q: Query) -> Query:
+    if q.name in QUERIES:
+        raise ValueError(f"duplicate query name: {q.name}")
+    QUERIES[q.name] = q
+    return q
+
+
+def register_sql(
+    name: str,
+    body_fn: Callable[[str], str],
+    doc: str = "",
+    bench: bool = False,
+    tags: list[str] | None = None,
+) -> Query:
+    """Register a dialect-parameterized SQL query.
+
+    ``body_fn(dialect)`` must render the same semantics in Spark SQL (run
+    against the temp views catalog.register_all creates) and DuckDB (run
+    against the parquet views + derived-view CTE prefix).
+    """
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register_all(spark, sf_dir)
+        return spark.sql(body_fn(SPARK))
+
+    return _add(
+        Query(
+            name=name,
+            spark_fn=spark_fn,
+            oracle=catalog.wrap_oracle(body_fn(DUCK)),
+            doc=doc,
+            bench=bench,
+            tags=tags or [],
+        )
+    )
+
+
+def register_df(
+    name: str,
+    df_fn: Callable[[SparkSession, str], DataFrame],
+    oracle_body: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: list[str] | None = None,
+) -> Query:
+    """Register a DataFrame-API query with an optional hand-written oracle."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register_all(spark, sf_dir)
+        return df_fn(spark, sf_dir)
+
+    return _add(
+        Query(
+            name=name,
+            spark_fn=spark_fn,
+            oracle=catalog.wrap_oracle(oracle_body) if oracle_body else None,
+            doc=doc,
+            bench=bench,
+            tags=tags or [],
+        )
+    )
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (each registers itself) and return the registry."""
+    from .queries import core, nexmark, tpch, windows, ysb  # noqa: F401
+    from .operators import dedup, multimodal, similarity, text  # noqa: F401
+
+    return QUERIES

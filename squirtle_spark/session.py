@@ -11,6 +11,8 @@ knob is chosen so the same code lands well on a 1000-executor cluster:
 - Arrow enabled for every Python<->JVM hop (Pandas UDFs, toPandas).
 - Session timezone pinned UTC so event-time semantics are deployment-invariant
   (and comparable against the DuckDB oracle, which is UTC-naive).
+- The master is only set when none is configured, so ``spark-submit
+  --master`` / cluster managers win over the local default.
 """
 
 from __future__ import annotations
@@ -21,6 +23,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Confs that are runtime-settable and load-bearing for correctness; applied
+#: even when getOrCreate() returns a pre-existing session (which silently
+#: ignores builder configs).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
 
 def get_spark(
     app_name: str = "squirtle_spark",
@@ -29,22 +43,31 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession."""
     cpus = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name)
+    # Let an externally configured master (spark-submit/cluster) win; only
+    # default to local[] when nothing else is set.
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # Only effective when the JVM is launched from this process (plain
+        # `python`); under spark-submit the submit-time value wins.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.filterPushdown", "true")
     )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() ignores configs on a reused session — re-assert the
+    # runtime-settable ones that correctness depends on.
+    for k, v in RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark
