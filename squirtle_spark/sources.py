@@ -1,0 +1,193 @@
+"""Deterministic NEXMark / YSB event generators.
+
+Parity target: flock's seeded generators
+(flock/src/datasource/nexmark/nexmark.rs:285-390, generator.rs:25-45;
+ysb/generator.rs) — per-second epochs, configurable events/sec, and the
+NEXMark 1:3:46 entity mix (20 persons / 60 auctions / 920 bids per 1000
+events, reference README.md:219-228).
+
+Spark-first design: instead of a driver-side RNG loop, events are a pure
+function of ``spark.range(n)`` — every attribute derives from the row id
+via seeded xxhash64, so generation is fully distributed (any executor can
+produce any slice), reproducible under any partitioning, and scales to
+billions of events with zero driver memory. Entity ids are dense closed
+forms of (epoch, slot), so bids always reference persons/auctions that
+exist — same invariant flock's generator maintains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# NEXMark mix per 1000 events (README.md:219-228): slots 0-19 → person,
+# 20-79 → auction, 80-999 → bid.
+PERSONS_PER_K = 20
+AUCTIONS_PER_K = 60
+BIDS_PER_K = 920
+
+BASE_TS = "2024-01-01 00:00:00"
+
+_STATES = ["OR", "ID", "CA", "WA", "NY", "TX", "FL", "MA", "AZ", "NV"]
+
+
+def _rand(seed: int, *cols, mod: str) -> F.Column:
+    """Deterministic pseudo-random in [0, mod): seeded xxhash64 of the id."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols)) % F.expr(mod)
+
+
+def _base(spark: SparkSession, events_per_sec: int, seconds: int, seed: int) -> DataFrame:
+    n = events_per_sec * seconds
+    return (
+        spark.range(n)
+        .withColumn("epoch", (F.col("id") / events_per_sec).cast("long"))
+        .withColumn("slot", F.col("id") % 1000)
+        .withColumn("kilo", (F.col("id") / 1000).cast("long"))
+        .withColumn(
+            "ts",
+            F.expr(
+                f"timestampadd(SECOND, epoch, TIMESTAMP_NTZ '{BASE_TS}')"
+                f" + make_interval(0, 0, 0, 0, 0, 0, (id % {events_per_sec}) * 0.001)"
+            ),
+        )
+        .withColumn("r1", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(1))))
+        .withColumn("r2", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(2))))
+    )
+
+
+def nexmark_persons(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
+    """person stream (schema: flock/src/datasource/nexmark/event.rs:130-148)."""
+    b = _base(spark, events_per_sec, seconds, seed).where(F.col("slot") < PERSONS_PER_K)
+    p_id = F.col("kilo") * PERSONS_PER_K + F.col("slot")
+    state_arr = "array(" + ",".join(f"'{s}'" for s in _STATES) + ")"
+    return b.select(
+        p_id.cast("long").alias("p_id"),
+        F.concat(F.lit("person_"), p_id).alias("name"),
+        F.concat(F.lit("user_"), p_id, F.lit("@example.com")).alias("email_address"),
+        (F.col("r1") % 10000).cast("string").alias("credit_card"),
+        F.concat(F.lit("city_"), F.col("r1") % 37).alias("city"),
+        F.expr(f"element_at({state_arr}, CAST(r2 % 10 AS INT) + 1)").alias("state"),
+        F.col("ts").alias("p_date_time"),
+    )
+
+
+def nexmark_auctions(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
+    """auction stream (schema: event.rs:220-246); seller references an
+    already-generated person (dense id < persons emitted so far)."""
+    b = _base(spark, events_per_sec, seconds, seed).where(
+        (F.col("slot") >= PERSONS_PER_K) & (F.col("slot") < PERSONS_PER_K + AUCTIONS_PER_K)
+    )
+    a_id = F.col("kilo") * AUCTIONS_PER_K + (F.col("slot") - PERSONS_PER_K)
+    persons_so_far = f"greatest((kilo + 1) * {PERSONS_PER_K}, 1)"
+    return b.select(
+        a_id.cast("long").alias("a_id"),
+        F.concat(F.lit("item_"), F.col("r1") % 1000).alias("item_name"),
+        F.concat(F.lit("desc_"), F.col("r1") % 101).alias("description"),
+        (F.col("r1") % 1000 + 1).cast("int").alias("initial_bid"),
+        (F.col("r1") % 1000 + 1 + F.col("r2") % 500).cast("int").alias("reserve"),
+        F.col("ts").alias("a_date_time"),
+        F.expr("timestampadd(SECOND, CAST(r2 % 20 AS INT) + 5, ts)").alias("expires"),
+        _rand(seed, F.col("id"), F.lit(3), mod=persons_so_far).cast("long").alias("seller"),
+        (F.col("r2") % 20).cast("int").alias("category"),
+    )
+
+
+def nexmark_bids(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
+    """bid stream (schema: event.rs:336-353); auction/bidder reference
+    already-generated entities."""
+    b = _base(spark, events_per_sec, seconds, seed).where(
+        F.col("slot") >= PERSONS_PER_K + AUCTIONS_PER_K
+    )
+    auctions_so_far = f"greatest((kilo + 1) * {AUCTIONS_PER_K}, 1)"
+    persons_so_far = f"greatest((kilo + 1) * {PERSONS_PER_K}, 1)"
+    return b.select(
+        _rand(seed, F.col("id"), F.lit(4), mod=auctions_so_far).cast("long").alias("auction"),
+        _rand(seed, F.col("id"), F.lit(5), mod=persons_so_far).cast("long").alias("bidder"),
+        (F.col("r1") % 10000 + 1).cast("int").alias("price"),
+        F.col("ts").alias("b_date_time"),
+    )
+
+
+def ysb_ad_events(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
+    """YSB ad-event stream (flock/src/datasource/ysb/event.rs:43-59)."""
+    b = _base(spark, events_per_sec, seconds, seed)
+    types = "array('banner','modal','sponsored-search','mail','mobile')"
+    etypes = "array('view','click','purchase')"
+    return b.select(
+        (F.col("r1") % 100000).cast("string").alias("ysb_user_id"),
+        F.concat(F.lit("page_"), F.col("r1") % 100).alias("page_id"),
+        (F.col("r2") % 1000).cast("string").alias("ad_id"),
+        F.expr(f"element_at({types}, CAST(r1 % 5 AS INT) + 1)").alias("ad_type"),
+        F.expr(f"element_at({etypes}, CAST(r2 % 3 AS INT) + 1)").alias("event_type"),
+        F.col("ts").alias("event_time"),
+        F.concat(F.lit("10.0.0."), F.col("r1") % 256).alias("ip_address"),
+    )
+
+
+def ysb_campaigns(spark, n_ads: int = 1000, n_campaigns: int = 100) -> DataFrame:
+    """Static ad→campaign map (ysb/event.rs:76-83)."""
+    return spark.range(n_ads).select(
+        F.col("id").cast("string").alias("c_ad_id"),
+        F.concat(F.lit("campaign_"), F.col("id") % n_campaigns).alias("campaign_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# External connectors (flock §2.1: kafka.rs / kinesis.rs / s3.rs / csv side input)
+# ---------------------------------------------------------------------------
+
+
+def infer_json_schema(spark: SparkSession, sample_path: str):
+    """Infer a schema from JSON records — parity with flock's Kafka connector,
+    which infers the schema from the first record
+    (flock/src/datasource/kafka.rs:91-101)."""
+    return spark.read.json(sample_path).schema
+
+
+def json_stream(
+    spark: SparkSession, path: str, schema=None, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming JSON source with flock-style first-record schema inference.
+
+    File-based here; against a real broker the identical decode path is
+    ``spark.readStream.format("kafka")`` + ``from_json(value, schema)`` with
+    the same inferred schema.
+    """
+    if schema is None:
+        schema = infer_json_schema(spark, path)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(path)
+    )
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str, schema
+) -> DataFrame:
+    """Kafka source → parsed columns (flock kafka.rs:48-101 parity).
+
+    Requires the spark-sql-kafka package on the classpath; the decode path
+    (bytes → JSON → columns) is the same one json_stream exercises in tests.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("rec")
+    ).select("rec.*")
+
+
+def csv_side_input(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Bounded CSV side input (q13's register_csv path,
+    flock/src/datasource/nexmark/queries/q13.rs): read once, broadcast into
+    the enrichment join."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,185 @@
+"""Structured Streaming wiring: file-replay sources, windowed transforms,
+watermarks, and the sink set.
+
+Parity map (SURVEY.md §2.9):
+
+- flock's per-epoch micro-batch ("ElementWise window",
+  flock-function/src/aws/window/elementwise.rs:30-186) → Structured
+  Streaming micro-batches themselves.
+- tumbling/hopping (tumbling.rs:31-188, hopping.rs:31-99) → ``window()``.
+- session (session.rs:42-271) → ``session_window()`` (state-store backed).
+- collect-then-fire arena + payload shuffle (flock/src/runtime/arena) →
+  Spark shuffle + state store; nothing to port.
+- state backends / read-repair (flock/src/state) → checkpointLocation.
+- sinks (flock/src/datasink/mod.rs:47-72): S3/EFS parquet → file sinks,
+  blackhole → noop, plus memory (tests) and foreachBatch (k/v stores).
+
+Watermarks are strictly *more* than the reference offers — flock assumes
+in-order epochs and has no late-data story (window.rs sweep functions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_epoch_files(df: DataFrame, path: str, epoch_col: str = "epoch") -> None:
+    """Materialize a bounded stream as one file-group per epoch for replay
+    (the deterministic-replay trick SURVEY.md §7 calls for: event-time from
+    data + file-based replay + availableNow)."""
+    (
+        df.repartition(F.col(epoch_col))
+        .write.mode("overwrite")
+        .partitionBy(epoch_col)
+        .parquet(path)
+    )
+
+
+def replay_stream(
+    spark: SparkSession, path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over epoch-partitioned files → micro-batch replay."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); with the session pinned UTC
+    the cast preserves wall-clock values."""
+    return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Event-time tumbling count per key (q7/q8 window shape)."""
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def hopping_agg(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Event-time hopping count per key (q5 window shape)."""
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size, slide), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), key_col, "cnt")
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Gap-based session count per key (q11 shape; flock session.rs parity)."""
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+            "cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks (flock/src/datasink/mod.rs:47-72 → Spark-native equivalents)
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    result: DataFrame, *, checkpoint: str, mode: str = "append", timeout_s: int = 300
+) -> list:
+    """Drain a bounded replay through the memory sink; return the rows.
+
+    availableNow processes every pending file then stops — the batch-exact
+    replay mode the oracle tests rely on.
+    """
+    name = "mem_" + os.path.basename(checkpoint).replace("-", "_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def noop_sink(result: DataFrame, *, checkpoint: str) -> StreamingQuery:
+    """Blackhole sink (flock Blackhole parity) — executes, discards."""
+    return (
+        result.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def partitioned_file_sink(
+    result: DataFrame, path: str, *, checkpoint: str, fmt: str = "csv"
+) -> StreamingQuery:
+    """q10's dt/hm-partitioned file sink
+    (flock/src/datasource/nexmark/queries/q10.sql:10-31): adds dt/hm from
+    the event time and writes partitioned files."""
+    ts_col = "b_date_time" if "b_date_time" in result.columns else "ts"
+    out = result.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd")).withColumn(
+        "hm", F.date_format(ts_col, "HH:mm")
+    )
+    return (
+        out.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("dt", "hm")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_sink(result: DataFrame, fn, *, checkpoint: str) -> StreamingQuery:
+    """foreachBatch sink — the DynamoDB/SQS-style per-batch escape hatch."""
+    return (
+        result.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

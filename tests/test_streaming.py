@@ -1,0 +1,98 @@
+"""Structured Streaming semantics: micro-batch replay must equal batch.
+
+The invariant under test (flock's own oracle, SURVEY.md §3 Entry-3): the
+same query over the same bounded data gives identical results whether run
+as one batch or replayed epoch-by-epoch through streaming.
+
+Note on modes: append-mode windowed aggregation only emits windows sealed
+by the watermark, and the watermark never passes the final window of a
+bounded replay — so the equality tests drain in complete mode, and the
+sink tests (append) assert on the rows that do land.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from squirtle_spark import sources, streaming
+
+
+def _replay_setup(spark, tmp_path, eps=200, secs=6):
+    bids = sources.nexmark_bids(spark, eps, secs).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+    stream = streaming.replay_stream(spark, data_dir, files_per_trigger=2).drop("epoch")
+    # batch side mirrors the helpers' event-time cast (watermark needs TIMESTAMP)
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    return batch, stream
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    batch_df, stream = _replay_setup(spark, tmp_path)
+    result = streaming.tumbling_agg(stream, "b_date_time", "auction", size="2 seconds")
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-tumble"), mode="complete"
+    )
+    expected = (
+        batch_df.groupBy(F.window("b_date_time", "2 seconds"), "auction")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "auction", "cnt")
+        .collect()
+    )
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    batch_df, stream = _replay_setup(spark, tmp_path)
+    result = streaming.session_agg(stream, "b_date_time", "bidder", gap="2 seconds")
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-sess"), mode="complete"
+    )
+    expected = (
+        batch_df.groupBy("bidder", F.session_window("b_date_time", "2 seconds"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bidder",
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+            "cnt",
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
+def test_partitioned_sink(spark, tmp_path):
+    """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
+    batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)
+    out = str(tmp_path / "q10-out")
+    q = streaming.partitioned_file_sink(
+        stream.select("auction", "bidder", "price", "b_date_time"),
+        out,
+        checkpoint=str(tmp_path / "ckpt-q10"),
+    )
+    q.awaitTermination(300)
+    parts = [p for p in os.listdir(out) if p.startswith("dt=")]
+    assert parts, f"no dt= partitions in {os.listdir(out)}"
+    sub = os.listdir(os.path.join(out, parts[0]))
+    assert any(s.startswith("hm=") for s in sub)
+    assert spark.read.csv(out).count() == batch_df.count()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=2)
+    seen = []
+
+    def fn(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    q = streaming.foreach_batch_sink(stream, fn, checkpoint=str(tmp_path / "ckpt-feb"))
+    q.awaitTermination(300)
+    assert len(seen) >= 1
+    assert sum(c for _, c in seen) == batch_df.count()

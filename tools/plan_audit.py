@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Plan audit: .explain("formatted") every headline query and flag scale
+anti-patterns.
+
+Checks per plan:
+- parquet scans carry PushedFilters / a pruned ReadSchema (not SELECT *),
+- dimension joins are BroadcastHashJoin (not shuffle) where expected,
+- WholeStageCodegen spans exist (expressions stayed JVM-side),
+- no CartesianProduct / BroadcastNestedLoopJoin outside the known
+  crossJoin-by-design queries.
+
+Run: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+EXPECT_BROADCAST = {"nexmark_q3", "tpch_q3", "tpch_q5", "ysb_campaign_views", "nexmark_q13"}
+CROSS_BY_DESIGN = {"ann_cosine_topk"}  # broadcast crossJoin: |queries| is tiny
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from squirtle_spark.registry import load_all
+    from squirtle_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    problems: list[str] = []
+    for name, q in sorted(load_all().items()):
+        if not (q.bench or name in EXPECT_BROADCAST):
+            continue
+        df = q.spark_fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString("formatted")
+        print(f"\n{'=' * 70}\n## {name}\n{plan}")
+        scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+        if scan_lines and "PushedFilters" not in plan and "Filter" in plan:
+            problems.append(f"{name}: filters present but none pushed to parquet scan")
+        if "WholeStageCodegen" not in plan:
+            problems.append(f"{name}: no WholeStageCodegen span")
+        if name in EXPECT_BROADCAST and "BroadcastHashJoin" not in plan:
+            problems.append(f"{name}: expected a broadcast join, none in plan")
+        if name not in CROSS_BY_DESIGN and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            problems.append(f"{name}: cartesian/nested-loop join in plan")
+
+    print("\n" + "=" * 70)
+    if problems:
+        print("PROBLEMS:")
+        for p in problems:
+            print(" -", p)
+        sys.exit(1)
+    print("plan audit clean")
+
+
+if __name__ == "__main__":
+    main()
