@@ -132,3 +132,36 @@ register_df(
     _ann_lsh,
     doc="LSH-bucketed cosine top-k: hyperplane sign buckets bound the join (approximate).",
 )
+
+
+def _embed_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-bucket candidates only
+    (hyperplane LSH), cosine ≥ threshold. The all-pairs version of this is
+    the canonical 100 TB killer; bucketing bounds it."""
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planes = _planes()
+    sign_bits = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
+        sign_bits.append(
+            f"(CASE WHEN aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0D, (acc, x) -> acc + x) > 0"
+            f" THEN CAST(pow(2, {j}) AS BIGINT) ELSE 0L END)"
+        )
+    bucketed = emb.withColumn("bucket", F.expr(" + ".join(sign_bits)))
+    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_cosine("va", "vb"), 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.9)
+    )
+
+
+register_df(
+    "embed_neardup_cosine",
+    _embed_neardup,
+    doc="Embedding near-dup pairs: LSH-bucketed candidate join + cosine threshold.",
+)

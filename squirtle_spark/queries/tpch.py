@@ -204,3 +204,182 @@ register_sql(
     _q10,
     doc="TPC-H q10 (adapted): 4-table join + grouped revenue + deterministic top-20.",
 )
+
+
+def _q7(d: str) -> str:
+    """q7 volume shipping (queries/q7.sql), adapted: nation pair revenue by
+    ship-year between customer and supplier nations (no partsupp needed)."""
+    return f"""
+SELECT supp_nation,
+       cust_nation,
+       l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           {_PRICE} * (1 - {_DISC}) AS vol
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+      AND l_shipdate < {dl.ts_lit('1998-01-01 00:00:00', d)}
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+register_sql(
+    "tpch_q7",
+    _q7,
+    doc="TPC-H q7 (adapted): nation-pair self-joined dims + year extraction.",
+)
+
+
+def _q13(d: str) -> str:
+    """q13 customer order-count distribution (queries/q13.sql): LEFT OUTER
+    join + two-level aggregate (filter predicate adapted to o_orderpriority)."""
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+register_sql(
+    "tpch_q13",
+    _q13,
+    doc="TPC-H q13: left-outer join + double aggregation (distribution).",
+)
+
+
+def _q14(d: str) -> str:
+    """q14 promotion effect (queries/q14.sql): conditional revenue ratio."""
+    return f"""
+SELECT CAST(100.0 AS DOUBLE) *
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_PRICE} * (1 - {_DISC})
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= {dl.ts_lit('1996-09-01 00:00:00', d)}
+  AND l_shipdate < {dl.ts_lit('1996-10-01 00:00:00', d)}
+"""
+
+
+register_sql(
+    "tpch_q14",
+    _q14,
+    doc="TPC-H q14: join + conditional CASE aggregate ratio.",
+)
+
+
+def _q15(d: str) -> str:
+    """q15 top supplier (queries/q15.sql): aggregate view + scalar-subquery
+    max — the join-on-aggregate-output shape (same family as nexmark q5/q7)."""
+    return f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+      AND l_shipdate < {dl.ts_lit('1996-04-01 00:00:00', d)}
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+register_sql(
+    "tpch_q15",
+    _q15,
+    doc="TPC-H q15: CTE aggregate + scalar subquery (max) join.",
+)
+
+
+def _q17(d: str) -> str:
+    """q17 small-quantity-order revenue (queries/q17.sql): correlated scalar
+    subquery against per-part average quantity."""
+    return f"""
+SELECT CAST(SUM({_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+register_sql(
+    "tpch_q17",
+    _q17,
+    doc="TPC-H q17 (adapted brand): correlated scalar subquery (avg per part).",
+)
+
+
+def _q18(d: str) -> str:
+    """q18 large-volume customers (queries/q18.sql): HAVING-filtered IN
+    subquery + multi-way join."""
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {dl.dsum('l_quantity', d)} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 100
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+register_sql(
+    "tpch_q18",
+    _q18,
+    doc="TPC-H q18 (adapted threshold): IN-subquery with HAVING + 3-way join.",
+)
+
+
+def _q22(d: str) -> str:
+    """q22 global sales opportunity (queries/q22.sql), adapted: high-balance
+    customers with no URGENT orders — NOT EXISTS → anti join + scalar
+    subquery (every fixture customer has some order, so the anti-join
+    predicate narrows to urgent ones to stay selective)."""
+    return """
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+register_sql(
+    "tpch_q22",
+    _q22,
+    doc="TPC-H q22 (adapted): NOT EXISTS anti-join + uncorrelated scalar subquery.",
+)

@@ -100,6 +100,6 @@ def register_df(
 def load_all() -> dict[str, Query]:
     """Import every query module (each registers itself) and return the registry."""
     from .queries import core, generators, nexmark, tpch, windows, ysb  # noqa: F401
-    from .operators import dedup, multimodal, similarity, text  # noqa: F401
+    from .operators import asof, dedup, multimodal, similarity, text  # noqa: F401
 
     return QUERIES
