@@ -183,3 +183,53 @@ def foreach_batch_sink(result: DataFrame, fn, *, checkpoint: str) -> StreamingQu
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def stateful_running_count(stream: DataFrame, key_col: str) -> DataFrame:
+    """Per-key running count maintained in explicit keyed state.
+
+    This is the Spark shape of flock's hand-rolled per-key window state
+    (flock-function/src/aws/window/global.rs:161-307 keeps per-key windows
+    in an Arena keyed by HashDiff partition): the state store holds one
+    counter per key; every micro-batch updates it and emits the running
+    total. Use this pattern when semantics genuinely exceed
+    window()/session_window() — otherwise prefer the built-ins.
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("key", LongType()), StructField("running_count", LongType())]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        for pdf in batches:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"key": [key[0]], "running_count": [count]})
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

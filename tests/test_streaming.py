@@ -85,6 +85,25 @@ def test_partitioned_sink(spark, tmp_path):
     assert spark.read.csv(out).count() == batch_df.count()
 
 
+def test_stateful_running_count(spark, tmp_path):
+    """Custom keyed-state operator: final per-key running counts must equal
+    the batch counts (flock global.rs per-key state parity)."""
+    batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=4)
+    result = streaming.stateful_running_count(stream, "bidder")
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-state"), mode="update"
+    )
+    # update mode re-emits per batch: keep the max (latest) count per key
+    final = {}
+    for r in rows:
+        final[r["key"]] = max(final.get(r["key"], 0), r["running_count"])
+    expected = {
+        r["bidder"]: r["cnt"]
+        for r in batch_df.groupBy("bidder").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert final == expected
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=2)
     seen = []
