@@ -69,12 +69,20 @@ def main() -> None:
     )
 
 
-def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 10) -> dict:
-    """Streaming anchor vs BASELINE.md: the reference processes 10 s of
-    1,000 ev/s NEXMark q5 (hopping window) in ~1.18 s source wall time
-    (reference README.md:250). Here: generate the same 10 s of bids, replay
-    them as micro-batches, run the hopping-window hot-items aggregation to
-    a blackhole sink, and report effective events/sec."""
+def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> dict:
+    """Streaming anchor vs BASELINE.md: the reference processes 1,000 ev/s
+    NEXMark q5 (hopping window) at ~8.5k ev/s effective (10 s of data in
+    ~1.18 s source wall, reference README.md:250). Two modes over 60 s of
+    generated bids:
+
+    - throughput: large triggers → effective events/sec;
+    - latency: small triggers → per-micro-batch wall (the sub-second
+      latency target).
+
+    Streaming runs use few shuffle partitions: HDFS-backed state-store
+    commit cost scales with partition count, so partitions should track
+    state volume, not core count (at cluster scale AQE/state rebalancing
+    takes over)."""
     import shutil
     import tempfile
 
@@ -82,6 +90,8 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 10) -> di
 
     from squirtle_spark import sources, streaming
 
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     tmp = tempfile.mkdtemp(prefix="bench-stream-")
     try:
         bids = sources.nexmark_bids(spark, events_per_sec, seconds)
@@ -90,22 +100,30 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 10) -> di
             "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
         )
         streaming.write_epoch_files(staged, f"{tmp}/bids")
-        stream = streaming.replay_stream(spark, f"{tmp}/bids", files_per_trigger=5).drop(
-            "epoch"
-        )
-        agg = streaming.hopping_agg(
-            stream, "b_date_time", "auction", size="10 seconds", slide="5 seconds"
-        )
-        t0 = time.perf_counter()
-        q = streaming.noop_sink(agg, checkpoint=f"{tmp}/ckpt")
-        q.awaitTermination(300)
-        wall = time.perf_counter() - t0
+
+        def run(files_per_trigger: int, ckpt: str) -> float:
+            stream = streaming.replay_stream(
+                spark, f"{tmp}/bids", files_per_trigger=files_per_trigger
+            ).drop("epoch")
+            agg = streaming.hopping_agg(
+                stream, "b_date_time", "auction", size="10 seconds", slide="5 seconds"
+            )
+            t0 = time.perf_counter()
+            q = streaming.noop_sink(agg, checkpoint=f"{tmp}/{ckpt}")
+            q.awaitTermination(300)
+            return time.perf_counter() - t0
+
+        wall_tp = run(15, "ckpt-tp")
+        n_batches_lat = (seconds + 3) // 4
+        wall_lat = run(4, "ckpt-lat")
         return {
             "q5_events": n,
-            "q5_wall_sec": round(wall, 3),
-            "q5_events_per_sec": round(n / wall, 1),
+            "q5_wall_sec": round(wall_tp, 3),
+            "q5_events_per_sec": round(n / wall_tp, 1),
+            "q5_microbatch_latency_sec": round(wall_lat / n_batches_lat, 3),
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
