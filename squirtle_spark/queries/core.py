@@ -214,3 +214,66 @@ register_df(
     oracle_body="SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id",
     doc="repartition(k, col) + coalesce: partitioning control with invariant results.",
 )
+
+
+def _json_extract(d: str) -> str:
+    """JSON column decode (the Kafka connector's payload path,
+    flock/src/datasource/kafka.rs:48-101: bytes → JSON → typed columns)."""
+    if d == dl.SPARK:
+        k = "CAST(get_json_object(props, '$.k') AS INT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS INT)"
+    return f"""
+SELECT event_id,
+       {k} AS prop_k,
+       event_type
+FROM events
+WHERE {k} > 50
+"""
+
+
+register_sql(
+    "events_json_extract",
+    _json_extract,
+    doc="JSON string column → typed value extraction + filter (Kafka payload path).",
+)
+
+
+def _salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so one
+    hot key spreads over N reducers, then combine partials. Results are
+    salt-invariant — the oracle checks exactly that. At 100 TB this is the
+    manual fallback when AQE skew-split can't help (e.g. single mega-key
+    aggregations); normally AQE's skewJoin/partition coalescing handles it."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    n_salt = 16
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("ps"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("cnt"),
+            F.sum("ps").cast("double").alias("sum_value"),
+        )
+        .withColumn("cnt", F.col("cnt").cast("bigint"))
+    )
+
+
+register_df(
+    "salted_agg",
+    _salted_agg,
+    oracle_body=(
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type"
+    ),
+    doc="Salted two-phase aggregation for skewed keys (salt-invariant results).",
+)
