@@ -47,6 +47,74 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
 
 
+def test_hopping_stream_equals_batch(spark, tmp_path):
+    batch_df, stream = _replay_setup(spark, tmp_path)
+    result = streaming.hopping_agg(
+        stream, "b_date_time", "auction", size="4 seconds", slide="2 seconds"
+    )
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-hop"), mode="complete"
+    )
+    expected = (
+        batch_df.groupBy(F.window("b_date_time", "4 seconds", "2 seconds"), "auction")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "auction", "cnt")
+        .collect()
+    )
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
+def test_stream_stream_windowed_join(spark, tmp_path):
+    """q8 shape: person-stream ⋈ auction-stream with watermarks and a
+    time-range condition (flock runs this per tumbling window; Spark's
+    stream-stream join with a range condition subsumes it)."""
+    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 200, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(persons, str(tmp_path / "p"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+    ps = (
+        streaming.replay_stream(spark, str(tmp_path / "p"), 3)
+        .drop("epoch")
+        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
+        .withWatermark("p_date_time", "10 seconds")
+    )
+    au = (
+        streaming.replay_stream(spark, str(tmp_path / "a"), 3)
+        .drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withWatermark("a_date_time", "10 seconds")
+    )
+    cond = (
+        (ps["p_id"] == au["seller"])
+        & (au["a_date_time"] >= ps["p_date_time"] - F.expr("INTERVAL 5 SECONDS"))
+        & (au["a_date_time"] <= ps["p_date_time"] + F.expr("INTERVAL 5 SECONDS"))
+    )
+    joined = ps.join(au, cond).select("p_id", "name", "a_id", "a_date_time")
+    rows = streaming.run_available_now(
+        joined, checkpoint=str(tmp_path / "ckpt-ssj"), mode="append"
+    )
+
+    bp = sources.nexmark_persons(spark, 200, 6).withColumn(
+        "p_date_time", F.col("p_date_time").cast("timestamp")
+    )
+    ba = sources.nexmark_auctions(spark, 200, 6).withColumn(
+        "a_date_time", F.col("a_date_time").cast("timestamp")
+    )
+    bcond = (
+        (bp["p_id"] == ba["seller"])
+        & (ba["a_date_time"] >= bp["p_date_time"] - F.expr("INTERVAL 5 SECONDS"))
+        & (ba["a_date_time"] <= bp["p_date_time"] + F.expr("INTERVAL 5 SECONDS"))
+    )
+    expected = bp.join(ba, bcond).select("p_id", "name", "a_id", "a_date_time").collect()
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
 def test_session_stream_equals_batch(spark, tmp_path):
     batch_df, stream = _replay_setup(spark, tmp_path)
     result = streaming.session_agg(stream, "b_date_time", "bidder", gap="2 seconds")
