@@ -26,7 +26,10 @@ from ..registry import register_df
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
-N_PLANES = 16
+# Hyperplane count sets bucket granularity: ~log2(corpus / target bucket
+# size). 6 planes → 64 buckets keeps buckets populated at fixture scale;
+# at billions of rows you'd raise it so buckets stay join-sized.
+N_PLANES = 6
 EMB_DIM = 64
 
 
@@ -54,7 +57,7 @@ def _ann_brute(spark, sf_dir) -> DataFrame:
     return (
         scored.withColumn("rank", F.expr(f"ROW_NUMBER() OVER {w}"))
         .where(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "cos_sim", "rank")
+        .select("q_id", "c_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
     )
 
 
@@ -123,7 +126,7 @@ def _ann_lsh(spark, sf_dir) -> DataFrame:
     return (
         scored.withColumn("rank", F.expr(f"ROW_NUMBER() OVER {w}"))
         .where(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "cos_sim", "rank")
+        .select("q_id", "c_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
     )
 
 
