@@ -1,0 +1,57 @@
+"""Plan-shape regression tests (SURVEY §5: the reference asserts stage
+shapes per query, distributed_plan/planner.rs:49-120; here the equivalents
+are Catalyst-plan properties that matter at 100 TB)."""
+
+import pytest
+
+from squirtle_spark.registry import load_all
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name", ["nexmark_q3", "nexmark_q13", "ysb_campaign_views", "tpch_q5"]
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """Small/side-input tables must broadcast, not shuffle."""
+    df = load_all()[name].spark_fn(spark, sf_dir)
+    assert "BroadcastHashJoin" in _executed_plan(df), name
+
+
+def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
+    """Filters reach the parquet scan; only referenced columns are read."""
+    df = load_all()["tpch_q6"].spark_fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """Nothing except the by-design broadcast crossJoins may be cartesian."""
+    allowed = {"ann_cosine_topk"}
+    for name, q in load_all().items():
+        if q.oracle is None or name in allowed:
+            continue
+        plan = _formatted(q.spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_codegen_spans(spark, sf_dir):
+    """Hot-path queries stay inside whole-stage codegen."""
+    for name in ["tpch_q1", "nexmark_q9", "agg_event_stats"]:
+        df = load_all()[name].spark_fn(spark, sf_dir)
+        executed = _executed_plan(df)
+        assert "*(" in executed or "WholeStageCodegen" in executed, name
