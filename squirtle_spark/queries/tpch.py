@@ -383,3 +383,59 @@ register_sql(
     _q22,
     doc="TPC-H q22 (adapted): NOT EXISTS anti-join + uncorrelated scalar subquery.",
 )
+
+
+def _q8(d: str) -> str:
+    """q8 national market share (queries/q8.sql), adapted: share of one
+    nation's suppliers in a region's revenue per order-year (no partsupp)."""
+    return f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_PRICE} * (1 - {_DISC}) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= {dl.ts_lit('1995-01-01 00:00:00', d)}
+      AND o_orderdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+
+register_sql(
+    "tpch_q8",
+    _q8,
+    doc="TPC-H q8 (adapted): 8-table join, nation self-join twice, share ratio.",
+)
+
+
+def _q19(d: str) -> str:
+    """q19 discounted revenue (queries/q19.sql), adapted: OR-of-ANDs
+    disjunctive predicate over part attributes + lineitem quantity bands
+    (fixture lacks l_shipmode/l_shipinstruct)."""
+    return f"""
+SELECT CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+register_sql(
+    "tpch_q19",
+    _q19,
+    doc="TPC-H q19 (adapted): disjunctive multi-band predicate join.",
+)
