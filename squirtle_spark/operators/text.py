@@ -139,3 +139,58 @@ register_sql(
     _fingerprint,
     doc="Document fingerprints: exact content hash + order-invariant token-set hash.",
 )
+
+
+def _tfidf(d: str) -> str:
+    """Corpus-level TF-IDF, top-3 terms per document.
+
+    Two shuffles total (doc-term counts; term doc-frequencies joined back),
+    both on bounded keys — the standard scalable formulation. log/round are
+    IEEE-identical across engines; ties broken lexicographically.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    if d == dl.SPARK:
+        explode = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        explode = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    return f"""
+WITH terms AS ({explode}),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS n
+    FROM terms
+    GROUP BY doc_id, term
+),
+doc_n AS (
+    SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS total FROM tf GROUP BY doc_id
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM terms GROUP BY term
+),
+corpus AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM documents
+),
+scored AS (
+    SELECT tf.doc_id,
+           tf.term,
+           ROUND((tf.n / doc_n.total) * LN(corpus.n_corpus / df.n_docs), 6) AS tfidf
+    FROM tf
+    JOIN doc_n ON tf.doc_id = doc_n.doc_id
+    JOIN df ON tf.term = df.term
+    CROSS JOIN corpus
+)
+SELECT doc_id, term, tfidf, rnk
+FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+    FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+register_sql(
+    "tfidf_top_terms",
+    _tfidf,
+    doc="Corpus TF-IDF with top-3 terms per doc (two bounded shuffles).",
+)

@@ -216,6 +216,26 @@ register_df(
 )
 
 
+def _rollup(d: str) -> str:
+    """GROUP BY ROLLUP — multi-level aggregates in one pass (SURVEY §2.4
+    notes grouping sets are 'free via cube()/rollup() if extended')."""
+    return f"""
+SELECT event_type,
+       CAST(user_id % 5 AS INT) AS user_bucket,
+       COUNT(*) AS cnt,
+       {dl.dsum('value', d)} AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(user_id % 5 AS INT))
+"""
+
+
+register_sql(
+    "agg_rollup",
+    _rollup,
+    doc="ROLLUP grouping sets: per-key, per-group and grand totals in one pass.",
+)
+
+
 def _json_extract(d: str) -> str:
     """JSON column decode (the Kafka connector's payload path,
     flock/src/datasource/kafka.rs:48-101: bytes → JSON → typed columns)."""
