@@ -83,8 +83,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _AUCTION_MIN_LIFE_S = 432_000  # 5 days
 _AUCTION_LIFE_MOD_S = 432_000  # + up to 5 more days
 
-#: Bids reference a dense 1..N_BID_AUCTIONS id range (all of which exist at
-#: every fixture scale) so bid→auction joins hit real auctions.
+#: Bids reference the 1..N_BID_AUCTIONS id range. a_id = event_id + 1, so a
+#: bid target resolves to a real auction iff event_id = target-1 was a
+#: 'view' event (~1/5 of ids at every scale). Dangling bids are by
+#: construction — both engines derive the identical subset, and the
+#: winning-bid queries (q4/q6/q9) still see hundreds of matches at sf≥0.01.
 N_BID_AUCTIONS = 1000
 
 _STATES = ["OR", "ID", "CA", "WA", "NY", "TX", "FL", "MA", "AZ", "NV"]
@@ -110,8 +113,12 @@ GROUP BY user_id
 
 def _auction_sql(d: str) -> str:
     life = f"({_AUCTION_MIN_LIFE_S} + (event_id % {_AUCTION_LIFE_MOD_S}))"
+    # a_id is a CLOSED FORM of event_id (unique because event_id is): the
+    # view stays a pure projection — no window, no Exchange SinglePartition,
+    # predicate pushdown reaches the parquet scan. (A global ROW_NUMBER here
+    # funneled every auction-touching query through one task; fatal at scale.)
     return f"""
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS a_id,
+SELECT CAST(event_id + 1 AS BIGINT) AS a_id,
        'item_' || CAST(event_id % 1000 AS STRING) AS item_name,
        'desc_' || CAST(event_id % 101 AS STRING) AS description,
        CAST(FLOOR(value * 10) AS INT) + 1 AS initial_bid,

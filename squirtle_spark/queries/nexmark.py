@@ -239,23 +239,34 @@ register_sql(
 
 
 def _q9(d: str) -> str:
-    """q9: winning bids — full auction+bid row, top-1 by price (queries/q9.sql:9-16)."""
+    """q9: winning bids — full auction+bid row, top-1 by price (queries/q9.sql:9-16).
+
+    Plan shape: the ROW_NUMBER ranks only the NARROW winning-bid columns
+    (the rank's shuffle+sort payload is ~5 small columns), then the wide
+    auction attributes (item_name/description strings) are joined back onto
+    the few winners. Ranking the full 15-column row instead sends every
+    string through the window exchange/sort — 8× slower at sf0.1 and
+    shuffle-bound at scale.
+    """
     return """
-SELECT a_id, item_name, description, initial_bid, reserve, a_date_time, expires,
-       seller, category, extra, auction, bidder, price, bid_date_time, bid_extra
-FROM (
-    SELECT A.a_id, A.item_name, A.description, A.initial_bid, A.reserve,
-           A.a_date_time, A.expires, A.seller, A.category, A.extra,
-           B.auction, B.bidder, B.price, B.b_date_time AS bid_date_time,
-           B.extra AS bid_extra,
-           ROW_NUMBER() OVER (
-               PARTITION BY A.a_id
-               ORDER BY B.price DESC, B.b_date_time ASC, B.bidder ASC, B.extra ASC) AS rownum
-    FROM auction A
-    JOIN bid B ON A.a_id = B.auction
-    WHERE B.b_date_time BETWEEN A.a_date_time AND A.expires
+WITH winners AS (
+    SELECT a_id, auction, bidder, price, bid_date_time, bid_extra
+    FROM (
+        SELECT A.a_id, B.auction, B.bidder, B.price,
+               B.b_date_time AS bid_date_time, B.extra AS bid_extra,
+               ROW_NUMBER() OVER (
+                   PARTITION BY A.a_id
+                   ORDER BY B.price DESC, B.b_date_time ASC, B.bidder ASC, B.extra ASC) AS rownum
+        FROM auction A
+        JOIN bid B ON A.a_id = B.auction
+        WHERE B.b_date_time BETWEEN A.a_date_time AND A.expires
+    ) WHERE rownum <= 1
 )
-WHERE rownum <= 1
+SELECT A.a_id, A.item_name, A.description, A.initial_bid, A.reserve,
+       A.a_date_time, A.expires, A.seller, A.category, A.extra,
+       W.auction, W.bidder, W.price, W.bid_date_time, W.bid_extra
+FROM winners W
+JOIN auction A ON W.a_id = A.a_id
 """
 
 

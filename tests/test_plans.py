@@ -49,6 +49,15 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.parametrize("name", ["nexmark_q3", "nexmark_q4", "nexmark_q9"])
+def test_no_single_partition_exchange(spark, sf_dir, name):
+    """The auction view must stay a pure projection: a global-sort window
+    there would funnel every auction-touching query through ONE task
+    (Exchange SinglePartition) — invisible at sf0.1, fatal at 100×."""
+    df = load_all()[name].spark_fn(spark, sf_dir)
+    assert "Exchange SinglePartition" not in _executed_plan(df), name
+
+
 def test_codegen_spans(spark, sf_dir):
     """Hot-path queries stay inside whole-stage codegen."""
     for name in ["tpch_q1", "nexmark_q9", "agg_event_stats"]:
