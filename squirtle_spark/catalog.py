@@ -192,14 +192,16 @@ DERIVED_VIEWS: dict[str, callable] = {
 }
 
 
-# session-id → sf_dir already registered (temp views are idempotent; skip
-# re-reading 10 parquet schemas on every query of a run)
-_REGISTERED: dict[int, str] = {}
+# applicationId → sf_dir already registered (temp views are idempotent; skip
+# re-reading 10 parquet schemas on every query of a run). Keyed on the
+# applicationId, not id(session): CPython can reuse an id() after a stopped
+# session is collected, which would silently skip registration on the new one.
+_REGISTERED: dict[str, str] = {}
 
 
 def register_all(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register every fixture table + derived view as a temp view."""
-    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    key = spark.sparkContext.applicationId
     if not force and _REGISTERED.get(key) == sf_dir:
         return
     configure(spark)

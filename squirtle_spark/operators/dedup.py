@@ -5,13 +5,14 @@ Three tiers, all shuffle-bounded (never all-pairs):
 - **exact**: hash-key dedup — group on a content fingerprint, keep the
   smallest doc_id (deterministic, unlike ``dropDuplicates`` which keeps an
   arbitrary row per key).
-- **MinHash-LSH**: word-shingle → 64 minhashes (one grouped aggregation —
-  no 64× explode) → 8 bands × 8 rows → bucket self-join → exact-Jaccard
-  verification on the candidates only. Candidate generation is banded, so
-  the join is |bucket|², never |corpus|² — the property that keeps this
-  runnable at 100 TB.
-- **SimHash**: 48-bit signature from token-hash bit votes; candidates from
-  4×12-bit band buckets; Hamming-distance verification via bit_count(xor).
+- **MinHash-LSH**: word-shingle → 32 minhashes (one grouped aggregation —
+  no 32× explode; kept at 32 because wider agg rows cost ~20-30s of one-time
+  codegen per JVM) → 8 bands × 4 rows (candidate threshold ≈ 0.59 Jaccard)
+  → bucket self-join → exact-Jaccard verification on the candidates only.
+  Candidate generation is banded, so the join is |bucket|², never |corpus|²
+  — the property that keeps this runnable at 100 TB.
+- **SimHash**: 32-bit signature from token-hash bit votes; candidates from
+  4×8-bit band buckets; Hamming-distance verification via bit_count(xor).
 
 All hashing is Spark's xxhash64 (JVM-side, codegen'd); no Python in the hot
 path. Oracle note: xxhash64 isn't reproducible in DuckDB, so the fuzzy ops

@@ -36,6 +36,16 @@ RUNTIME_CONFS = {
 }
 
 
+def _master_preconfigured() -> bool:
+    """True when a cluster manager / spark-submit already chose a master."""
+    from pyspark import SparkConf
+
+    try:
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:  # gateway not yet up and unlaunchable — no master set
+        return False
+
+
 def get_spark(
     app_name: str = "squirtle_spark",
     cpus: int | None = None,
@@ -45,11 +55,13 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     builder = SparkSession.builder.appName(app_name)
     # Let an externally configured master (spark-submit/cluster) win; only
-    # default to local[] when nothing else is set.
+    # default to local[] when nothing else is set. Under spark-submit the
+    # --master lands in the gateway JVM's system properties, which
+    # SparkConf(loadDefaults=True) reads — the env is NOT a reliable signal.
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master:
         builder = builder.master(master)
-    elif SparkSession.getActiveSession() is None and "SPARK_MASTER" not in os.environ:
+    elif SparkSession.getActiveSession() is None and not _master_preconfigured():
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(cpus))

@@ -140,7 +140,10 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # Partial results would make equality tests flaky and leak the query.
+        q.stop()
+        raise TimeoutError(f"stream '{name}' still running after {timeout_s}s")
     spark = result.sparkSession
     return spark.sql(f"SELECT * FROM {name}").collect()
 
