@@ -180,6 +180,21 @@ FROM {dl.series_0_to(1000, 'k', d)} s
 """
 
 
+def _partsupp_sql(d: str) -> str:
+    """TPC-H partsupp derived from part × 4 suppliers with closed-form
+    costs (the fixtures ship no partsupp table; flock ships the full TPC-H
+    schema incl. partsupp, flock/src/datasource/tpch/mod.rs:24-29). The
+    offsets 0/25/50/75 make each part's 4 suppliers distinct mod 100 —
+    mirroring TPC-H's own (partkey + i·(S/4)) % S supplier spread."""
+    return f"""
+SELECT p_partkey AS ps_partkey,
+       CAST((p_partkey + k * 25) % 100 AS BIGINT) AS ps_suppkey,
+       CAST(1 + (p_partkey * 37 + k * 19) % 9999 AS INT) AS ps_availqty,
+       (CAST((p_partkey * 53 + k * 11) % 90000 AS DOUBLE) / 100 + 10.0) AS ps_supplycost
+FROM part, {dl.series_0_to(4, 'k', d)} s
+"""
+
+
 #: name → dialect-parameterized SQL body. Order matters for the DuckDB CTE
 #: prefix (later views may reference earlier ones).
 DERIVED_VIEWS: dict[str, callable] = {
@@ -189,6 +204,7 @@ DERIVED_VIEWS: dict[str, callable] = {
     "side_input": _side_input_sql,
     "ad_event": _ad_event_sql,
     "campaign": _campaign_sql,
+    "partsupp": _partsupp_sql,
 }
 
 

@@ -391,6 +391,24 @@ register_df(
 )
 
 
+def _q12_invariant(spark, sf_dir):
+    """Value-level check for q12: window placement is proc-time-dependent,
+    but the windows must PARTITION the bids — the counts sum to COUNT(bid)
+    regardless of when processing happened (the reference's own q12 check
+    is count-based for the same reason, SURVEY §2.11 B5)."""
+    return _q12(spark, sf_dir).agg(
+        F.sum("bid_count").cast("long").alias("total_bids")
+    )
+
+
+register_df(
+    "nexmark_q12_invariant",
+    _q12_invariant,
+    oracle_body="SELECT CAST(COUNT(*) AS BIGINT) AS total_bids FROM bid",
+    doc="q12 invariant: proc-time windows partition the bid stream exactly.",
+)
+
+
 def _q13(d: str) -> str:
     """q13: bounded side-input join (benchmarks/src/nexmark/query/q13.sql)."""
     return """

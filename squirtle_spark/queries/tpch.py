@@ -3,11 +3,14 @@
 The reference ships all 22 TPC-H queries + schemas
 (flock/src/datasource/tpch/queries/q1.sql…q22.sql, schemas at
 flock/src/datasource/tpch/mod.rs:24-29) as its aspirational OLAP surface.
-The driver's fixture star schema is a column-subset of TPC-H (no partsupp,
-no l_shipmode/l_commitdate/l_receiptdate, o_orderpriority instead of
+The driver's fixture star schema is a column-subset of TPC-H (no partsupp
+table, no l_shipmode/l_commitdate/l_receiptdate, o_orderpriority instead of
 o_shippriority), so queries whose predicates touch missing columns are
 adapted — same operator shape, available columns. Each docstring notes the
-adaptation.
+adaptation. partsupp itself is bridged by a deterministic derived view
+(catalog._partsupp_sql: part × 4 suppliers, closed-form costs) the same way
+the NEXMark entities are derived, which unlocks the q2/q9/q11/q16/q20
+shapes; q21 stays inexpressible (needs l_receiptdate/l_commitdate).
 
 Scale notes: q1/q6 are scan-heavy partial-agg queries (map-side combine,
 filter pushed to parquet); q3/q5/q10 are multi-join — nation/region/supplier
@@ -438,4 +441,166 @@ register_sql(
     "tpch_q19",
     _q19,
     doc="TPC-H q19 (adapted): disjunctive multi-band predicate join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# partsupp-backed queries (derived view, catalog._partsupp_sql)
+# ---------------------------------------------------------------------------
+
+_PS_COST = "CAST(ps_supplycost AS DECIMAL(18,4))"
+
+
+def _q2(d: str) -> str:
+    """q2 minimum-cost supplier (queries/q2.sql), adapted to available
+    columns (no s_address/s_phone/s_comment/p_mfgr; p_type is an exact
+    category here, standing in for the '%BRASS' suffix match). The
+    correlated min-cost subquery over region-local suppliers is the shape."""
+    return """
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'SMALL'
+  AND p_size BETWEEN 10 AND 20
+  AND r_name = 'ASIA'
+  AND ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+register_sql(
+    "tpch_q2",
+    _q2,
+    doc="TPC-H q2 (adapted): correlated min-cost subquery over broadcast dims.",
+)
+
+
+def _q9(d: str) -> str:
+    """q9 product-type profit (queries/q9.sql): profit = revenue minus
+    supply cost, by supplier nation and order year ('%red%' stands in for
+    '%green%' — the fixture's p_name vocabulary)."""
+    return f"""
+SELECT nation,
+       o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_PRICE} * (1 - {_DISC}) - {_PS_COST} * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+register_sql(
+    "tpch_q9",
+    _q9,
+    doc="TPC-H q9: 6-table join through partsupp + profit aggregate.",
+)
+
+
+def _q11(d: str) -> str:
+    """q11 important stock (queries/q11.sql): grouped inventory value with a
+    global-fraction HAVING threshold (uncorrelated scalar subquery)."""
+    return f"""
+SELECT ps_partkey,
+       CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) AS part_value
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY ps_partkey
+HAVING CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) > (
+    SELECT CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) * 0.01
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+)
+"""
+
+
+register_sql(
+    "tpch_q11",
+    _q11,
+    doc="TPC-H q11: inventory value + global-fraction HAVING subquery.",
+)
+
+
+def _q16(d: str) -> str:
+    """q16 parts/supplier relationship (queries/q16.sql): supplier-count
+    distinct per part attribute triple with a NOT IN supplier exclusion
+    (s_acctbal < 500 stands in for the fixture-absent '%Complaints%'
+    comment filter; the anti-join shape is the point)."""
+    return """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+register_sql(
+    "tpch_q16",
+    _q16,
+    doc="TPC-H q16 (adapted): COUNT DISTINCT + NOT IN anti-join.",
+)
+
+
+def _q20(d: str) -> str:
+    """q20 potential part promotion (queries/q20.sql): nested IN subqueries
+    with a correlated half-of-shipped-quantity threshold."""
+    return f"""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      WHERE ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND ps_availqty > (
+          SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          FROM lineitem
+          WHERE l_partkey = ps_partkey
+            AND l_suppkey = ps_suppkey
+            AND l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+            AND l_shipdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+      )
+  )
+ORDER BY s_name
+"""
+
+
+register_sql(
+    "tpch_q20",
+    _q20,
+    doc="TPC-H q20: nested IN + correlated quantity-threshold subquery.",
 )
