@@ -72,17 +72,23 @@ def main() -> None:
 def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> dict:
     """Streaming anchor vs BASELINE.md: the reference processes 1,000 ev/s
     NEXMark q5 (hopping window) at ~8.5k ev/s effective (10 s of data in
-    ~1.18 s source wall, reference README.md:250). Two modes over 60 s of
-    generated bids:
+    ~1.18 s source wall, reference README.md:250). Over 60 s of generated
+    bids:
 
-    - throughput: large triggers → effective events/sec;
+    - throughput: large triggers → effective events/sec (hopping agg);
     - latency: small triggers → per-micro-batch wall (the sub-second
-      latency target).
+      latency target);
+    - full q5: the DECLARED query end-to-end (hopping counts + per-window
+      max join-on-aggregate, streaming.run_nexmark_q5_stream).
 
-    Streaming runs use few shuffle partitions: HDFS-backed state-store
-    commit cost scales with partition count, so partitions should track
-    state volume, not core count (at cluster scale AQE/state rebalancing
-    takes over)."""
+    A warmup stream runs first: the first streaming query in a fresh JVM
+    pays ~10 s of one-time codegen/init, which belongs to JVM startup, not
+    the per-event cost (the batch side amortizes the same way via
+    min-of-2). Steady-state is what the reference's number measures too.
+
+    Streaming runs use few shuffle partitions: state-store commit cost
+    scales with partition count, so partitions should track state volume,
+    not core count (at cluster scale AQE/state rebalancing takes over)."""
     import shutil
     import tempfile
 
@@ -113,14 +119,23 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
             q.awaitTermination(300)
             return time.perf_counter() - t0
 
+        run(30, "ckpt-warm")  # one-time streaming-path init, not per-event cost
         wall_tp = run(15, "ckpt-tp")
         n_batches_lat = (seconds + 3) // 4
         wall_lat = run(4, "ckpt-lat")
+
+        t0 = time.perf_counter()
+        streaming.run_nexmark_q5_stream(
+            spark, f"{tmp}/bids", checkpoint=f"{tmp}/ckpt-full", files_per_trigger=15
+        )
+        wall_full = time.perf_counter() - t0
         return {
             "q5_events": n,
             "q5_wall_sec": round(wall_tp, 3),
             "q5_events_per_sec": round(n / wall_tp, 1),
             "q5_microbatch_latency_sec": round(wall_lat / n_batches_lat, 3),
+            "q5_full_query_wall_sec": round(wall_full, 3),
+            "q5_full_query_events_per_sec": round(n / wall_full, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

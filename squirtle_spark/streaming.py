@@ -118,6 +118,70 @@ def session_agg(
     )
 
 
+def run_nexmark_q5_stream(
+    spark: SparkSession,
+    bids_path: str,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Full NEXMark q5 (hot items) end-to-end as a stream; returns the
+    final hot-items DataFrame.
+
+    Shape: the hopping per-auction counts are the STATEFUL stream operator
+    (complete-mode state store holds every open window); the per-window
+    max + join-on-aggregate runs over each emitted complete counts table
+    inside foreachBatch — exactly flock's per-epoch execution of the q5 SQL
+    (benchmarks/src/nexmark/query/q5.sql runs the join against the window's
+    collected state each epoch). Keeps ALL tied max auctions, like the
+    batch/oracle formulation.
+
+    Complete mode is the right fit for q5's always-current "hot items"
+    semantics; at cluster scale the state is bounded by (windows × active
+    auctions), and the foreachBatch join is a batch plan Catalyst optimizes
+    per micro-batch (broadcast of the tiny maxes side).
+    """
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    counts = (
+        _with_event_time(stream, "b_date_time")
+        .groupBy(F.window("b_date_time", "10 seconds", "5 seconds"), F.col("auction"))
+        .agg(F.count("*").alias("num"))
+    )
+
+    final: dict = {}
+
+    def hot_items(batch_df: DataFrame, epoch_id: int) -> None:
+        maxes = batch_df.groupBy("window").agg(F.max("num").alias("maxn"))
+        hot = (
+            batch_df.join(maxes, "window")
+            .where(F.col("num") >= F.col("maxn"))
+            .select(
+                F.col("auction"),
+                F.col("num"),
+                F.col("window.start").alias("starttime"),
+            )
+        )
+        final["df"] = hot.collect()
+
+    q = (
+        counts.writeStream.foreachBatch(hot_items)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"q5 stream still running after {timeout_s}s")
+    return spark.createDataFrame(
+        final["df"],
+        "auction BIGINT, num BIGINT, starttime TIMESTAMP",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks (flock/src/datasink/mod.rs:47-72 → Spark-native equivalents)
 # ---------------------------------------------------------------------------

@@ -136,6 +136,38 @@ def test_session_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q5_full_stream_equals_batch(spark, tmp_path):
+    """The DECLARED q5 end-to-end as a stream — hopping counts (stateful)
+    + per-window max join-on-aggregate — must equal the identical batch
+    computation, ties included (flock's production path streams this query,
+    benchmarks/src/nexmark/main.rs)."""
+    bids = sources.nexmark_bids(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+
+    got = streaming.run_nexmark_q5_stream(
+        spark, data_dir, checkpoint=str(tmp_path / "ckpt-q5full"), files_per_trigger=3
+    ).collect()
+
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    counts = batch.groupBy(
+        F.window("b_date_time", "10 seconds", "5 seconds"), F.col("auction")
+    ).agg(F.count("*").alias("num"))
+    maxes = counts.groupBy("window").agg(F.max("num").alias("maxn"))
+    expected = (
+        counts.join(maxes, "window")
+        .where(F.col("num") >= F.col("maxn"))
+        .select("auction", "num", F.col("window.start").alias("starttime"))
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
 def test_partitioned_sink(spark, tmp_path):
     """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)
