@@ -139,6 +139,28 @@ def array_len(arr: str, d: str) -> str:
     return f"CAST(len({arr}) AS BIGINT)"
 
 
+def word_shingles(toks: str, w: int, d: str) -> str:
+    """Array of word w-gram strings from a token array (empty when < w)."""
+    if d == SPARK:
+        return (
+            f"CASE WHEN size({toks}) >= {w} THEN "
+            f"transform(sequence(1, size({toks}) - {w - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {w}))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= {w} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {w - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def unnest_fn(d: str) -> str:
+    """Array-to-rows generator function name (1 array col in SELECT)."""
+    return "explode" if d == SPARK else "unnest"
+
+
 def series_0_to(n: int, alias: str, d: str) -> str:
     """FROM-clause relation producing integers 0..n-1 in column ``alias``."""
     if d == SPARK:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .. import dialect as dl
 from ..registry import register_df, register_sql
 
 N_MINHASH = 32
@@ -53,6 +54,63 @@ register_sql(
     _dedup_exact,
     doc="Exact dedup: content-hash groups, deterministic survivor (min doc_id).",
     bench=True,
+)
+
+
+def _ngram_jaccard(d: str) -> str:
+    """Exact word-3-gram Jaccard near-dup pairs, dialect-shared SQL.
+
+    This is the exact ground truth the MinHash-LSH pipeline approximates —
+    and unlike the xxhash64-based entries it renders in DuckDB, so the
+    driver gets a VALUE-LEVEL check on the near-dup family (same 0.2
+    threshold as the LSH verify stage). jaccard is a single IEEE division
+    of two integers — bitwise identical across engines, no rounding needed.
+
+    Scale: the only joins are shingle equi-joins (narrow rows) + a grouped
+    count — the sort-merge/hash distribution of set intersection. Hot
+    (stopword-heavy) shingles are the skew risk at 100 TB; AQE skew-join
+    splits them (session.py), and the LSH variant is the cheap path anyway.
+    """
+    import textwrap
+
+    toks = dl.split_tokens("lower(trim(text))", d)
+    sh = dl.word_shingles("tk", SHINGLE_W, d)
+    ex = dl.unnest_fn(d)
+    return textwrap.dedent(f"""
+        WITH doc_sh AS (
+            SELECT doc_id, {sh} AS sh_list
+            FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+        ),
+        sh_rows AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, {ex}(sh_list) AS shingle FROM doc_sh) u
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh_rows GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh_rows a
+            JOIN sh_rows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard
+        FROM (
+            SELECT doc_a, doc_b,
+                   CAST(n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ) j
+        WHERE jaccard >= 0.2
+        """)
+
+
+register_sql(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard,
+    doc="Exact n-gram Jaccard near-dup pairs (value-level oracle for the LSH path).",
 )
 
 

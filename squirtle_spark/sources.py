@@ -36,10 +36,15 @@ def _rand(seed: int, *cols, mod: str) -> F.Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols)) % F.expr(mod)
 
 
-def _base(spark: SparkSession, events_per_sec: int, seconds: int, seed: int) -> DataFrame:
-    n = events_per_sec * seconds
+def _enrich(ids: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
+    """Attach the derived generator columns to a DataFrame of event ``id``s.
+
+    Works identically on a bounded ``spark.range`` and on an unbounded
+    streaming id source (the rate connector) — every attribute is a pure
+    per-row function of id, so batch and stream emit byte-identical events.
+    """
     return (
-        spark.range(n)
+        ids
         .withColumn("epoch", (F.col("id") / events_per_sec).cast("long"))
         .withColumn("slot", F.col("id") % 1000)
         .withColumn("kilo", (F.col("id") / 1000).cast("long"))
@@ -53,6 +58,10 @@ def _base(spark: SparkSession, events_per_sec: int, seconds: int, seed: int) -> 
         .withColumn("r1", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(1))))
         .withColumn("r2", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(2))))
     )
+
+
+def _base(spark: SparkSession, events_per_sec: int, seconds: int, seed: int) -> DataFrame:
+    return _enrich(spark.range(events_per_sec * seconds), events_per_sec, seed)
 
 
 def nexmark_persons(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
@@ -92,20 +101,51 @@ def nexmark_auctions(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFra
     )
 
 
-def nexmark_bids(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
-    """bid stream (schema: event.rs:336-353); auction/bidder reference
-    already-generated entities."""
-    b = _base(spark, events_per_sec, seconds, seed).where(
-        F.col("slot") >= PERSONS_PER_K + AUCTIONS_PER_K
-    )
+def _bid_projection(b: DataFrame, seed: int, include_id: bool = False) -> DataFrame:
+    """Enriched ids → bid rows; auction/bidder reference already-generated
+    entities (dense ids below the per-kilo high-water mark)."""
+    bids = b.where(F.col("slot") >= PERSONS_PER_K + AUCTIONS_PER_K)
     auctions_so_far = f"greatest((kilo + 1) * {AUCTIONS_PER_K}, 1)"
     persons_so_far = f"greatest((kilo + 1) * {PERSONS_PER_K}, 1)"
-    return b.select(
+    cols = [
         _rand(seed, F.col("id"), F.lit(4), mod=auctions_so_far).cast("long").alias("auction"),
         _rand(seed, F.col("id"), F.lit(5), mod=persons_so_far).cast("long").alias("bidder"),
         (F.col("r1") % 10000 + 1).cast("int").alias("price"),
         F.col("ts").alias("b_date_time"),
+    ]
+    if include_id:
+        cols = [F.col("id")] + cols
+    return bids.select(*cols)
+
+
+def nexmark_bids(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:
+    """bid stream (schema: event.rs:336-353)."""
+    return _bid_projection(_base(spark, events_per_sec, seconds, seed), seed)
+
+
+def rate_bid_stream(
+    spark: SparkSession,
+    events_per_sec: int = 1000,
+    seed: int = 42,
+    include_id: bool = False,
+) -> DataFrame:
+    """UNBOUNDED rate-limited bid stream — the broker-source stand-in.
+
+    Parity with flock's Kinesis/Kafka generators feeding a broker at a
+    configured events/sec (flock/src/datasource/kinesis.rs:42-91): Spark's
+    ``rate`` source emits a monotonically increasing ``value`` at
+    ``rowsPerSecond``; the same pure per-id projection the batch generator
+    uses turns it into bid events, so the stream is byte-identical to
+    ``nexmark_bids`` over the same id range — swap in format("kafka") +
+    the same projection against a real broker.
+    """
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", events_per_sec)
+        .load()
+        .select(F.col("value").alias("id"))
     )
+    return _bid_projection(_enrich(raw, events_per_sec, seed), seed, include_id)
 
 
 def ysb_ad_events(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFrame:

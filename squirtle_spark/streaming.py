@@ -182,6 +182,67 @@ def run_nexmark_q5_stream(
     )
 
 
+def run_nexmark_q7_stream(
+    spark: SparkSession,
+    bids_path: str,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Full NEXMark q7 (highest bid per tumbling window) as a stream.
+
+    The stateful operator is the per-window MAX(price) (complete mode —
+    state is one row per open window); each emitted maxes table joins back
+    to the replayed bid set in foreachBatch to recover the winning bid
+    rows, ties included — flock's per-window firing of the q7 SQL
+    (benchmarks/src/nexmark/query/q7.sql). The final micro-batch (source
+    drained) equals the batch q7 exactly.
+    """
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    maxes = (
+        _with_event_time(stream, "b_date_time")
+        .groupBy(F.window("b_date_time", "10 seconds"))
+        .agg(F.max("price").alias("maxprice"))
+    )
+
+    bids = (
+        spark.read.parquet(bids_path)
+        .drop("epoch")
+        .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
+        .withColumn("w", F.window("b_date_time", "10 seconds"))
+    )
+    final: dict = {}
+
+    def winners(batch_df: DataFrame, epoch_id: int) -> None:
+        hot = (
+            bids.join(
+                batch_df,
+                (bids["w"] == batch_df["window"])
+                & (bids["price"] == batch_df["maxprice"]),
+            )
+            .select("auction", "price", "bidder", "b_date_time")
+        )
+        final["rows"] = hot.collect()
+
+    q = (
+        maxes.writeStream.foreachBatch(winners)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"q7 stream still running after {timeout_s}s")
+    return spark.createDataFrame(
+        final["rows"],
+        "auction BIGINT, price INT, bidder BIGINT, b_date_time TIMESTAMP",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks (flock/src/datasink/mod.rs:47-72 → Spark-native equivalents)
 # ---------------------------------------------------------------------------

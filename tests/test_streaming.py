@@ -168,6 +168,71 @@ def test_nexmark_q5_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q7_full_stream_equals_batch(spark, tmp_path):
+    """q7 (highest bid per tumbling window) end-to-end as a stream: the
+    per-window max is the stateful op; winners are recovered by joining the
+    maxes back to the bids — must equal the batch q7, ties included."""
+    bids = sources.nexmark_bids(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+
+    got = streaming.run_nexmark_q7_stream(
+        spark, data_dir, checkpoint=str(tmp_path / "ckpt-q7full"), files_per_trigger=3
+    ).collect()
+
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    maxes = batch.groupBy(F.window("b_date_time", "10 seconds")).agg(
+        F.max("price").alias("maxprice")
+    )
+    wb = batch.withColumn("w", F.window("b_date_time", "10 seconds"))
+    expected = (
+        wb.join(maxes, (wb["w"] == maxes["window"]) & (wb["price"] == maxes["maxprice"]))
+        .select("auction", "price", "bidder", "b_date_time")
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_rate_bid_stream_matches_batch_generator(spark, tmp_path):
+    """The unbounded rate-source connector must emit byte-identical bids to
+    the batch generator over the same id range (broker stand-in contract)."""
+    import time as _t
+
+    stream = sources.rate_bid_stream(spark, events_per_sec=2000, include_id=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_bids")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-rate"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM rate_bids").first()["c"] > 500:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    got = {r["id"]: r for r in spark.sql("SELECT * FROM rate_bids").collect()}
+    assert len(got) > 0
+    max_id = max(got)
+    expected = {
+        r["id"]: r
+        for r in sources._bid_projection(
+            sources._enrich(spark.range(max_id + 1), 2000, 42), 42, include_id=True
+        ).collect()
+    }
+    for i, row in got.items():
+        assert tuple(row) == tuple(expected[i]), i
+
+
 def test_partitioned_sink(spark, tmp_path):
     """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)
