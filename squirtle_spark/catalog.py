@@ -195,6 +195,26 @@ FROM part, {dl.series_0_to(4, 'k', d)} s
 """
 
 
+def _lineitem_ext_sql(d: str) -> str:
+    """lineitem + the three TPC-H columns the fixtures omit, as closed
+    forms of (l_orderkey, l_linenumber): l_commitdate (±30 days around
+    ship), l_receiptdate (1-14 days after ship) and l_shipmode (the 7
+    TPC-H modes). Unlocks q21 and the true q12 form; pure projection, so
+    scans/pushdown are unaffected."""
+    k = "(l_orderkey * 7 + l_linenumber)"
+    commit = dl.secadd("l_shipdate", f"((({k} * 13) % 60) - 30) * 86400", d)
+    receipt = dl.secadd("l_shipdate", f"((({k} * 17) % 14) + 1) * 86400", d)
+    modes = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL"]
+    mode_case = " ".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(modes))
+    return f"""
+SELECT l.*,
+       {commit} AS l_commitdate,
+       {receipt} AS l_receiptdate,
+       CASE CAST({k} % 7 AS INT) {mode_case} ELSE 'FOB' END AS l_shipmode
+FROM lineitem l
+"""
+
+
 #: name → dialect-parameterized SQL body. Order matters for the DuckDB CTE
 #: prefix (later views may reference earlier ones).
 DERIVED_VIEWS: dict[str, callable] = {
@@ -205,6 +225,7 @@ DERIVED_VIEWS: dict[str, callable] = {
     "ad_event": _ad_event_sql,
     "campaign": _campaign_sql,
     "partsupp": _partsupp_sql,
+    "lineitem_ext": _lineitem_ext_sql,
 }
 
 

@@ -604,3 +604,72 @@ register_sql(
     _q20,
     doc="TPC-H q20: nested IN + correlated quantity-threshold subquery.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_ext-backed queries (derived commit/receipt dates + shipmode,
+# catalog._lineitem_ext_sql) — completes the 22-query TPC-H surface.
+# ---------------------------------------------------------------------------
+
+
+def _q12_shipmode(d: str) -> str:
+    """q12 in its TRUE form (queries/q12.sql) over lineitem_ext's derived
+    l_shipmode/l_commitdate/l_receiptdate (the adapted tpch_q12 above keeps
+    the fixture-only formulation for comparison)."""
+    return f"""
+SELECT l_shipmode,
+       {dl.bsum("CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END", d)} AS high_line_count,
+       {dl.bsum("CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END", d)} AS low_line_count
+FROM orders
+JOIN lineitem_ext ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
+  AND l_receiptdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
+GROUP BY l_shipmode
+"""
+
+
+register_sql(
+    "tpch_q12_shipmode",
+    _q12_shipmode,
+    doc="TPC-H q12 (true form): shipmode split of late lines via derived dates.",
+)
+
+
+def _q21(d: str) -> str:
+    """q21 suppliers who kept orders waiting (queries/q21.sql): the late
+    line's supplier must be the ONLY late supplier on a multi-supplier
+    order — EXISTS + NOT EXISTS correlated self-joins on lineitem. Region
+    filter (one region's nations) stands in for the single-nation filter
+    so the fixture's ~100 suppliers keep the result populated."""
+    return """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem_ext l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (
+      SELECT 1 FROM lineitem_ext l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem_ext l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_receiptdate > l3.l_commitdate
+  )
+  AND n_regionkey = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+register_sql(
+    "tpch_q21",
+    _q21,
+    doc="TPC-H q21: EXISTS + NOT EXISTS correlated self-joins (semi/anti).",
+)

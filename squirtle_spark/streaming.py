@@ -243,6 +243,33 @@ def run_nexmark_q7_stream(
     )
 
 
+def ysb_campaign_stream(
+    spark: SparkSession,
+    events_path: str,
+    campaigns: DataFrame,
+    *,
+    size: str = "10 seconds",
+    files_per_trigger: int = 15,
+) -> DataFrame:
+    """YSB end-to-end as a stream (benchmarks/src/ysb/ysb.sql semantics with
+    the benchmark's 10 s campaign windows): filter ad events to views,
+    broadcast-join the static ad→campaign map (stream-static join — the
+    side input never shuffles the stream), tumbling count per campaign."""
+    stream = replay_stream(spark, events_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    return (
+        _with_event_time(stream, "event_time")
+        .where(F.col("event_type") == "view")
+        .join(F.broadcast(campaigns), F.col("ad_id") == F.col("c_ad_id"))
+        .groupBy(F.window("event_time", size), F.col("campaign_id"))
+        .agg(F.count("*").alias("n_views"))
+        .select(
+            F.col("window.start").alias("win_start"), "campaign_id", "n_views"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks (flock/src/datasink/mod.rs:47-72 → Spark-native equivalents)
 # ---------------------------------------------------------------------------

@@ -233,6 +233,35 @@ def test_rate_bid_stream_matches_batch_generator(spark, tmp_path):
         assert tuple(row) == tuple(expected[i]), i
 
 
+def test_ysb_full_stream_equals_batch(spark, tmp_path):
+    """Declared YSB end-to-end as a stream: view filter + broadcast
+    campaign join + tumbling campaign counts == the batch computation."""
+    events = sources.ysb_ad_events(spark, 300, 10).withColumn(
+        "epoch", F.unix_timestamp(F.col("event_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "ysb")
+    streaming.write_epoch_files(events, data_dir)
+    campaigns = sources.ysb_campaigns(spark)
+
+    result = streaming.ysb_campaign_stream(spark, data_dir, campaigns, files_per_trigger=3)
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-ysb"), mode="complete"
+    )
+
+    expected = (
+        events.drop("epoch")
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        .where(F.col("event_type") == "view")
+        .join(campaigns, F.col("ad_id") == F.col("c_ad_id"))
+        .groupBy(F.window("event_time", "10 seconds"), F.col("campaign_id"))
+        .agg(F.count("*").alias("n_views"))
+        .select(F.col("window.start").alias("win_start"), "campaign_id", "n_views")
+        .collect()
+    )
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
 def test_partitioned_sink(spark, tmp_path):
     """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)
