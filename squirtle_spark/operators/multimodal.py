@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -88,4 +89,71 @@ register_df(
     "multimodal_decode",
     _decode,
     doc="mapInPandas decode pipeline over binary payloads (deterministic stub codec).",
+)
+
+
+FRAME_BYTES = 64  # stand-in frame size
+FRAME_STRIDE = 4  # sample every 4th frame
+THUMB_BYTES = 8  # stand-in "resize": leading slice of the frame
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("thumb", StringType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def _framesample_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sample + resize over mapInPandas — N input rows → M output
+    rows (one per sampled frame), the cardinality-changing shape a video
+    pipeline needs. The 'decode' is a deterministic byte-slice stand-in
+    (payloads are ASCII here), so the whole Python path is value-checkable
+    against a SQL oracle — swap the slicing for ffmpeg frame extraction
+    and PIL resizing, keep the contract.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "thumb": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["thumb"].append(frame[:THUMB_BYTES].decode("utf-8"))
+                out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def _framesample(spark, sf_dir) -> DataFrame:
+    docs = spark.table("documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return docs.mapInPandas(_framesample_fn, schema=FRAMES_SCHEMA)
+
+
+_FRAMES_ORACLE = f"""
+WITH fr AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, CAST(length(text) // {FRAME_BYTES} AS INT) - 1,
+                                  {FRAME_STRIDE})) AS i
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       substring(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {THUMB_BYTES}) AS thumb,
+       md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_hash
+FROM fr
+"""
+
+
+register_df(
+    "multimodal_framesample",
+    _framesample,
+    oracle_body=_FRAMES_ORACLE,
+    doc="Frame-sample + thumbnail via mapInPandas (N→M rows), value-checked vs SQL oracle.",
 )

@@ -49,6 +49,19 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins, not subquery loops."""
+    plan = _executed_plan(load_all()["tpch_q21"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q9_broadcasts_dims(spark, sf_dir):
+    """part/supplier/nation are broadcast into the lineitem-side join."""
+    plan = _executed_plan(load_all()["tpch_q9"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize("name", ["nexmark_q3", "nexmark_q4", "nexmark_q9"])
 def test_no_single_partition_exchange(spark, sf_dir, name):
     """The auction view must stay a pure projection: a global-sort window
