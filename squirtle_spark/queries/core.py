@@ -297,3 +297,29 @@ register_df(
     ),
     doc="Salted two-phase aggregation for skewed keys (salt-invariant results).",
 )
+
+
+def _set_ops(d: str) -> str:
+    """UNION / INTERSECT / EXCEPT in one result (SURVEY §2.7: available,
+    no reference query uses them). Identical syntax in both dialects;
+    Spark plans INTERSECT/EXCEPT as left-semi/left-anti aggregates."""
+    return """
+SELECT 'click_and_purchase' AS tag, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+) b
+UNION ALL
+SELECT 'view_never_bought' AS tag, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+) n
+"""
+
+
+register_sql(
+    "set_ops",
+    _set_ops,
+    doc="Set operations: INTERSECT + EXCEPT + UNION ALL over event cohorts.",
+)

@@ -514,6 +514,7 @@ register_sql(
     "tpch_q9",
     _q9,
     doc="TPC-H q9: 6-table join through partsupp + profit aggregate.",
+    bench=True,
 )
 
 

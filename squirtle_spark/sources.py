@@ -221,6 +221,36 @@ def kafka_stream(
     ).select("rec.*")
 
 
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    schema,
+    *,
+    endpoint: str | None = None,
+) -> DataFrame:
+    """Kinesis source → parsed columns (flock kinesis.rs:42-91 parity).
+
+    Requires a Kinesis connector package on the classpath (e.g. the
+    spark-sql-kinesis connector registering format("kinesis")); none ships
+    with OSS Spark, so in this environment ``rate_bid_stream`` /
+    ``replay_stream`` stand in. The decode path (bytes → JSON → columns)
+    is identical to the Kafka/json_stream path that IS tested.
+    """
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("startingPosition", "TRIM_HORIZON")
+    )
+    if endpoint:
+        reader = reader.option("endpointUrl", endpoint)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("data").cast("string"), schema).alias("rec")
+    ).select("rec.*")
+
+
 def csv_side_input(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Bounded CSV side input (q13's register_csv path,
     flock/src/datasource/nexmark/queries/q13.rs): read once, broadcast into
