@@ -71,6 +71,39 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
     assert "Exchange SinglePartition" not in _executed_plan(df), name
 
 
+# Queries whose plans legitimately contain a single-partition stage: global
+# scalar aggregates (the distributed partial agg did the work; one reducer
+# merges tiny partials) and scalar subqueries (tfidf's corpus COUNT(*) is
+# one row, then broadcast). Anything NOT in this set acquiring a
+# SinglePartition exchange is a scale regression.
+_GLOBAL_AGG_QUERIES = {
+    "agg_global",
+    "nexmark_q12_invariant",
+    "tfidf_top_terms",
+    "tpch_q6",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+}
+
+
+def test_single_partition_only_in_global_aggs(spark, sf_dir):
+    """Repo-wide: no query outside the global-scalar set may funnel data
+    through one partition, and none may plan a cartesian product or
+    row-at-a-time Python eval."""
+    for name, q in load_all().items():
+        if q.oracle is None and name not in {"nexmark_q12"}:
+            continue
+        df = q.spark_fn(spark, sf_dir)
+        plan = _executed_plan(df)
+        if name not in _GLOBAL_AGG_QUERIES:
+            assert "Exchange SinglePartition" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_codegen_spans(spark, sf_dir):
     """Hot-path queries stay inside whole-stage codegen."""
     for name in ["tpch_q1", "nexmark_q9", "agg_event_stats"]:
