@@ -191,7 +191,7 @@ SELECT p_partkey AS ps_partkey,
        CAST((p_partkey + k * 25) % 100 AS BIGINT) AS ps_suppkey,
        CAST(1 + (p_partkey * 37 + k * 19) % 9999 AS INT) AS ps_availqty,
        (CAST((p_partkey * 53 + k * 11) % 90000 AS DOUBLE) / 100 + 10.0) AS ps_supplycost
-FROM part, {dl.series_0_to(4, 'k', d)} s
+FROM part {dl.lateral_series(4, 'k', d)}
 """
 
 

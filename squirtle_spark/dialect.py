@@ -166,3 +166,14 @@ def series_0_to(n: int, alias: str, d: str) -> str:
     if d == SPARK:
         return f"(SELECT explode(sequence(0, {n - 1})) AS {alias})"
     return f"(SELECT CAST(k AS INT) AS {alias} FROM generate_series(0, {n - 1}) t(k))"
+
+
+def lateral_series(n: int, alias: str, d: str) -> str:
+    """Per-row fan-out 0..n-1 appended after a FROM table (no join: Spark
+    plans a same-stage Generate, DuckDB a tiny cross join)."""
+    if d == SPARK:
+        return f"LATERAL VIEW explode(sequence(0, {n - 1})) _fan AS {alias}"
+    return (
+        f"CROSS JOIN (SELECT CAST(_k AS INT) AS {alias} "
+        f"FROM generate_series(0, {n - 1}) _t(_k)) _fan"
+    )
