@@ -85,9 +85,27 @@ def _decode(spark, sf_dir) -> DataFrame:
     return docs.mapInPandas(_decode_stub, schema=DECODE_SCHEMA)
 
 
+#: The stub's fake features are themselves deterministic byte math, so the
+#: whole mapInPandas path gets a value-level oracle (payloads are ASCII ⇒
+#: code points == bytes).
+_DECODE_ORACLE = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+sums AS (SELECT doc_id, SUM(ascii(c)) AS s FROM ch GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       CAST(s % 2147483648 AS BIGINT) AS feat_sum,
+       CAST(length(d.text) // 64 AS BIGINT) AS n_frames
+FROM documents d
+JOIN sums USING (doc_id)
+"""
+
+
 register_df(
     "multimodal_decode",
     _decode,
+    oracle_body=_DECODE_ORACLE,
     doc="mapInPandas decode pipeline over binary payloads (deterministic stub codec).",
 )
 
