@@ -1,0 +1,100 @@
+"""Cross-engine agreement of the dialect helpers on adversarial inputs.
+
+The entire oracle strategy rests on dialect.py rendering the SAME
+semantics in Spark SQL and DuckDB. The query-level oracle exercises them
+on fixture data; this test hits the edges fixtures may miss: timestamps
+exactly ON window boundaries, 1 µs before/after, sub-second fractions,
+empty/whitespace-only/short texts, and negative-free modular arithmetic.
+"""
+
+import datetime as dt
+import random
+
+import duckdb
+import pandas as pd
+
+from squirtle_spark import dialect as dl
+from squirtle_spark.oracle import compare_frames
+
+TUMBLE = 3600
+SLIDE = 300
+
+
+def _inputs() -> pd.DataFrame:
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    ts: list[dt.datetime] = []
+    # boundary adversaries: on/±1µs around tumble and slide boundaries
+    for k in (0, 1, 7, 24, 100):
+        b = base + dt.timedelta(seconds=k * TUMBLE)
+        ts += [b, b - dt.timedelta(microseconds=1), b + dt.timedelta(microseconds=1)]
+        s = base + dt.timedelta(seconds=k * SLIDE)
+        ts += [s, s - dt.timedelta(microseconds=1)]
+    # random microsecond-resolution points over ~2 years
+    ts += [
+        base + dt.timedelta(seconds=rng.randrange(0, 2 * 365 * 86400), microseconds=rng.randrange(0, 1_000_000))
+        for _ in range(200)
+    ]
+    texts = [
+        "",
+        " ",
+        "   \t  ",
+        "one",
+        "two words",
+        "three small words",
+        "exactly four tiny words",
+        "a  b   c    d",  # runs of spaces
+        " leading and trailing ",
+        "Case MIXED case Words case",
+    ] + [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "x"]) for _ in range(rng.randrange(0, 12)))
+        for _ in range(100)
+    ]
+    n = max(len(ts), len(texts))
+    return pd.DataFrame(
+        {
+            "id": range(n),
+            "ts": [ts[i % len(ts)] for i in range(n)],
+            "n_sec": [rng.randrange(0, 10 * 86400) for _ in range(n)],
+            "text": [texts[i % len(texts)] for i in range(n)],
+        }
+    )
+
+
+def _body(d: str) -> str:
+    return f"""
+SELECT id,
+       {dl.epoch_s('ts', d)} AS e,
+       {dl.tumble_start('ts', TUMBLE, d)} AS tum,
+       {dl.hop_bucket('ts', SLIDE, d)} AS hop,
+       {dl.secadd('ts', 'n_sec', d)} AS sa,
+       {dl.ts_from_s(dl.epoch_s('ts', d), d)} AS rt,
+       {dl.intdiv('n_sec', '7', d)} AS idv,
+       {dl.array_len(dl.split_tokens('text', d), d)} AS n_tok,
+       {dl.array_len(dl.word_shingles(dl.split_tokens('text', d), 3, d), d)} AS n_sh,
+       {dl.regex_count('text', '[a-z]+', d)} AS n_runs
+FROM dial
+"""
+
+
+def test_dialect_helpers_agree_cross_engine(spark, tmp_path):
+    pdf = _inputs()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet µs, not NANOS
+    path = str(tmp_path / "dial.parquet")
+    pdf.to_parquet(path)
+
+    sdf = spark.read.parquet(path)
+    if dict(sdf.dtypes)["ts"] == "timestamp":
+        sdf = sdf.withColumn("ts", sdf["ts"].cast("timestamp_ntz"))
+    sdf.createOrReplaceTempView("dial")
+    got = spark.sql(_body(dl.SPARK)).toPandas()
+
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW dial AS SELECT * FROM '{path}'")
+        want = con.sql(_body(dl.DUCK)).df()
+    finally:
+        con.close()
+
+    res = compare_frames("dialect", got, want)
+    assert res.ok, res.message()
