@@ -137,13 +137,17 @@ def _shingled(spark) -> DataFrame:
 
 def _minhash_pairs(spark, sf_dir) -> DataFrame:
     sh = _shingled(spark)
-    # All permutations in ONE grouped aggregation: min(xxhash64(seed_i, shingle)).
-    # (Wide-agg codegen has a fixed JIT cost; per-row cost stays O(n_perm).)
+    # All permutations in ONE grouped aggregation: min(xxhash64(seed_i, shingle)),
+    # plus the per-doc shingle count for the Jaccard denominator — folding it
+    # here saves a full recompute of the shingle relation (sh rows are
+    # distinct, so count(*) == |shingle set|). (Wide-agg codegen has a fixed
+    # JIT cost; per-row cost stays O(n_perm).)
     sig = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
             for i in range(N_MINHASH)
-        ]
+        ],
     )
     # Band signatures: hash each band's minhashes together; rows stay narrow
     # (doc_id, band, band_hash) so the bucket join shuffles no payload.
@@ -177,8 +181,10 @@ def _minhash_pairs(spark, sf_dir) -> DataFrame:
 
     # Exact-Jaccard verification on candidates only, via shingle equi-joins —
     # no per-doc arrays are materialized or shuffled, so the same plan holds
-    # when documents are billions of rows.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # when documents are billions of rows. (At that scale the shingle
+    # relation — still referenced twice below — would be checkpointed once
+    # rather than recomputed; locally recompute is cheaper than the write.)
+    sizes = sig.select("doc_id", "n_sh")
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(

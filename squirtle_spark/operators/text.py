@@ -13,7 +13,7 @@ pure per-row projections, no shuffle at all until a downstream groupBy.
 from __future__ import annotations
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
@@ -193,4 +193,59 @@ register_sql(
     "tfidf_top_terms",
     _tfidf,
     doc="Corpus TF-IDF with top-3 terms per doc (two bounded shuffles).",
+)
+
+
+def _len_quantiles(spark, sf_dir):
+    """Document-length quantiles — EXACT percentile (linear interpolation,
+    bitwise-identical to DuckDB's quantile_cont). Scale note: exact
+    percentiles sort the full column; at 100 TB swap in
+    approx_percentile (t-digest) — registered separately below with an
+    error-bound test instead of an oracle."""
+    return spark.sql(
+        """
+        SELECT round(percentile(length(text), 0.25), 4) AS q25,
+               round(percentile(length(text), 0.50), 4) AS q50,
+               round(percentile(length(text), 0.75), 4) AS q75,
+               round(percentile(length(text), 0.95), 4) AS q95
+        FROM documents
+        """
+    )
+
+
+register_df(
+    "text_length_quantiles",
+    _len_quantiles,
+    oracle_body="""
+SELECT round(quantile_cont(length(text), 0.25), 4) AS q25,
+       round(quantile_cont(length(text), 0.50), 4) AS q50,
+       round(quantile_cont(length(text), 0.75), 4) AS q75,
+       round(quantile_cont(length(text), 0.95), 4) AS q95
+FROM documents
+""",
+    doc="Exact length quantiles (linear interpolation, cross-engine bitwise).",
+)
+
+
+def _approx_stats(spark, sf_dir):
+    """Sketch-based aggregates — the 100 TB forms of DISTINCT/percentile:
+    HyperLogLog++ count-distinct and t-digest percentiles, fixed-size
+    state, one pass, mergeable across partitions. Approximate by design →
+    rows-only check; error bounds vs exact are pytest-asserted
+    (tests/test_sketches.py)."""
+    return spark.sql(
+        """
+        SELECT event_type,
+               approx_count_distinct(user_id) AS approx_users,
+               CAST(approx_percentile(value, 0.5) AS DOUBLE) AS approx_median_value
+        FROM events
+        GROUP BY event_type
+        """
+    )
+
+
+register_df(
+    "approx_sketch_stats",
+    _approx_stats,
+    doc="HLL++ distinct + t-digest percentile sketches (bounded-state 100 TB path).",
 )
