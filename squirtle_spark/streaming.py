@@ -243,6 +243,24 @@ def run_nexmark_q7_stream(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, state bounded
+    by the watermark (keys older than it are evicted — the only way dedup
+    state stays finite on an unbounded stream). The streaming face of
+    operators/dedup.py's exact dedup; flock has no equivalent (its epochs
+    are assumed unique), so this is beyond-parity."""
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def ysb_campaign_stream(
     spark: SparkSession,
     events_path: str,

@@ -79,6 +79,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
     "nexmark_q12_invariant",
+    "text_length_quantiles",
     "tfidf_top_terms",
     "tpch_q6",
     "tpch_q11",

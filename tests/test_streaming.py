@@ -262,6 +262,28 @@ def test_ysb_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
 
 
+def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
+    """Watermarked streaming dedup: replaying a stream with duplicated
+    events yields exactly the distinct key set (state bounded by the
+    watermark)."""
+    bids = sources.nexmark_bids(spark, 100, 6)
+    doubled = bids.union(bids).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "dup-bids")
+    streaming.write_epoch_files(doubled, data_dir)
+    stream = streaming.replay_stream(spark, data_dir, files_per_trigger=2).drop("epoch")
+
+    deduped = streaming.stream_dedup(
+        stream, ["auction", "bidder", "price"], "b_date_time"
+    )
+    rows = streaming.run_available_now(
+        deduped, checkpoint=str(tmp_path / "ckpt-dedup"), mode="append"
+    )
+    expected = bids.dropDuplicates(["auction", "bidder", "price"]).count()
+    assert len(rows) == expected
+
+
 def test_partitioned_sink(spark, tmp_path):
     """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)

@@ -19,7 +19,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECT_BROADCAST = {"nexmark_q3", "tpch_q3", "tpch_q5", "ysb_campaign_views", "nexmark_q13"}
+EXPECT_BROADCAST = {
+    "nexmark_q3",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "ysb_campaign_views",
+    "nexmark_q13",
+}
 CROSS_BY_DESIGN = {"ann_cosine_topk"}  # broadcast crossJoin: |queries| is tiny
 
 
