@@ -129,6 +129,23 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
             spark, f"{tmp}/bids", checkpoint=f"{tmp}/ckpt-full", files_per_trigger=15
         )
         wall_full = time.perf_counter() - t0
+
+        # YSB end-to-end stream (filter + broadcast campaign join + tumbling
+        # counts) at the same generated scale.
+        ads = sources.ysb_ad_events(spark, events_per_sec, seconds)
+        n_ads = ads.count()
+        staged_ads = ads.withColumn(
+            "epoch", F.unix_timestamp(F.col("event_time").cast("timestamp")) % 100000
+        )
+        streaming.write_epoch_files(staged_ads, f"{tmp}/ads")
+        campaigns = sources.ysb_campaigns(spark)
+        ysb = streaming.ysb_campaign_stream(
+            spark, f"{tmp}/ads", campaigns, files_per_trigger=15
+        )
+        t0 = time.perf_counter()
+        q = streaming.noop_sink(ysb, checkpoint=f"{tmp}/ckpt-ysb", mode="complete")
+        q.awaitTermination(300)
+        wall_ysb = time.perf_counter() - t0
         return {
             "q5_events": n,
             "q5_wall_sec": round(wall_tp, 3),
@@ -136,6 +153,9 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
             "q5_microbatch_latency_sec": round(wall_lat / n_batches_lat, 3),
             "q5_full_query_wall_sec": round(wall_full, 3),
             "q5_full_query_events_per_sec": round(n / wall_full, 1),
+            "ysb_events": n_ads,
+            "ysb_wall_sec": round(wall_ysb, 3),
+            "ysb_events_per_sec": round(n_ads / wall_ysb, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

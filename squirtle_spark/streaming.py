@@ -318,10 +318,13 @@ def run_available_now(
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
-def noop_sink(result: DataFrame, *, checkpoint: str) -> StreamingQuery:
+def noop_sink(
+    result: DataFrame, *, checkpoint: str, mode: str = "append"
+) -> StreamingQuery:
     """Blackhole sink (flock Blackhole parity) — executes, discards."""
     return (
         result.writeStream.format("noop")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
