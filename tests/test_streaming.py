@@ -136,6 +136,33 @@ def test_session_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q0_q1_q2_stateless_streams_equal_batch(spark, tmp_path):
+    """q0 (pass-through), q1 (currency conversion), q2 (MOD filter) as
+    stateless streaming transforms over the replayed bid stream — the
+    ElementWise/micro-batch mode (SURVEY §7 step 4): append mode, no
+    state, every micro-batch independent."""
+    batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=4)
+
+    transforms = {
+        "q0": lambda df: df.select("auction", "bidder", "price", "b_date_time"),
+        "q1": lambda df: df.select(
+            "auction", "bidder", (F.lit(0.908) * F.col("price")).alias("price"),
+            "b_date_time",
+        ),
+        "q2": lambda df: df.select("auction", "price").where(
+            F.col("auction") % 123 == 0
+        ),
+    }
+    for name, tf in transforms.items():
+        rows = streaming.run_available_now(
+            tf(stream), checkpoint=str(tmp_path / f"ckpt-{name}"), mode="append"
+        )
+        expected = tf(batch_df).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, expected)), name
+        if name != "q2":
+            assert len(rows) > 0, name
+
+
 def test_nexmark_q5_full_stream_equals_batch(spark, tmp_path):
     """The DECLARED q5 end-to-end as a stream — hopping counts (stateful)
     + per-window max join-on-aggregate — must equal the identical batch
