@@ -18,6 +18,11 @@ Hard-won dialect facts (verified against pyspark 4.1 / duckdb 1.0):
   order-independent) and cast the final result to DOUBLE (:func:`dsum`).
 - Spark ``unix_timestamp`` truncates sub-second; DuckDB ``epoch`` keeps it.
   ``FLOOR`` on the DuckDB side makes them agree for positive timestamps.
+- Decimal→DOUBLE casts are only correctly rounded in BOTH engines when the
+  scaled integer fits in 2^53 (DuckDB computes int128→double / 10^scale —
+  two roundings). Reduce high-scale decimal sums to DECIMAL(38,6) before
+  casting (both engines round half-up, and value/10^6 stays exact): see
+  the ``CAST(CAST(SUM(..) AS DECIMAL(38,6)) AS DOUBLE)`` pattern in tpch.py.
 - All fixture timestamps are treated as TIMESTAMP_NTZ on the Spark side so
   that both engines hand back naive (wall-clock UTC) values.
 """

@@ -36,9 +36,9 @@ def _q1(d: str) -> str:
 SELECT l_returnflag,
        l_linestatus,
        {dl.dsum('l_quantity', d)} AS sum_qty,
-       CAST(SUM({_PRICE}) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM({_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
        {dl.davg('l_quantity', d)} AS avg_qty,
        {dl.davg('l_extendedprice', d, 'DECIMAL(18,4)')} AS avg_price,
        {dl.davg('l_discount', d, 'DECIMAL(8,4)')} AS avg_disc,
@@ -62,7 +62,7 @@ def _q3(d: str) -> str:
     the fixture-absent o_shippriority."""
     return f"""
 SELECT l_orderkey,
-       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -87,7 +87,7 @@ def _q5(d: str) -> str:
     """q5 local supplier volume — verbatim (queries/q5.sql); ASIA→our region."""
     return f"""
 SELECT n_name,
-       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue
+       CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -112,7 +112,7 @@ register_sql(
 def _q6(d: str) -> str:
     """q6 forecasting revenue change — verbatim (queries/q6.sql)."""
     return f"""
-SELECT CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
   AND l_shipdate < {dl.ts_lit('1997-01-01 00:00:00', d)}
@@ -186,7 +186,7 @@ def _q10(d: str) -> str:
     return f"""
 SELECT c_custkey,
        c_name,
-       CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
        c_acctbal,
        n_name
 FROM customer
@@ -216,7 +216,7 @@ def _q7(d: str) -> str:
 SELECT supp_nation,
        cust_nation,
        l_year,
-       CAST(SUM(vol) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(vol) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
@@ -272,7 +272,7 @@ def _q14(d: str) -> str:
 SELECT CAST(100.0 AS DOUBLE) *
        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_PRICE} * (1 - {_DISC})
                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-       / CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS promo_revenue
+       / CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= {dl.ts_lit('1996-09-01 00:00:00', d)}
@@ -293,7 +293,7 @@ def _q15(d: str) -> str:
     return f"""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS total_revenue
+           CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= {dl.ts_lit('1996-01-01 00:00:00', d)}
       AND l_shipdate < {dl.ts_lit('1996-04-01 00:00:00', d)}
@@ -317,7 +317,7 @@ def _q17(d: str) -> str:
     """q17 small-quantity-order revenue (queries/q17.sql): correlated scalar
     subquery against per-part average quantity."""
     return f"""
-SELECT CAST(SUM({_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(SUM({_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#11'
@@ -370,7 +370,7 @@ def _q22(d: str) -> str:
     return """
 SELECT c_nationkey,
        COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
@@ -393,8 +393,8 @@ def _q8(d: str) -> str:
     nation's suppliers in a region's revenue per order-year (no partsupp)."""
     return f"""
 SELECT o_year,
-       CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(28,8)) END) AS DECIMAL(38,6)) AS DOUBLE)
+       / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
 FROM (
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
            {_PRICE} * (1 - {_DISC}) AS volume,
@@ -428,7 +428,7 @@ def _q19(d: str) -> str:
     disjunctive predicate over part attributes + lineitem quantity bands
     (fixture lacks l_shipmode/l_shipinstruct)."""
     return f"""
-SELECT CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -493,7 +493,7 @@ def _q9(d: str) -> str:
     return f"""
 SELECT nation,
        o_year,
-       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
 FROM (
     SELECT n_name AS nation,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -523,14 +523,14 @@ def _q11(d: str) -> str:
     global-fraction HAVING threshold (uncorrelated scalar subquery)."""
     return f"""
 SELECT ps_partkey,
-       CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) AS part_value
+       CAST(CAST(SUM({_PS_COST} * ps_availqty) AS DECIMAL(38,6)) AS DOUBLE) AS part_value
 FROM partsupp
 JOIN supplier ON ps_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
 GROUP BY ps_partkey
-HAVING CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) > (
-    SELECT CAST(SUM({_PS_COST} * ps_availqty) AS DOUBLE) * 0.01
+HAVING CAST(CAST(SUM({_PS_COST} * ps_availqty) AS DECIMAL(38,6)) AS DOUBLE) > (
+    SELECT CAST(CAST(SUM({_PS_COST} * ps_availqty) AS DECIMAL(38,6)) AS DOUBLE) * 0.01
     FROM partsupp
     JOIN supplier ON ps_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -588,7 +588,7 @@ WHERE n_name = 'NATION_7'
           SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
       )
       AND ps_availqty > (
-          SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          SELECT 0.5 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE)
           FROM lineitem
           WHERE l_partkey = ps_partkey
             AND l_suppkey = ps_suppkey
