@@ -366,6 +366,61 @@ def foreach_batch_sink(result: DataFrame, fn, *, checkpoint: str) -> StreamingQu
 # ---------------------------------------------------------------------------
 
 
+def stateful_topk(stream: DataFrame, key_col: str, value_col: str, k: int = 3) -> DataFrame:
+    """Per-key top-k values maintained in keyed state (leaderboard shape).
+
+    Each micro-batch merges its values into the key's k-slot state and
+    re-emits the current ranking — the stateful operator class flock's
+    arena would hold per (qid, key) window, here on Spark's state store
+    with an array-valued state column. Slot values only ever improve, so
+    the final emission per (key, rank) is the stream's answer.
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("rank", LongType()),
+            StructField("value", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("vals", ArrayType(LongType()))])
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        vals = list(state.get[0]) if state.exists else []
+        for pdf in batches:
+            vals.extend(int(v) for v in pdf[value_col])
+        vals = sorted(vals, reverse=True)[:k]
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(vals),
+                "rank": range(1, len(vals) + 1),
+                "value": vals,
+            }
+        )
+
+    return (
+        stream.withColumn("key", F.col(key_col).cast("long"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_running_count(stream: DataFrame, key_col: str) -> DataFrame:
     """Per-key running count maintained in explicit keyed state.
 

@@ -72,7 +72,11 @@ SELECT id,
        {dl.intdiv('n_sec', '7', d)} AS idv,
        {dl.array_len(dl.split_tokens('text', d), d)} AS n_tok,
        {dl.array_len(dl.word_shingles(dl.split_tokens('text', d), 3, d), d)} AS n_sh,
-       {dl.regex_count('text', '[a-z]+', d)} AS n_runs
+       {dl.regex_count('text', '[a-z]+', d)} AS n_runs,
+       {dl.datefmt('ts', 'date', d)} AS d_date,
+       {dl.datefmt('ts', 'hm', d)} AS d_hm,
+       {dl.regex_replace_all('text', '[aeiou]', '_', d)} AS devowel,
+       {dl.to_int('n_sec / 7.0', d)} AS flo
 FROM dial
 """
 

@@ -347,6 +347,31 @@ def test_stateful_running_count(spark, tmp_path):
     assert final == expected
 
 
+def test_stateful_topk(spark, tmp_path):
+    """Custom keyed-state top-k: the final per-(key, rank) emission must
+    equal the batch top-k per key (slot values only improve, so max over
+    update-mode emissions == final state)."""
+    batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=4)
+    result = streaming.stateful_topk(stream, "bidder", "price", k=3)
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-topk"), mode="update"
+    )
+    final = {}
+    for r in rows:
+        cur = final.get((r["key"], r["rank"]), -1)
+        final[(r["key"], r["rank"])] = max(cur, r["value"])
+    expected = {}
+    for r in (
+        batch_df.selectExpr("bidder", "CAST(price AS LONG) price").collect()
+    ):
+        expected.setdefault(r["bidder"], []).append(r["price"])
+    exp_flat = {}
+    for bidder, vals in expected.items():
+        for i, v in enumerate(sorted(vals, reverse=True)[:3], start=1):
+            exp_flat[(bidder, i)] = v
+    assert final == exp_flat
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Exactly-once across restarts: re-running a drained query from the
     same checkpoint processes nothing twice, and new files are picked up
