@@ -263,9 +263,20 @@ def oracle_cte_prefix() -> str:
 def wrap_oracle(body: str) -> str:
     """Make a DuckDB oracle body self-contained (prepend derived-view CTEs).
 
-    If the body has its own ``WITH`` clause, the two CTE lists are merged.
+    If the body has its own ``WITH`` clause, the two CTE lists are merged;
+    a ``WITH RECURSIVE`` body keeps the RECURSIVE keyword up front (it
+    scopes the whole CTE list, non-recursive members included).
     """
     stripped = body.lstrip()
-    if stripped.upper().startswith("WITH"):
+    upper = stripped.upper()
+    if upper.startswith("WITH RECURSIVE"):
+        rest = stripped[len("WITH RECURSIVE"):].lstrip()
+        return (
+            "WITH RECURSIVE "
+            + oracle_cte_prefix()[len("WITH "):]
+            + ", "
+            + rest
+        )
+    if upper.startswith("WITH"):
         return oracle_cte_prefix() + ", " + stripped[len("WITH"):].lstrip()
     return oracle_cte_prefix() + body

@@ -114,6 +114,84 @@ register_sql(
 )
 
 
+def _dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    n-gram-Jaccard pair graph, labels = min doc_id per component — the
+    step a real dedup pipeline runs after pair-finding (keep one canonical
+    doc per cluster).
+
+    Spark has no recursive CTE; the idiomatic scale algorithm is iterative
+    min-label propagation (GraphFrames'/large-scale-CC style): every
+    iteration each node takes the min label among itself and its
+    neighbors — two bounded shuffles per iteration, converging in
+    O(log(component diameter)) rounds. The driver-side loop is control
+    flow only (one tiny count per round); all data movement stays
+    distributed. DuckDB's recursive CTE is the oracle.
+    """
+    pairs = spark.sql(_ngram_jaccard(dl.SPARK)).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(32):  # >= log2(diameter) for any plausible graph
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["doc_a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _clusters_oracle(d: str = dl.DUCK) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    {_ngram_jaccard(d)}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
+register_df(
+    "dedup_clusters",
+    _dedup_clusters,
+    oracle_body=_clusters_oracle(),
+    doc="Near-dup connected components (min-label propagation vs recursive-CTE oracle).",
+)
+
+
 def _shingled(spark) -> DataFrame:
     """documents → (doc_id, shingle) — word w-grams of normalized text."""
     docs = spark.table("documents")

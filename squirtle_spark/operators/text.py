@@ -249,3 +249,31 @@ register_df(
     _approx_stats,
     doc="HLL++ distinct + t-digest percentile sketches (bounded-state 100 TB path).",
 )
+
+
+def _pii_scrub(d: str) -> str:
+    """PII masking — the redaction pass a training-data pipeline runs
+    before anything else: emails, phone-ish digit runs, and IPv4 literals
+    replaced by typed placeholder tokens. Pure per-row regex (zero
+    shuffle, fully pushdown-compatible); identical patterns both dialects."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = r"\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    phone = r"\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+    body = dl.regex_replace_all("text", email, "<EMAIL>", d)
+    body = dl.regex_replace_all(body, ipv4, "<IP>", d)
+    body = dl.regex_replace_all(body, phone, "<PHONE>", d)
+    return f"""
+SELECT doc_id,
+       {body} AS scrubbed,
+       CAST(({dl.regex_count('text', email, d)}
+           + {dl.regex_count('text', ipv4, d)}
+           + {dl.regex_count('text', phone, d)}) AS BIGINT) AS n_pii
+FROM documents
+"""
+
+
+register_sql(
+    "pii_scrub",
+    _pii_scrub,
+    doc="PII redaction: email/IP/phone masking + per-doc match counts.",
+)
