@@ -1,0 +1,275 @@
+"""Analytic (OVER) functions, statistical aggregates, subqueries, pivot.
+
+Widens SURVEY §2.5 beyond ROW_NUMBER/frames (the reference inherits the
+full DataFusion window-function surface — LAG/LEAD/RANK/NTILE etc., see
+flock's datafusion dependency; queries q5/q6/q9 exercise only a slice of
+it) and §2.4 beyond the five basic aggregates.
+
+Determinism rules for the cross-engine oracle:
+
+- Every ORDER BY inside an OVER() ends with a unique key (event_id) so
+  value-returning functions (LAG/NTILE/FIRST_VALUE) are well-defined.
+- RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST deliberately order by a
+  low-cardinality expression so ties actually occur — their outputs are
+  tie-invariant, so both engines agree.
+- Running/windowed SUMs over DOUBLE route through DECIMAL (exact, hence
+  association-order-independent: DuckDB evaluates window aggregates with
+  segment trees, Spark incrementally — double would drift by ulps).
+- Moment statistics (VAR/STDDEV/CORR/COVAR) are computed from exact
+  DECIMAL power sums cast to DOUBLE, then combined with plain IEEE double
+  arithmetic — bitwise-identical in both engines, unlike the engines'
+  native streaming (Welford-style) implementations whose accumulation
+  order differs.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_df, register_sql
+
+
+def _win_analytics(d: str) -> str:
+    # Ranking family over a deliberately tie-heavy ordering (price bands).
+    band = "CAST(FLOOR(value / 50) AS INT)"
+    return f"""
+SELECT event_id,
+       event_type,
+       {band} AS price_band,
+       CAST(RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS prnk,
+       CUME_DIST() OVER (PARTITION BY event_type ORDER BY {band}) AS cdist,
+       CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INT) AS quartile,
+       LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value,
+       LEAD(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next2_value,
+       LAG(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_by_user
+FROM events
+"""
+
+
+register_sql(
+    "win_analytics",
+    _win_analytics,
+    doc="RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST/NTILE/LAG/LEAD (§2.5 depth).",
+)
+
+
+def _win_cumulative(d: str) -> str:
+    dec = "CAST(value AS DECIMAL(20,4))"
+    return f"""
+SELECT event_id,
+       user_id,
+       CAST(SUM({dec}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n,
+       FIRST_VALUE(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS first_val,
+       LAST_VALUE(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+       CAST(SUM({dec}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS centered_sum7
+FROM events
+"""
+
+
+register_sql(
+    "win_cumulative",
+    _win_cumulative,
+    doc="Running/centered frames + FIRST/LAST_VALUE (decimal-exact sums).",
+)
+
+
+def _stats_moments(d: str) -> str:
+    # Exact decimal power sums -> DOUBLE -> closed-form moments. DECIMAL(14,4)
+    # keeps products inside both engines' 38-digit cap (value<=1e10 fits).
+    x = "CAST(value AS DECIMAL(14,4))"
+    y = "CAST(user_id AS DECIMAL(14,4))"
+    return f"""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM({x}) AS DOUBLE) AS sx,
+           CAST(SUM({x} * {x}) AS DOUBLE) AS sxx,
+           CAST(SUM({y}) AS DOUBLE) AS sy,
+           CAST(SUM({y} * {y}) AS DOUBLE) AS syy,
+           CAST(SUM({x} * {y}) AS DOUBLE) AS sxy
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       (sxx - sx * sx / n) / (n - 1) AS var_value,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+       (sxx - sx * sx / n) / n AS var_pop_value,
+       (sxy - sx * sy / n) / (n - 1) AS covar_value_user,
+       ((sxy - sx * sy / n) / (n - 1))
+         / (SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1)))
+         AS corr_value_user
+FROM m
+"""
+
+
+register_sql(
+    "agg_stats_moments",
+    _stats_moments,
+    doc="VAR/STDDEV/COVAR/CORR from exact decimal power sums (order-independent).",
+)
+
+
+def _mode_listagg(d: str) -> str:
+    # MODE with a deterministic tie-break (smallest band among max counts) —
+    # the engines' native mode() both break ties arbitrarily.
+    if d == dl.SPARK:
+        listagg = "array_join(array_sort(collect_set(event_type)), ',')"
+    else:
+        listagg = "string_agg(DISTINCT event_type, ',' ORDER BY event_type)"
+    return f"""
+WITH bands AS (
+    SELECT user_id % 10 AS user_bucket,
+           CAST(FLOOR(value / 50) AS INT) AS band,
+           event_type
+    FROM events
+),
+counts AS (
+    SELECT user_bucket, band, COUNT(*) AS n
+    FROM bands
+    GROUP BY user_bucket, band
+),
+modes AS (
+    SELECT user_bucket, band AS mode_band,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_bucket ORDER BY n DESC, band ASC) AS rn
+    FROM counts
+),
+lists AS (
+    SELECT user_bucket, {listagg} AS type_list
+    FROM bands
+    GROUP BY user_bucket
+)
+SELECT m.user_bucket, m.mode_band, l.type_list
+FROM modes m
+JOIN lists l ON m.user_bucket = l.user_bucket
+WHERE m.rn = 1
+"""
+
+
+register_sql(
+    "agg_mode_listagg",
+    _mode_listagg,
+    doc="Deterministic MODE + sorted LISTAGG/string_agg per group.",
+)
+
+
+def _subq_scalar_in(d: str) -> str:
+    return f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value > (SELECT {dl.davg('value', d)} FROM events)
+  AND event_type IN (SELECT DISTINCT event_type FROM events
+                     WHERE event_type LIKE 'c%' OR event_type LIKE 's%')
+"""
+
+
+register_sql(
+    "subq_scalar_in",
+    _subq_scalar_in,
+    doc="Uncorrelated scalar subquery + IN-subquery (semi-join rewrite).",
+)
+
+
+def _subq_correlated(d: str) -> str:
+    # Correlated scalar aggregate: Catalyst/DuckDB both decorrelate this to
+    # an aggregate + join — no per-row re-execution at scale.
+    return f"""
+SELECT e.event_id, e.user_id, e.value
+FROM events e
+WHERE e.value > 2.5 * (SELECT {dl.davg('value', d)}
+                       FROM events e2
+                       WHERE e2.user_id = e.user_id)
+"""
+
+
+register_sql(
+    "subq_correlated",
+    _subq_correlated,
+    doc="Correlated scalar-aggregate subquery (decorrelated to join).",
+)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_spark(spark, sf_dir):
+    """Spark-native PIVOT; the oracle proves it equals conditional
+    aggregation (which is also the 100 TB plan both engines compile to:
+    one grouped aggregate, no extra shuffle per pivot column)."""
+    cols = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    return spark.sql(
+        f"""
+        SELECT * FROM (
+            SELECT user_id % 10 AS user_bucket, event_type FROM events
+        )
+        PIVOT (COUNT(*) FOR event_type IN ({cols}))
+        ORDER BY user_bucket
+        """
+    )
+
+
+def _pivot_oracle() -> str:
+    arms = ",\n       ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS \"{t}\""
+        for t in _EVENT_TYPES
+    )
+    return f"""
+SELECT user_id % 10 AS user_bucket,
+       {arms}
+FROM events
+GROUP BY user_id % 10
+ORDER BY user_bucket
+"""
+
+
+register_df(
+    "pivot_event_matrix",
+    _pivot_spark,
+    oracle_body=_pivot_oracle(),
+    doc="PIVOT to per-type count columns (== conditional aggregation).",
+)
+
+
+def _unpivot_spark(spark, sf_dir):
+    """UNPIVOT (melt) the pivoted matrix back to long form via stack()."""
+    cols = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES)
+    return spark.sql(
+        f"""
+        WITH wide AS (
+            SELECT * FROM (
+                SELECT user_id % 10 AS user_bucket, event_type FROM events
+            )
+            PIVOT (COUNT(*) FOR event_type IN ({cols}))
+        )
+        SELECT user_bucket, event_type, CAST(cnt AS BIGINT) AS cnt
+        FROM wide
+        LATERAL VIEW stack({len(_EVENT_TYPES)}, {stack_args}) s AS event_type, cnt
+        """
+    )
+
+
+register_df(
+    "unpivot_event_matrix",
+    _unpivot_spark,
+    oracle_body="""
+SELECT user_id % 10 AS user_bucket,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY user_id % 10, event_type
+""",
+    doc="UNPIVOT/stack back to long form (round-trips the pivot).",
+)

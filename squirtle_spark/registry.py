@@ -106,7 +106,7 @@ def load_all() -> dict[str, Query]:
     truncation starves the redundant TPC-H tail, not the north-star ops.
     """
     from .operators import asof, dedup, multimodal, similarity, text  # noqa: F401
-    from .queries import windows, ysb  # noqa: F401
+    from .queries import analytics, windows, ysb  # noqa: F401
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
     from .queries import core  # noqa: F401  (nexmark already evidences §2.2-2.6)
     from .queries import generators, tpch  # noqa: F401
