@@ -1,0 +1,142 @@
+"""Training-data pipeline operators: split / sample / chunk / pack.
+
+The four dataset-preparation steps every LLM training pipeline runs after
+dedup + quality filtering, each expressed as dialect-shared SQL (pure
+built-ins, zero Python) so the DuckDB oracle value-checks them:
+
+- **split_train_val_test** — deterministic hash split. Membership is a
+  pure function of (doc_id, salt), so it is stable under re-runs,
+  repartitioning and incremental appends — the property that matters when
+  the corpus is rebuilt weekly at 100 TB. No shuffle (per-row projection).
+- **sample_domain_cap** — per-domain quota sampling (cap each source at K
+  docs, chosen by hash order, not arrival order — an unbiased within-
+  domain sample). One bounded shuffle on source; Spark's WindowGroupLimit
+  prunes to K per key map-side before the exchange.
+- **chunk_documents** — fixed-size token windows with overlap (stride <
+  size), the context-window chunking step. Per-row lateral fan-out, no
+  shuffle; output is (doc, start) keyed so downstream joins stay local.
+- **pack_sequences** — greedy contiguous bin packing of docs into fixed
+  token budgets per source shard (running token count DIV budget). One
+  window pass per shard — the distributed form of sequential packing;
+  packing never crosses a source boundary, so shards parallelize.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: Split fractions are encoded as 256ths via the first hex byte of
+#: md5(doc_id || salt): 0x00-0xcc train (205/256 ~ 80%), 0xcd-0xe5 val
+#: (25/256 ~ 10%), 0xe6-0xff test (26/256 ~ 10%).
+_SPLIT_SALT = "squirtle-split-v1"
+
+#: Per-domain sample cap.
+_DOMAIN_CAP = 5
+
+#: Chunking: window size / stride in tokens (stride < size => overlap).
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+#: Packing: tokens per training sequence bin.
+_PACK_BUDGET = 512
+
+
+def _split(d: str) -> str:
+    h = f"substring(md5(CAST(doc_id AS STRING) || ':{_SPLIT_SALT}'), 1, 2)"
+    return f"""
+SELECT doc_id,
+       lang,
+       source,
+       CASE WHEN {h} < 'cd' THEN 'train'
+            WHEN {h} < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+register_sql(
+    "split_train_val_test",
+    _split,
+    doc="Deterministic salted-hash 80/10/10 split (stable under re-runs/appends).",
+)
+
+
+def _domain_cap(d: str) -> str:
+    return f"""
+SELECT doc_id, source, lang
+FROM (
+    SELECT doc_id, source, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+register_sql(
+    "sample_domain_cap",
+    _domain_cap,
+    doc=f"Quota sampling: hash-ordered cap of {_DOMAIN_CAP} docs per source domain.",
+)
+
+
+def _chunks(d: str) -> str:
+    toks = dl.split_tokens("text", d)
+    n = dl.array_len(toks, d)
+    if d == dl.SPARK:
+        fanout = (
+            f"LATERAL VIEW explode(sequence(1, CAST({n} AS INT), {_CHUNK_STRIDE})) _c AS start"
+        )
+        chunk = f"concat_ws(' ', slice({toks}, start, {_CHUNK_SIZE}))"
+    else:
+        fanout = f", unnest(generate_series(1, CAST({n} AS INT), {_CHUNK_STRIDE})) AS _c(start)"
+        chunk = f"array_to_string(list_slice({toks}, start, start + {_CHUNK_SIZE - 1}), ' ')"
+    return f"""
+SELECT doc_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(({dl.array_len(dl.split_tokens(chunk, d), d)}) AS BIGINT) AS chunk_tokens,
+       {chunk} AS chunk_text
+FROM documents
+{fanout}
+"""
+
+
+register_sql(
+    "chunk_documents",
+    _chunks,
+    doc=f"Overlapping token chunks (size {_CHUNK_SIZE}, stride {_CHUNK_STRIDE}), per-row fan-out.",
+)
+
+
+def _pack(d: str) -> str:
+    n_tok = dl.array_len(dl.split_tokens("text", d), d)
+    cum = f"""SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    return f"""
+WITH sized AS (
+    SELECT doc_id, source, {n_tok} AS n_tokens
+    FROM documents
+),
+running AS (
+    SELECT doc_id, source, n_tokens,
+           CAST({cum} AS BIGINT) - n_tokens AS tokens_before
+    FROM sized
+)
+SELECT doc_id,
+       source,
+       n_tokens,
+       {dl.intdiv('tokens_before', str(_PACK_BUDGET), d)} AS bin_id,
+       tokens_before % {_PACK_BUDGET} AS bin_offset
+FROM running
+"""
+
+
+register_sql(
+    "pack_sequences",
+    _pack,
+    doc=f"Greedy sequence packing into {_PACK_BUDGET}-token bins per source shard.",
+)

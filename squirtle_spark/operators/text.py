@@ -251,14 +251,26 @@ register_df(
 )
 
 
+def _pii_patterns(d: str) -> tuple[str, str, str]:
+    """(email, ipv4, phone) regexes AS SQL-STRING TEXT per dialect: Spark
+    string literals consume one level of backslashes (the SQL text needs
+    ``\\\\d`` for the regex engine to see ``\\d``), DuckDB strings don't."""
+    e = "\\\\" if d == dl.SPARK else "\\"
+    email = f"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+{e}.[A-Za-z]{{2,}}"
+    ipv4 = f"{e}b{e}d{{1,3}}({e}.{e}d{{1,3}}){{3}}{e}b"
+    phone = f"{e}b{e}d{{3}}[-. ]{e}d{{3,4}}[-. ]{e}d{{4}}{e}b"
+    return email, ipv4, phone
+
+
 def _pii_scrub(d: str) -> str:
     """PII masking — the redaction pass a training-data pipeline runs
     before anything else: emails, phone-ish digit runs, and IPv4 literals
     replaced by typed placeholder tokens. Pure per-row regex (zero
-    shuffle, fully pushdown-compatible); identical patterns both dialects."""
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    ipv4 = r"\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-    phone = r"\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+    shuffle, fully pushdown-compatible). The fixture corpus contains no
+    PII (the oracle row-values are trivially equal), so the patterns are
+    additionally value-tested on synthetic PII in both engines
+    (tests/test_dialect.py::test_pii_patterns_match_in_both_engines)."""
+    email, ipv4, phone = _pii_patterns(d)
     body = dl.regex_replace_all("text", email, "<EMAIL>", d)
     body = dl.regex_replace_all(body, ipv4, "<IP>", d)
     body = dl.regex_replace_all(body, phone, "<PHONE>", d)
@@ -276,4 +288,59 @@ register_sql(
     "pii_scrub",
     _pii_scrub,
     doc="PII redaction: email/IP/phone masking + per-doc match counts.",
+)
+
+
+def _repetition(d: str) -> str:
+    """Gopher-style repetition filters: documents dominated by a few
+    repeated tokens/bigrams are boilerplate, not prose. Computed the
+    distributed way — explode → two bounded groupBys keyed on doc_id (no
+    per-row quadratic lambda, so arbitrarily long documents stay cheap);
+    int/int division is a single IEEE op, bitwise-equal across engines."""
+    toks = dl.split_tokens("lower(text)", d)
+    bigrams = dl.word_shingles(toks, 2, d)
+    un = dl.unnest_fn(d)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {un}({toks}) AS t FROM documents
+),
+tok_counts AS (
+    SELECT doc_id, t, COUNT(*) AS n FROM tok GROUP BY doc_id, t
+),
+tok_stats AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n) AS BIGINT) AS top_token_n,
+           COUNT(*) AS n_distinct
+    FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id, {un}({bigrams}) AS b FROM documents
+),
+bg_counts AS (
+    SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b
+),
+bg_stats AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n
+    FROM bg_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       (1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens) AS dup_token_frac,
+       (CAST(t.top_token_n AS DOUBLE) / t.n_tokens) AS top_token_frac,
+       (CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams) AS top_bigram_frac,
+       CAST(CAST(t.top_token_n AS DOUBLE) / t.n_tokens <= 0.2
+            AND CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams <= 0.18 AS INT)
+           AS passes_repetition_gate
+FROM tok_stats t
+JOIN bg_stats b ON t.doc_id = b.doc_id
+"""
+
+
+register_sql(
+    "text_repetition",
+    _repetition,
+    doc="Gopher-style repetition metrics: dup-token / top-token / top-bigram fractions.",
 )

@@ -102,3 +102,57 @@ def test_dialect_helpers_agree_cross_engine(spark, tmp_path):
 
     res = compare_frames("dialect", got, want)
     assert res.ok, res.message()
+
+
+def test_pii_patterns_match_in_both_engines(spark, tmp_path):
+    """The fixture corpus has no PII, so pii_scrub's oracle equality is
+    vacuous there; this feeds real emails/IPs/phones through BOTH engines
+    and also pins expected counts (catches the classic double-backslash
+    dialect bug, where DuckDB would receive literal '\\\\d' and match
+    nothing while both engines happily agree on zero)."""
+    from squirtle_spark.operators.text import _pii_patterns
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "text": [
+                "mail me at jane.doe+spam@example.co.uk today",
+                "server at 192.168.001.12 rebooted, backup 10.0.0.7",
+                "call 555-867-5309 or 020 7946 0958",
+                "no pii here at all",
+                "a@b.io and 1.2.3.4 and 555-123-4567 all at once",
+                "",
+            ],
+        }
+    )
+    path = str(tmp_path / "pii.parquet")
+    pdf.to_parquet(path)
+
+    def body(d):
+        email, ipv4, phone = _pii_patterns(d)
+        return f"""
+SELECT id,
+       {dl.regex_count('text', email, d)} AS n_email,
+       {dl.regex_count('text', ipv4, d)} AS n_ip,
+       {dl.regex_count('text', phone, d)} AS n_phone,
+       {dl.regex_replace_all('text', email, '<EMAIL>', d)} AS scrubbed
+FROM pii
+"""
+
+    spark.read.parquet(path).createOrReplaceTempView("pii")
+    got = spark.sql(body(dl.SPARK)).toPandas()
+
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW pii AS SELECT * FROM '{path}'")
+        want = con.sql(body(dl.DUCK)).df()
+    finally:
+        con.close()
+
+    res = compare_frames("pii", got, want)
+    assert res.ok, res.message()
+    by_id = got.sort_values("id")
+    assert list(by_id["n_email"]) == [1, 0, 0, 0, 1, 0]
+    assert list(by_id["n_ip"]) == [0, 2, 0, 0, 1, 0]
+    assert list(by_id["n_phone"]) == [0, 0, 2, 0, 1, 0]
+    assert "<EMAIL>" in by_id["scrubbed"].iloc[0]

@@ -79,6 +79,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
     "nexmark_q12_invariant",
+    "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "text_length_quantiles",
     "tfidf_top_terms",
     "tpch_q6",
@@ -103,6 +104,15 @@ def test_single_partition_only_in_global_aggs(spark, sf_dir):
         if name not in _GLOBAL_AGG_QUERIES:
             assert "Exchange SinglePartition" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The pure range predicate must ride the bucket equi-join: any
+    BroadcastNestedLoopJoin here is O(|L|·|R|) comparisons at scale."""
+    plan = _executed_plan(load_all()["range_join_conversions"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_codegen_spans(spark, sf_dir):
