@@ -249,6 +249,13 @@ def register_all(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     _REGISTERED[key] = sf_dir
 
 
+def invalidate(spark: SparkSession) -> None:
+    """Forget this session's registration so the next register_all rebuilds
+    every view — call after anything clobbers a catalog temp view (e.g.
+    api.run_streaming registering window slices under a stream table name)."""
+    _REGISTERED.pop(spark.sparkContext.applicationId, None)
+
+
 def oracle_cte_prefix() -> str:
     """``WITH …`` prefix defining all derived views for a DuckDB oracle query.
 

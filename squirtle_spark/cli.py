@@ -1,0 +1,94 @@
+"""Command-line driver — flock-cli parity (nexmark/ysb/tpch subcommands).
+
+The reference ships ``flock-cli`` with per-benchmark runners
+(flock-cli/src/{nexmark,ysb}.rs, main at flock-cli/src/main.rs); the
+Spark-native equivalents:
+
+    python -m squirtle_spark.cli list [--tag TAG]
+    python -m squirtle_spark.cli run -q NAME [--sf-dir D] [--limit N]
+                                     [--explain] [--oracle]
+    python -m squirtle_spark.cli nexmark -q N [--sf-dir D]
+    python -m squirtle_spark.cli ysb [--sf-dir D]
+    python -m squirtle_spark.cli tpch -q N [--sf-dir D]
+
+``run --oracle`` executes the query on Spark AND its DuckDB oracle and
+prints the comparison — the same gate the driver applies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="squirtle-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="list registered queries")
+    sp.add_argument("--tag", default=None, help="filter by tag substring")
+
+    for name in ("run", "nexmark", "ysb", "tpch"):
+        sp = sub.add_parser(name)
+        if name != "ysb":
+            sp.add_argument("-q", required=True, help="query name or number")
+        sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+        sp.add_argument("--limit", type=int, default=20)
+        sp.add_argument("--explain", action="store_true")
+        sp.add_argument("--oracle", action="store_true")
+    return p
+
+
+def _resolve(cmd: str, q: str | None) -> str:
+    if cmd == "run":
+        return q
+    if cmd == "nexmark":
+        return f"nexmark_q{int(q)}"
+    if cmd == "tpch":
+        return f"tpch_q{int(q)}"
+    return "ysb_campaign_views"
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .registry import load_all
+
+    queries = load_all()
+
+    if args.cmd == "list":
+        for name, q in queries.items():
+            if args.tag and args.tag not in (q.tags or []) and args.tag not in name:
+                continue
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {q.doc}")
+        return 0
+
+    name = _resolve(args.cmd, getattr(args, "q", None))
+    if name not in queries:
+        print(f"unknown query {name!r}; `list` shows all", file=sys.stderr)
+        return 2
+
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"squirtle-cli-{name}")
+
+    if args.oracle:
+        from .oracle import check_query
+
+        res = check_query(spark, name, args.sf_dir)
+        print(res.message())
+        return 0 if res.ok else 1
+
+    df = queries[name].spark_fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

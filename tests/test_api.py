@@ -1,0 +1,142 @@
+"""The user-facing Query/CLI surface (flock query.rs + flock-cli parity):
+OLAP queries run over the catalog, streaming queries fire the user's SQL
+once per window over exactly that window's rows, and the CLI resolves,
+runs and oracle-checks registry queries."""
+
+from pyspark.sql import functions as F
+
+from squirtle_spark import cli, sources, streaming
+from squirtle_spark.api import Query, Window, run_olap, run_streaming
+
+
+def _write_bids(spark, tmp_path, eps=200, secs=8):
+    bids = sources.nexmark_bids(spark, eps, secs).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    return data_dir, batch
+
+
+def test_olap_query_matches_direct_sql(spark, sf_dir):
+    q = Query(sql="SELECT auction, price FROM bid WHERE MOD(auction, 123) = 0")
+    got = run_olap(spark, q, sf_dir).collect()
+    want = spark.sql(
+        "SELECT auction, price FROM bid WHERE MOD(auction, 123) = 0"
+    ).collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_tumbling_fires_sql_per_window(spark, tmp_path):
+    """Arbitrary SQL (an agg the native runners don't special-case) fired
+    per tumbling window must equal the batch per-window computation."""
+    data_dir, batch = _write_bids(spark, tmp_path)
+    q = Query(
+        sql="SELECT bidder, MAX(price) AS maxp, COUNT(*) AS n FROM bid GROUP BY bidder",
+        window=Window.tumbling(2),
+    )
+    got = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-tumble")
+    ).collect()
+
+    expected = (
+        batch.groupBy(F.window("b_date_time", "2 seconds"), "bidder")
+        .agg(F.max("price").alias("maxp"), F.count("*").alias("n"))
+        .select("bidder", "maxp", "n", F.col("window.start").alias("win_start"))
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_streaming_hopping_q5_sql_per_window(spark, tmp_path):
+    """The DECLARED q5 SQL (hot items: count per auction, join on the max —
+    benchmarks/src/nexmark/query/q5.sql) through the generic per-window
+    runner over Hopping(4, 2), checked against batch hop windows."""
+    data_dir, batch = _write_bids(spark, tmp_path)
+    q5_sql = """
+        WITH counts AS (
+            SELECT auction, COUNT(*) AS num FROM bid GROUP BY auction
+        )
+        SELECT auction, num FROM counts
+        WHERE num = (SELECT MAX(num) FROM counts)
+    """
+    q = Query(sql=q5_sql, window=Window.hopping(4, 2))
+    got = run_streaming(spark, q, data_dir, workdir=str(tmp_path / "wd-hop")).collect()
+
+    counts = batch.groupBy(
+        F.window("b_date_time", "4 seconds", "2 seconds"), "auction"
+    ).agg(F.count("*").alias("num"))
+    maxes = counts.groupBy("window").agg(F.max("num").alias("maxn"))
+    expected = (
+        counts.join(maxes, "window")
+        .where(F.col("num") >= F.col("maxn"))
+        .select("auction", "num", F.col("window.start").alias("win_start"))
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_streaming_elementwise_fires_per_microbatch(spark, tmp_path):
+    """ElementWise: the SQL runs independently per micro-batch; the union
+    over all firings must cover exactly the filtered batch rows."""
+    data_dir, batch = _write_bids(spark, tmp_path, eps=100, secs=4)
+    q = Query(
+        sql="SELECT auction, bidder, price FROM bid WHERE price > 500",
+        window=Window.elementwise(),
+    )
+    got = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-ew"), files_per_trigger=2
+    )
+    got_rows = [(r["auction"], r["bidder"], r["price"]) for r in got.collect()]
+    expected = [
+        (r["auction"], r["bidder"], r["price"])
+        for r in batch.where("price > 500").select("auction", "bidder", "price").collect()
+    ]
+    assert len(got_rows) > 0
+    assert sorted(got_rows) == sorted(expected)
+
+
+def test_streaming_run_does_not_clobber_catalog(spark, sf_dir, tmp_path):
+    """run_streaming binds window slices under the stream table name; the
+    catalog's derived view must come back for the next OLAP query."""
+    q2 = "SELECT auction, price FROM bid WHERE MOD(auction, 123) = 0"
+    before = sorted(map(tuple, run_olap(spark, Query(sql=q2), sf_dir).collect()))
+
+    data_dir, _ = _write_bids(spark, tmp_path, eps=100, secs=4)
+    run_streaming(
+        spark,
+        Query(sql="SELECT COUNT(*) AS n FROM bid", window=Window.tumbling(2)),
+        data_dir,
+        workdir=str(tmp_path / "wd-clobber"),
+    )
+
+    after = sorted(map(tuple, run_olap(spark, Query(sql=q2), sf_dir).collect()))
+    assert after == before
+
+
+def test_cli_list_and_run(spark, sf_dir, capsys):
+    assert cli.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "nexmark_q5" in out and "dedup_minhash_lsh" in out
+
+    assert cli.main(["run", "-q", "events_filter", "--sf-dir", sf_dir], spark=spark) == 0
+    assert "event_id" in capsys.readouterr().out
+
+    assert cli.main(["nexmark", "-q", "2", "--sf-dir", sf_dir], spark=spark) == 0
+    capsys.readouterr()
+    assert cli.main(["run", "-q", "nope"], spark=spark) == 2
+
+
+def test_cli_oracle_gate(spark, sf_dir, capsys):
+    rc = cli.main(
+        ["run", "-q", "agg_event_stats", "--sf-dir", sf_dir, "--oracle"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "OK" in out
