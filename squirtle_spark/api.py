@@ -94,13 +94,20 @@ def run_olap(spark: SparkSession, query: Query, sf_dir: str) -> DataFrame:
 def run_streaming(
     spark: SparkSession,
     query: Query,
-    epochs_path: str,
+    epochs_path: str | dict[str, tuple[str, str]],
     *,
     workdir: str,
     files_per_trigger: int = 5,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Per-window plan firing over an epoch-file replay (QueryType::Streaming).
+
+    ``epochs_path`` is either one path (the SQL reads ``query.view``) or,
+    for multi-stream queries (q8's person ⋈ auction), a dict
+    ``{view: (path, ts_col)}`` — every stream is window-assigned on its
+    own event time and the SQL fires once per window over ALL views'
+    slices, exactly flock's tumbling handler re-grouping both sides per
+    window (flock-function/src/aws/window/tumbling.rs, queries/q8.rs).
 
     Returns the union of per-window results with a ``win_start`` column
     (elementwise: one firing per micro-batch, ``win_start`` = batch id).
@@ -113,14 +120,18 @@ def run_streaming(
             f"window kind {w.kind!r}: per-key session/global windows run on the "
             "native state-store paths (streaming.session_agg / stateful_*)"
         )
-
-    stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
-    if "epoch" in stream.columns:
-        stream = stream.drop("epoch")
-    buffer_dir = os.path.join(workdir, "window-buffer")
-    checkpoint = os.path.join(workdir, "checkpoint")
+    multi = isinstance(epochs_path, dict)
+    if multi and w.kind == "elementwise":
+        raise NotImplementedError(
+            "elementwise multi-stream: independent file streams have no "
+            "shared micro-batch; use tumbling(1) for per-epoch joint firing"
+        )
 
     if w.kind == "elementwise":
+        stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
+        if "epoch" in stream.columns:
+            stream = stream.drop("epoch")
+        checkpoint = os.path.join(workdir, "checkpoint")
         # Each micro-batch IS the window: fire the SQL on it directly
         # (flock elementwise.rs:30-186 — per-epoch independent execution).
         fired: list = []
@@ -154,36 +165,51 @@ def run_streaming(
     # flock tumbling.rs:31-188 / hopping.rs:31-99; a hopping row lands in
     # size/slide windows — flock keeps a deque of epochs, we replicate
     # rows at assignment, same window contents).
+    sources = (
+        dict(epochs_path) if multi else {query.view: (epochs_path, query.ts_col)}
+    )
     size = f"{w.size_s} seconds"
-    assigned = streaming._with_event_time(stream, query.ts_col)
-    win = (
-        F.window(query.ts_col, size, f"{w.slide_s} seconds")
-        if w.kind == "hopping"
-        else F.window(query.ts_col, size)
-    )
-    buffered = assigned.withColumn("win_start", win["start"])
+    buffers: dict[str, DataFrame] = {}
+    for view, (path, ts_col) in sources.items():
+        stream = streaming.replay_stream(spark, path, files_per_trigger)
+        if "epoch" in stream.columns:
+            stream = stream.drop("epoch")
+        assigned = streaming._with_event_time(stream, ts_col)
+        win = (
+            F.window(ts_col, size, f"{w.slide_s} seconds")
+            if w.kind == "hopping"
+            else F.window(ts_col, size)
+        )
+        buffer_dir = os.path.join(workdir, f"window-buffer-{view}")
+        sink_q = (
+            assigned.withColumn("win_start", win["start"])
+            .writeStream.format("parquet")
+            .option("path", buffer_dir)
+            .option("checkpointLocation", os.path.join(workdir, f"checkpoint-{view}"))
+            .partitionBy("win_start")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sink_q.awaitTermination(timeout_s):
+            sink_q.stop()
+            raise TimeoutError(f"window buffering for {view!r} still running")
+        buffers[view] = spark.read.parquet(buffer_dir)
 
-    sink_q = (
-        buffered.writeStream.format("parquet")
-        .option("path", buffer_dir)
-        .option("checkpointLocation", checkpoint)
-        .partitionBy("win_start")
-        .trigger(availableNow=True)
-        .start()
+    starts = sorted(
+        {
+            r["win_start"]
+            for buf in buffers.values()
+            for r in buf.select("win_start").distinct().collect()
+        }
     )
-    if not sink_q.awaitTermination(timeout_s):
-        sink_q.stop()
-        raise TimeoutError("window buffering still running")
-
-    buf = spark.read.parquet(buffer_dir)
-    starts = [r["win_start"] for r in buf.select("win_start").distinct().collect()]
     rows: list = []
     schema = None
     try:
-        for start in sorted(starts):
-            buf.where(F.col("win_start") == start).drop(
-                "win_start"
-            ).createOrReplaceTempView(query.view)
+        for start in starts:
+            for view, buf in buffers.items():
+                buf.where(F.col("win_start") == start).drop(
+                    "win_start"
+                ).createOrReplaceTempView(view)
             out = spark.sql(query.sql).withColumn(
                 "win_start", F.lit(start).cast("timestamp")
             )
@@ -193,9 +219,10 @@ def run_streaming(
             rows.extend(out.collect())
             schema = out.schema
     finally:
-        # The stream table name shadows the catalog's derived view; drop it
-        # and force the next register_all to rebuild everything.
-        spark.catalog.dropTempView(query.view)
+        # The stream table names shadow the catalog's derived views; drop
+        # them and force the next register_all to rebuild everything.
+        for view in buffers:
+            spark.catalog.dropTempView(view)
         catalog.invalidate(spark)
     if schema is None:
         return spark.createDataFrame([], "win_start timestamp")

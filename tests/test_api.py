@@ -102,6 +102,53 @@ def test_streaming_elementwise_fires_per_microbatch(spark, tmp_path):
     assert sorted(got_rows) == sorted(expected)
 
 
+def test_streaming_q8_two_streams_per_window(spark, tmp_path):
+    """The DECLARED q8 (new users: person ⋈ auction, deduped — flock
+    queries/q8.rs:33-44) through the multi-stream per-window runner over
+    Tumbling(4): both streams window-assigned on their own event time,
+    the SQL fired per window over both slices; equals the batch
+    same-window join."""
+    persons = sources.nexmark_persons(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    p_dir, a_dir = str(tmp_path / "p"), str(tmp_path / "a")
+    streaming.write_epoch_files(persons, p_dir)
+    streaming.write_epoch_files(auctions, a_dir)
+
+    q8_sql = """
+        SELECT p_id, name
+        FROM person JOIN auction ON p_id = seller
+        GROUP BY p_id, name
+    """
+    q = Query(sql=q8_sql, window=Window.tumbling(4))
+    got = run_streaming(
+        spark,
+        q,
+        {"person": (p_dir, "p_date_time"), "auction": (a_dir, "a_date_time")},
+        workdir=str(tmp_path / "wd-q8"),
+    ).collect()
+
+    bp = persons.drop("epoch").withColumn(
+        "p_date_time", F.col("p_date_time").cast("timestamp")
+    ).withColumn("w", F.window("p_date_time", "4 seconds"))
+    ba = auctions.drop("epoch").withColumn(
+        "a_date_time", F.col("a_date_time").cast("timestamp")
+    ).withColumn("w", F.window("a_date_time", "4 seconds"))
+    expected = (
+        bp.join(ba, (bp["p_id"] == ba["seller"]) & (bp["w"] == ba["w"]))
+        .select("p_id", "name", bp["w"].getField("start").alias("win_start"))
+        .distinct()
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(
+        (r["p_id"], r["name"], r["win_start"]) for r in expected
+    )
+
+
 def test_streaming_run_does_not_clobber_catalog(spark, sf_dir, tmp_path):
     """run_streaming binds window slices under the stream table name; the
     catalog's derived view must come back for the next OLAP query."""
