@@ -105,7 +105,16 @@ def load_all() -> dict[str, Query]:
     operators (dedup/ANN/text/as-of/windows/YSB) sign in FIRST so any future
     truncation starves the redundant TPC-H tail, not the north-star ops.
     """
-    from .operators import asof, dedup, multimodal, pipeline, rangejoin, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        asof,
+        clustering,
+        dedup,
+        multimodal,
+        pipeline,
+        rangejoin,
+        similarity,
+        text,
+    )
     from .queries import analytics, windows, ysb  # noqa: F401
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
     from .queries import core  # noqa: F401  (nexmark already evidences §2.2-2.6)
