@@ -122,6 +122,7 @@ register_df(
     _kmeans_assign,
     oracle_body=_ASSIGN_ORACLE,
     doc=f"One Lloyd assignment step ({K_CLUSTERS} seed centroids) vs DuckDB list_distance.",
+    bench=True,
 )
 
 

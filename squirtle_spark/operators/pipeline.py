@@ -108,6 +108,7 @@ register_sql(
     "chunk_documents",
     _chunks,
     doc=f"Overlapping token chunks (size {_CHUNK_SIZE}, stride {_CHUNK_STRIDE}), per-row fan-out.",
+    bench=True,
 )
 
 

@@ -98,4 +98,5 @@ register_df(
     _range_join_events,
     oracle_body=_RANGE_ORACLE,
     doc="Bounded time-range join via interval bucketing (no nested loop).",
+    bench=True,
 )

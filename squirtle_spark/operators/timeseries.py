@@ -1,0 +1,79 @@
+"""Time-series densification: gap-fill + last-observation-carried-forward.
+
+The missing member of the temporal family (windows aggregate EXISTING
+rows, as-of joins align two series) — this one *creates* the regular
+grid: per user, every hour between their first and last event exists in
+the output, counts zero-filled and the hourly mean value
+LOCF-interpolated across the gaps. The standard shape for feeding
+regularly-sampled models from irregular event streams.
+
+Distribution: one grouped agg for the per-key span, a per-row lateral
+fan-out to grid points (bounded by span/step — no cross join against a
+calendar table), one equi-join back on (key, hour), one window pass for
+LOCF. Everything keyed on user_id — partitions like any keyed agg.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+_STEP_S = 3600
+
+
+def _grid_fanout(d: str) -> str:
+    """FROM-clause fan-out producing every grid hour in [h_lo, h_hi]."""
+    if d == dl.SPARK:
+        return "LATERAL VIEW explode(sequence(h_lo, h_hi)) _g AS hour_idx"
+    return ", unnest(generate_series(h_lo, h_hi)) AS _g(hour_idx)"
+
+
+def _locf(x: str, d: str) -> str:
+    """Last non-null value up to the current row (per key, in grid order)."""
+    over = "OVER (PARTITION BY user_id ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    if d == dl.SPARK:
+        return f"last({x}, true) {over}"
+    return f"last_value({x} IGNORE NULLS) {over}"
+
+
+def _gapfill(d: str) -> str:
+    hour = dl.intdiv(dl.epoch_s("ts", d), str(_STEP_S), d)
+    return f"""
+WITH hourly AS (
+    SELECT user_id,
+           {hour} AS hour_idx,
+           COUNT(*) AS cnt,
+           {dl.davg('value', d)} AS avg_value
+    FROM events
+    GROUP BY user_id, {hour}
+),
+spans AS (
+    SELECT user_id, MIN(hour_idx) AS h_lo, MAX(hour_idx) AS h_hi
+    FROM hourly
+    GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, CAST(hour_idx AS BIGINT) AS hour_idx
+    FROM spans {_grid_fanout(d)}
+),
+joined AS (
+    SELECT g.user_id,
+           g.hour_idx,
+           COALESCE(h.cnt, 0) AS cnt,
+           h.avg_value
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_idx = h.hour_idx
+)
+SELECT user_id,
+       {dl.ts_from_s(f'hour_idx * {_STEP_S}', d)} AS hour_start,
+       CAST(cnt AS BIGINT) AS cnt,
+       {_locf('avg_value', d)} AS value_locf
+FROM joined
+"""
+
+
+register_sql(
+    "timeseries_gapfill_locf",
+    _gapfill,
+    doc="Per-user hourly grid: zero-filled counts + LOCF-interpolated values.",
+)

@@ -51,6 +51,7 @@ register_sql(
     "win_analytics",
     _win_analytics,
     doc="RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST/NTILE/LAG/LEAD (§2.5 depth).",
+    bench=True,
 )
 
 

@@ -114,6 +114,7 @@ def load_all() -> dict[str, Query]:
         rangejoin,
         similarity,
         text,
+        timeseries,
     )
     from .queries import analytics, windows, ysb  # noqa: F401
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
