@@ -30,18 +30,21 @@ from ..registry import register_df, register_sql
 
 def _win_analytics(d: str) -> str:
     # Ranking family over a deliberately tie-heavy ordering (price bands).
+    # All windows partition on user_id (high-cardinality at scale — a
+    # low-cardinality key like event_type would cap parallelism at its
+    # distinct count); ties per user still occur (10 bands per ~70 events).
     band = "CAST(FLOOR(value / 50) AS INT)"
     return f"""
 SELECT event_id,
-       event_type,
+       user_id,
        {band} AS price_band,
-       CAST(RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS BIGINT) AS rnk,
-       CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS BIGINT) AS drnk,
-       PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY {band}) AS prnk,
-       CUME_DIST() OVER (PARTITION BY event_type ORDER BY {band}) AS cdist,
-       CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INT) AS quartile,
-       LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value,
-       LEAD(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next2_value,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS prnk,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY {band}) AS cdist,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       LEAD(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_value,
        LAG(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_by_user
 FROM events
 """
