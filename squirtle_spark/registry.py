@@ -113,6 +113,7 @@ def load_all() -> dict[str, Query]:
         pipeline,
         rangejoin,
         similarity,
+        sketches,
         text,
         timeseries,
     )

@@ -29,3 +29,48 @@ def test_sketch_error_bounds(spark, sf_dir):
         a = approx[et]
         assert abs(a["approx_users"] - e["users"]) / e["users"] <= 0.05, et
         assert abs(a["approx_median_value"] - e["median_value"]) / e["median_value"] <= 0.10, et
+
+
+def test_merged_daily_sketches_track_exact_distinct(spark, sf_dir):
+    """Per-day sketches merged per type must estimate the global distinct
+    within HLL error — the incremental-aggregation contract (merging
+    partials == aggregating the whole, the property flock's arena relies
+    on for its partial-state collection)."""
+    merged = {
+        r["event_type"]: r
+        for r in load_all()["sketch_merge_distinct"].spark_fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in spark.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS users FROM events GROUP BY event_type"
+        ).collect()
+    }
+    assert set(merged) == set(exact)
+    for et, users in exact.items():
+        assert merged[et]["n_daily_sketches"] > 1, et  # the merge is real
+        assert abs(merged[et]["approx_users"] - users) / users <= 0.05, et
+
+
+def test_approx_topk_matches_exact_heavy_hitters(spark, sf_dir):
+    """approx_top_k with headroom over the fixture vocabulary is exact:
+    the returned counts must equal the true top-k token counts."""
+    from squirtle_spark.operators.sketches import TOP_K
+
+    got = load_all()["approx_topk_tokens"].spark_fn(spark, sf_dir).collect()
+    exact = spark.sql(
+        f"""
+        WITH toks AS (
+            SELECT explode(filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')) AS tok
+            FROM documents
+        )
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT {TOP_K}
+        """
+    ).collect()
+    assert len(got) == TOP_K
+    assert sorted((r["cnt"] for r in got), reverse=True) == [r["cnt"] for r in exact]
+    # every token whose count strictly beats the k-th is guaranteed present
+    kth = exact[-1]["cnt"]
+    must_have = {r["tok"] for r in exact if r["cnt"] > kth}
+    assert must_have <= {r["token"] for r in got}
