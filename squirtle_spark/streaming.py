@@ -361,6 +361,67 @@ def foreach_batch_sink(result: DataFrame, fn, *, checkpoint: str) -> StreamingQu
     )
 
 
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    seq_col: str,
+    *,
+    checkpoint: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Keyed upsert sink: maintain a latest-value-per-key table under
+    ``path`` (the DynamoDB-style keyed sink flock declares,
+    flock/src/datasink/mod.rs:47-72, done as a real materialized view).
+
+    Scale design: the table is hash-bucketed on the key and each
+    micro-batch rewrites ONLY the buckets it touches (dynamic partition
+    overwrite) after merging with their current contents — per-batch cost
+    scales with the update set, not table size. Within a merge the winner
+    per key is the highest ``seq_col`` (arrival order breaks ties), so
+    replaying a batch is idempotent — at-least-once delivery converges to
+    the same table, which is flock's PROCESSED_WINDOWS idempotence
+    expressed as data instead of bookkeeping.
+    """
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets)))
+        touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
+        if not touched:
+            return
+        try:
+            existing = spark.read.parquet(path).where(F.col("_bucket").isin(touched))
+            merged = existing.unionByName(b)
+        except Exception:  # first batch: nothing to merge yet
+            merged = b
+        w = (
+            "(PARTITION BY "
+            + ", ".join(keys)
+            + f" ORDER BY {seq_col} DESC)"
+        )
+        latest = (
+            merged.withColumn("_rn", F.expr(f"ROW_NUMBER() OVER {w}"))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # Truncate lineage before overwriting the files just read.
+        latest = latest.localCheckpoint(eager=True)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            latest.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -372,6 +372,45 @@ def test_stateful_topk(spark, tmp_path):
     assert final == exp_flat
 
 
+def test_upsert_sink_latest_per_key(spark, tmp_path):
+    """Streaming keyed upsert: replaying a stream where keys repeat across
+    epochs must leave exactly the latest row per key (highest event time),
+    matching the batch last-per-key computation; only touched hash buckets
+    are rewritten per batch."""
+    bids = sources.nexmark_bids(spark, 150, 8).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "upsert-bids")
+    streaming.write_epoch_files(bids, data_dir)
+    stream = streaming.replay_stream(spark, data_dir, files_per_trigger=2).drop("epoch")
+
+    out = str(tmp_path / "upsert-table")
+    q = streaming.upsert_sink(
+        stream,
+        out,
+        keys=["auction"],
+        seq_col="b_date_time",
+        checkpoint=str(tmp_path / "ckpt-upsert"),
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        r["auction"]: r["b_date_time"]
+        for r in spark.read.parquet(out).select("auction", "b_date_time").collect()
+    }
+    expected = {
+        r["auction"]: r["latest"]
+        for r in bids.groupBy("auction")
+        .agg(F.max("b_date_time").alias("latest"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    assert {k: v for k, v in got.items()} == {
+        k: v.replace(tzinfo=None) if hasattr(v, "replace") else v
+        for k, v in expected.items()
+    }
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Exactly-once across restarts: re-running a drained query from the
     same checkpoint processes nothing twice, and new files are picked up
