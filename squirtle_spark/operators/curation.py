@@ -1,0 +1,185 @@
+"""Corpus-curation operators: decontamination / incremental dedup /
+sharding / stratified sampling.
+
+The corpus-maintenance steps a production training-data pipeline runs
+around the dedup + quality core, each as dialect-shared SQL (pure
+built-ins, zero Python) so the DuckDB oracle value-checks them:
+
+- **decontaminate_ngram_overlap** — flag training docs sharing any word
+  5-gram with the held-out eval set (the benchmark-leakage scrub every
+  LLM pipeline runs before training). The only join is a shingle
+  equi-join with the DISTINCT eval-shingle set — at 100 TB the eval side
+  is a few thousand docs, so Spark broadcasts it and the scan stays
+  one-pass with no wide shuffle.
+- **dedup_incremental** — near-dup check of a NEW batch against an
+  EXISTING corpus shingle index (the incremental form of dedup: weekly
+  crawls land against last week's corpus without re-pairing the world).
+  A batch doc is rejected when >= 50% of its 5-gram shingles already
+  appear in the index. Equi-join on shingle + one grouped count — never
+  all-pairs; batch-internal dups are the existing dedup_exact/LSH path.
+- **shard_corpus** — deterministic pseudo-random shard assignment + a
+  stable position within each shard (the global-shuffle step before
+  writing training shards). Shard id is a pure hash function of doc_id
+  (re-run/append stable, like split_train_val_test); position is one
+  bounded per-shard window — 16 independent sorts, not a global one.
+- **sample_stratified** — exact-quota stratified sample: ceil(10%) of
+  each language by hash order, the unbiased per-stratum downsample used
+  for eval slices. Per-stratum ROW_NUMBER (WindowGroupLimit prunes
+  map-side) joined to per-stratum counts (broadcast: one row per lang).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: Word-shingle width for decontamination / incremental dedup. 5-grams
+#: are the classic eval-overlap unit (loose enough to catch paraphrase
+#: fragments, tight enough that random collisions are rare).
+SHINGLE_W = 5
+
+#: Every 10th doc stands in for the held-out eval set / the new batch —
+#: deterministic, so both engines derive the identical subset.
+EVAL_MOD = 10
+BATCH_MOD = 4
+
+#: A batch doc is a dup of the corpus when this fraction of its shingles
+#: already appears in the corpus index.
+CONTAIN_THRESHOLD = 0.5
+
+#: Number of output shards (one hex digit of md5).
+N_SHARDS = 16
+
+#: Stratified sample fraction per language.
+STRATUM_FRAC = 0.10
+
+
+def _shingle_rows(d: str, pred: str) -> str:
+    """CTE body: DISTINCT (doc_id, shingle) for docs matching ``pred``."""
+    toks = dl.split_tokens("lower(trim(text))", d)
+    sh = dl.word_shingles("tk", SHINGLE_W, d)
+    ex = dl.unnest_fn(d)
+    return f"""
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id, {ex}(sh_list) AS shingle
+            FROM (
+                SELECT doc_id, {sh} AS sh_list
+                FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE {pred}) t
+            ) s
+        ) u
+    """
+
+
+def _decontaminate(d: str) -> str:
+    return textwrap.dedent(f"""
+        WITH train_sh AS ({_shingle_rows(d, f"doc_id % {EVAL_MOD} <> 0")}),
+        eval_sh AS (
+            SELECT DISTINCT shingle
+            FROM ({_shingle_rows(d, f"doc_id % {EVAL_MOD} = 0")}) e
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM train_sh t
+        JOIN eval_sh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+    """)
+
+
+register_sql(
+    "decontaminate_ngram_overlap",
+    _decontaminate,
+    doc=f"Training docs sharing a word {SHINGLE_W}-gram with the eval set "
+    "(benchmark-leakage scrub; eval shingle set broadcasts at scale).",
+)
+
+
+def _dedup_incremental(d: str) -> str:
+    return textwrap.dedent(f"""
+        WITH corpus_idx AS (
+            SELECT DISTINCT shingle
+            FROM ({_shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0")}) c
+        ),
+        batch_sh AS ({_shingle_rows(d, f"doc_id % {BATCH_MOD} = 0")}),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM batch_sh GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_corpus
+            FROM batch_sh b
+            JOIN corpus_idx i ON b.shingle = i.shingle
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_shingles, 0) AS n_shingles,
+               COALESCE(h.n_in_corpus, 0) AS n_in_corpus,
+               CASE WHEN COALESCE(s.n_shingles, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(COALESCE(h.n_in_corpus, 0) AS DOUBLE)
+                         / CAST(s.n_shingles AS DOUBLE) END AS containment,
+               CASE WHEN COALESCE(s.n_shingles, 0) > 0
+                         AND CAST(COALESCE(h.n_in_corpus, 0) AS DOUBLE)
+                             / CAST(s.n_shingles AS DOUBLE) >= {CONTAIN_THRESHOLD}
+                    THEN 'dup_of_corpus' ELSE 'accepted' END AS status
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0) d
+        LEFT JOIN sizes s ON s.doc_id = d.doc_id
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """)
+
+
+register_sql(
+    "dedup_incremental",
+    _dedup_incremental,
+    doc="New-batch docs vs existing corpus shingle index "
+    f"(reject at >= {CONTAIN_THRESHOLD} containment; incremental dedup).",
+)
+
+
+def _shard_corpus(d: str) -> str:
+    h = "md5('shard:' || CAST(doc_id AS STRING))"
+    # one hex digit → 16 shards; POSITION is ANSI (both engines).
+    shard = f"CAST(position(substring({h}, 1, 1) IN '0123456789abcdef') - 1 AS INT)"
+    return textwrap.dedent(f"""
+        SELECT doc_id,
+               shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+        FROM (SELECT doc_id, {shard} AS shard_id, {h} AS h FROM documents) t
+    """)
+
+
+register_sql(
+    "shard_corpus",
+    _shard_corpus,
+    doc=f"Deterministic pseudo-random assignment to {N_SHARDS} training "
+    "shards with stable in-shard order (global-shuffle step).",
+)
+
+
+def _sample_stratified(d: str) -> str:
+    return textwrap.dedent(f"""
+        WITH sized AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.doc_id, r.lang
+        FROM ranked r
+        JOIN sized s ON s.lang = r.lang
+        WHERE r.rn <= CEIL({STRATUM_FRAC} * s.n)
+    """)
+
+
+register_sql(
+    "sample_stratified",
+    _sample_stratified,
+    doc=f"Exact-quota stratified sample: ceil({STRATUM_FRAC:.0%}) of each "
+    "language by hash order.",
+)

@@ -277,3 +277,94 @@ GROUP BY user_id % 10, event_type
 """,
     doc="UNPIVOT/stack back to long form (round-trips the pivot).",
 )
+
+
+def _funnel(d: str) -> str:
+    """view → click → purchase conversion funnel, strictly ordered per
+    user with a 7-day conversion window per step.
+
+    The distributed shape is three grouped MINs joined on user_id (each a
+    bounded shuffle on the same key, so AQE co-locates them) — never a
+    per-user sort of full event history. Semantics: earliest view, then
+    earliest click AFTER it within 7 days, then earliest purchase after
+    that within 7 days; COUNTs are tie-invariant so both engines agree.
+    """
+    week = str(7 * 86400)
+    return f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > v.t1 AND e.ts <= {dl.secadd('v.t1', week, d)}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.t2 AND e.ts <= {dl.secadd('c.t2', week, d)}
+    GROUP BY e.user_id
+)
+SELECT stage, stage_ord, n_users FROM (
+    SELECT 'view' AS stage, 1 AS stage_ord, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'click' AS stage, 2 AS stage_ord, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, 3 AS stage_ord, COUNT(*) AS n_users FROM p
+) f
+"""
+
+
+register_sql(
+    "funnel_conversion",
+    _funnel,
+    doc="3-stage ordered conversion funnel (7-day step window), "
+    "grouped-MIN joins on user_id — no per-user history sort.",
+)
+
+
+def _cohort_retention(d: str) -> str:
+    """Weekly cohort retention: users bucketed by first-seen week, counted
+    as retained in each later week they are active.
+
+    cohort = tumble(first event, 7d); offset = whole weeks between the
+    activity week and the cohort week. One grouped MIN (cohort), one
+    DISTINCT user-week projection, one join on user_id, one grouped
+    COUNT(DISTINCT) — all shuffles keyed on user_id or the tiny
+    (cohort, offset) pair; nothing is per-user sorted.
+    """
+    week_s = 7 * 86400
+    cohort = dl.tumble_start("f.first_ts", week_s, d)
+    actweek = dl.tumble_start("e.ts", week_s, d)
+    offset = dl.intdiv(
+        f"({dl.epoch_s('w.act_week', d)} - {dl.epoch_s('w.cohort_week', d)})",
+        str(week_s),
+        d,
+    )
+    return f"""
+WITH f AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+w AS (
+    SELECT DISTINCT e.user_id,
+           {cohort} AS cohort_week,
+           {actweek} AS act_week
+    FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       CAST({offset} AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM w
+GROUP BY cohort_week, CAST({offset} AS INT)
+"""
+
+
+register_sql(
+    "cohort_retention",
+    _cohort_retention,
+    doc="Weekly cohort retention matrix (first-seen week × week offset).",
+)

@@ -102,11 +102,23 @@ def register_df(
 #: range-residual winning bid, hopping join-on-aggregate, narrow top-k).
 _PROMOTE = ["nexmark_q3", "nexmark_q4", "nexmark_q5", "nexmark_q9"]
 
-#: Rows-only entries deferred past the budget: each is redundant with a
-#: stronger in-budget representative (kmeans_assign is the oracle-checked
-#: clustering entry; kmeans_lloyd adds only a rows-count to driver eyes
-#: and keeps its full pytest inertia contract regardless of order).
-_DEFER = ["kmeans_lloyd"]
+#: Entries deferred past the budget: each is redundant with a stronger
+#: in-budget representative of the same operator class, and keeps its
+#: full pytest oracle/contract regardless of order. kmeans_assign covers
+#: clustering (lloyd adds the loop), multimodal_decode covers the
+#: mapInPandas plumbing (framesample adds N→M), pivot covers unpivot,
+#: text_stats covers tokenization, subq_correlated is the harder subquery
+#: shape, win_analytics+win_rows_frame cover frames/ranking, and core's
+#: projections cover the elementwise epoch bucket.
+_DEFER = [
+    "kmeans_lloyd",
+    "multimodal_framesample",
+    "unpivot_event_matrix",
+    "token_count",
+    "subq_scalar_in",
+    "win_cumulative",
+    "win_elementwise_epoch",
+]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
 #: calls find every module already imported, so the "registered before
@@ -132,6 +144,7 @@ def load_all() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         asof,
         clustering,
+        curation,
         dedup,
         multimodal,
         pipeline,
