@@ -161,6 +161,28 @@ def word_shingles(toks: str, w: int, d: str) -> str:
     )
 
 
+def pos_shingle_fanout(w: int, d: str) -> tuple[str, str]:
+    """(lateral_clause, shingle_expr) over a token-array column ``tk``:
+    explode integer positions, render ONE word w-gram per output row.
+
+    Use this instead of ``explode(word_shingles(...))`` whenever shingles
+    become rows: Spark re-does the array lambda's work per exploded row —
+    quadratic in tokens per doc (measured 6x end-to-end on 5k docs).
+    Rows with < w tokens explode an empty sequence and produce nothing.
+    """
+    if d == SPARK:
+        return (
+            f"LATERAL VIEW explode(CASE WHEN size(tk) >= {w} "
+            f"THEN sequence(1, size(tk) - {w - 1}) ELSE array() END) g AS pos",
+            f"concat_ws(' ', slice(tk, pos, {w}))",
+        )
+    return (
+        f", unnest(CASE WHEN len(tk) >= {w} "
+        f"THEN generate_series(1, len(tk) - {w - 1}) ELSE [] END) AS g(pos)",
+        f"array_to_string(list_slice(tk, pos, pos + {w - 1}), ' ')",
+    )
+
+
 def unnest_fn(d: str) -> str:
     """Array-to-rows generator function name (1 array col in SELECT)."""
     return "explode" if d == SPARK else "unnest"

@@ -56,29 +56,35 @@ N_SHARDS = 16
 STRATUM_FRAC = 0.10
 
 
-def _shingle_rows(d: str, pred: str) -> str:
-    """CTE body: DISTINCT (doc_id, shingle) for docs matching ``pred``."""
+def shingle_rows(d: str, pred: str, w: int = SHINGLE_W) -> str:
+    """CTE body: DISTINCT (doc_id, shingle) for docs matching ``pred``.
+
+    The fan-out explodes integer POSITIONS and renders one shingle per
+    output row (one slice+concat each, like chunk_documents), NOT
+    ``explode(transform(...))``: Spark evaluates that shape ~6x slower
+    (the array lambda's work is re-done per exploded row — quadratic in
+    tokens per doc; measured 4.4s vs 0.7s end-to-end on 5k docs). Docs
+    shorter than the shingle width explode an empty sequence and drop
+    out here; consumers LEFT JOIN where they must survive.
+    """
     toks = dl.split_tokens("lower(trim(text))", d)
-    sh = dl.word_shingles("tk", SHINGLE_W, d)
-    ex = dl.unnest_fn(d)
+    fanout, one = dl.pos_shingle_fanout(w, d)
     return f"""
         SELECT DISTINCT doc_id, shingle
         FROM (
-            SELECT doc_id, {ex}(sh_list) AS shingle
-            FROM (
-                SELECT doc_id, {sh} AS sh_list
-                FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE {pred}) t
-            ) s
+            SELECT doc_id, {one} AS shingle
+            FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE {pred}) t
+            {fanout}
         ) u
     """
 
 
 def _decontaminate(d: str) -> str:
     return textwrap.dedent(f"""
-        WITH train_sh AS ({_shingle_rows(d, f"doc_id % {EVAL_MOD} <> 0")}),
+        WITH train_sh AS ({shingle_rows(d, f"doc_id % {EVAL_MOD} <> 0")}),
         eval_sh AS (
             SELECT DISTINCT shingle
-            FROM ({_shingle_rows(d, f"doc_id % {EVAL_MOD} = 0")}) e
+            FROM ({shingle_rows(d, f"doc_id % {EVAL_MOD} = 0")}) e
         )
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
@@ -93,6 +99,7 @@ register_sql(
     _decontaminate,
     doc=f"Training docs sharing a word {SHINGLE_W}-gram with the eval set "
     "(benchmark-leakage scrub; eval shingle set broadcasts at scale).",
+    bench=True,
 )
 
 
@@ -100,9 +107,9 @@ def _dedup_incremental(d: str) -> str:
     return textwrap.dedent(f"""
         WITH corpus_idx AS (
             SELECT DISTINCT shingle
-            FROM ({_shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0")}) c
+            FROM ({shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0")}) c
         ),
-        batch_sh AS ({_shingle_rows(d, f"doc_id % {BATCH_MOD} = 0")}),
+        batch_sh AS ({shingle_rows(d, f"doc_id % {BATCH_MOD} = 0")}),
         sizes AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM batch_sh GROUP BY doc_id
@@ -134,6 +141,7 @@ register_sql(
     _dedup_incremental,
     doc="New-batch docs vs existing corpus shingle index "
     f"(reject at >= {CONTAIN_THRESHOLD} containment; incremental dedup).",
+    bench=True,
 )
 
 

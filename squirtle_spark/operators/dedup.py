@@ -73,18 +73,10 @@ def _ngram_jaccard(d: str) -> str:
     """
     import textwrap
 
-    toks = dl.split_tokens("lower(trim(text))", d)
-    sh = dl.word_shingles("tk", SHINGLE_W, d)
-    ex = dl.unnest_fn(d)
+    from .curation import shingle_rows
+
     return textwrap.dedent(f"""
-        WITH doc_sh AS (
-            SELECT doc_id, {sh} AS sh_list
-            FROM (SELECT doc_id, {toks} AS tk FROM documents) t
-        ),
-        sh_rows AS (
-            SELECT DISTINCT doc_id, shingle
-            FROM (SELECT doc_id, {ex}(sh_list) AS shingle FROM doc_sh) u
-        ),
+        WITH sh_rows AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
         sizes AS (
             SELECT doc_id, COUNT(*) AS n_sh FROM sh_rows GROUP BY doc_id
         ),
@@ -193,7 +185,14 @@ register_df(
 
 
 def _shingled(spark) -> DataFrame:
-    """documents → (doc_id, shingle) — word w-grams of normalized text."""
+    """documents → (doc_id, shingle) — word w-grams of normalized text.
+
+    Positions are exploded and ONE shingle rendered per output row —
+    explode(transform(...)) re-does the whole array lambda per exploded
+    row, quadratic in tokens per doc (see curation.shingle_rows). Unlike
+    the SQL path, sub-width docs keep one truncated shingle (sequence
+    floor of 1), preserving this pipeline's historical signatures.
+    """
     docs = spark.table("documents")
     return (
         docs.select(
@@ -202,12 +201,14 @@ def _shingled(spark) -> DataFrame:
         )
         .select(
             "doc_id",
+            "toks",
             F.explode(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(toks) - {SHINGLE_W}, 0)),"
-                    f" i -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_W})))"
-                )
-            ).alias("shingle"),
+                F.expr(f"sequence(1, greatest(size(toks) - {SHINGLE_W - 1}, 1))")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(toks, pos, {SHINGLE_W}))").alias("shingle"),
         )
         .distinct()
     )

@@ -298,8 +298,8 @@ def _repetition(d: str) -> str:
     per-row quadratic lambda, so arbitrarily long documents stay cheap);
     int/int division is a single IEEE op, bitwise-equal across engines."""
     toks = dl.split_tokens("lower(text)", d)
-    bigrams = dl.word_shingles(toks, 2, d)
     un = dl.unnest_fn(d)
+    bg_fanout, bg_one = dl.pos_shingle_fanout(2, d)
     return f"""
 WITH tok AS (
     SELECT doc_id, {un}({toks}) AS t FROM documents
@@ -315,7 +315,9 @@ tok_stats AS (
     FROM tok_counts GROUP BY doc_id
 ),
 bg AS (
-    SELECT doc_id, {un}({bigrams}) AS b FROM documents
+    SELECT doc_id, {bg_one} AS b
+    FROM (SELECT doc_id, {toks} AS tk FROM documents) tt
+    {bg_fanout}
 ),
 bg_counts AS (
     SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b

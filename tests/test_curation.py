@@ -1,0 +1,165 @@
+"""Planted-case semantics for the corpus-curation + funnel operators.
+
+The DuckDB oracle (test_oracle.py) proves both engines compute the same
+thing; these tests prove it is the RIGHT thing, on inputs constructed so
+each rule (overlap detection, containment threshold, quota, step order)
+has a known answer.
+"""
+
+from pyspark.sql import functions as F
+
+from squirtle_spark import catalog
+from squirtle_spark import dialect as dl
+from squirtle_spark.operators import curation
+from squirtle_spark.queries import analytics
+
+
+def _plant_documents(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents")
+    catalog.invalidate(spark)
+
+
+def _plant_events(spark, rows):
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+
+
+def test_decontaminate_flags_only_overlapping_train_docs(spark):
+    # doc 10 is eval (10 % EVAL_MOD == 0); doc 11 shares two 5-grams with
+    # it; doc 13 shares none.
+    _plant_documents(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta", "en"),
+            (11, "alpha beta gamma delta epsilon zeta eta", "en"),
+            (13, "one two three four five six seven", "en"),
+        ],
+    )
+    try:
+        got = {
+            r["doc_id"]: r["n_shared_ngrams"]
+            for r in spark.sql(curation._decontaminate(dl.SPARK)).collect()
+        }
+        assert got == {11: 2}
+    finally:
+        catalog.invalidate(spark)
+
+
+def test_dedup_incremental_containment_threshold(spark):
+    # corpus = doc_id % 4 != 0 (docs 1), batch = % 4 == 0 (docs 4, 8, 12).
+    # doc 4 repeats corpus text verbatim -> containment 1.0 -> rejected;
+    # doc 8 is novel -> accepted; doc 12 is too short to shingle ->
+    # accepted with containment 0.
+    _plant_documents(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (4, "the quick brown fox jumps over the lazy dog", "en"),
+            (8, "completely different words appear in this new document", "en"),
+            (12, "too short", "en"),
+        ],
+    )
+    try:
+        rows = {
+            r["doc_id"]: (r["status"], r["containment"])
+            for r in spark.sql(curation._dedup_incremental(dl.SPARK)).collect()
+        }
+        assert rows[4] == ("dup_of_corpus", 1.0)
+        assert rows[8][0] == "accepted" and rows[8][1] == 0.0
+        assert rows[12] == ("accepted", 0.0)
+    finally:
+        catalog.invalidate(spark)
+
+
+def test_shard_corpus_stable_total_order(spark, sf_dir):
+    catalog.register_all(spark, sf_dir)
+    a = spark.sql(curation._shard_corpus(dl.SPARK)).collect()
+    b = spark.sql(curation._shard_corpus(dl.SPARK)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard_id"] < curation.N_SHARDS
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    # positions are 1..n contiguous within every shard
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_sample_stratified_exact_quota(spark):
+    _plant_documents(
+        spark,
+        [(i, f"text {i}", "en") for i in range(10)]
+        + [(100 + i, f"andere {i}", "de") for i in range(3)],
+    )
+    try:
+        got = spark.sql(curation._sample_stratified(dl.SPARK)).collect()
+        by_lang: dict[str, int] = {}
+        for r in got:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        assert by_lang == {"en": 1, "de": 1}  # ceil(0.1*10), ceil(0.1*3)
+    finally:
+        catalog.invalidate(spark)
+
+
+def test_funnel_requires_step_order_within_window(spark):
+    t = "2024-01-0{d} {h:02d}:00:00"
+    _plant_events(
+        spark,
+        [
+            # user 1: full ordered funnel within windows
+            (t.format(d=1, h=0), 1, "view"),
+            (t.format(d=1, h=1), 1, "click"),
+            (t.format(d=1, h=2), 1, "purchase"),
+            # user 2: view only
+            (t.format(d=1, h=0), 2, "view"),
+            # user 3: click BEFORE its view -> stuck at stage 1
+            (t.format(d=1, h=0), 3, "click"),
+            (t.format(d=1, h=1), 3, "view"),
+            # user 4: click 8 days after view -> outside the 7-day window
+            (t.format(d=1, h=0), 4, "view"),
+            ("2024-01-09 01:00:00", 4, "click"),
+        ],
+    )
+    try:
+        got = {
+            r["stage"]: r["n_users"]
+            for r in spark.sql(analytics._funnel(dl.SPARK)).collect()
+        }
+        assert got == {"view": 4, "click": 1, "purchase": 1}
+    finally:
+        catalog.invalidate(spark)
+
+
+def test_cohort_retention_offsets(spark):
+    # weeks are 7-day tumbles from the unix epoch; 2024-01-04 starts one
+    # (1970-01-01 + 2818*7d). user 1 active in weeks 0 and 2, user 2 in
+    # week 0 only, user 3 first seen in week 1.
+    _plant_events(
+        spark,
+        [
+            ("2024-01-04 00:00:00", 1, "view"),
+            ("2024-01-19 00:00:00", 1, "click"),
+            ("2024-01-04 12:00:00", 2, "view"),
+            ("2024-01-11 00:00:00", 3, "view"),
+        ],
+    )
+    try:
+        rows = spark.sql(analytics._cohort_retention(dl.SPARK)).collect()
+        got = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_active"] for r in rows
+        }
+        assert got == {
+            ("2024-01-04 00:00:00", 0): 2,
+            ("2024-01-04 00:00:00", 2): 1,
+            ("2024-01-11 00:00:00", 0): 1,
+        }
+    finally:
+        catalog.invalidate(spark)
