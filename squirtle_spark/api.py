@@ -157,6 +157,14 @@ def run_streaming(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError("elementwise replay still running")
+        if "s" not in fired_schema:
+            # Zero micro-batches fired (empty epoch dir): derive the output
+            # schema by planning the SQL over an empty slice of the stream.
+            empty = spark.createDataFrame([], stream.schema)
+            empty.createOrReplaceTempView(query.view)
+            fired_schema["s"] = (
+                spark.sql(query.sql).withColumn("win_start", F.lit(0).cast("long")).schema
+            )
         return spark.createDataFrame(fired, fired_schema["s"])
 
     # tumbling/hopping: distributed window ASSIGNMENT on event time, rows

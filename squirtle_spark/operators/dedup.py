@@ -124,12 +124,19 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(32):  # >= log2(diameter) for any plausible graph
+    # Plain min-label propagation advances a component's min label at least
+    # one hop per round, so worst case is O(component DIAMETER) rounds, not
+    # O(log diameter) — the cap must be validated, never trusted.
+    max_rounds = 256
+    converged = False
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["node"])
             .groupBy("doc_a")
@@ -141,6 +148,10 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
+            # Truncate lineage each round: without this, every `changed`
+            # count re-executes the whole 2-joins-per-iteration history
+            # (quadratic recompute, unbounded plan depth).
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -151,7 +162,13 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation not converged after "
+            f"{max_rounds} rounds (component diameter exceeds the cap)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -151,7 +151,9 @@ def run_nexmark_q5_stream(
         .agg(F.count("*").alias("num"))
     )
 
-    final: dict = {}
+    # Pre-seeded so a zero-batch replay (empty/missing epoch dir) returns
+    # an empty result instead of a KeyError.
+    final: dict = {"df": []}
 
     def hot_items(batch_df: DataFrame, epoch_id: int) -> None:
         maxes = batch_df.groupBy("window").agg(F.max("num").alias("maxn"))
@@ -214,7 +216,7 @@ def run_nexmark_q7_stream(
         .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
         .withColumn("w", F.window("b_date_time", "10 seconds"))
     )
-    final: dict = {}
+    final: dict = {"rows": []}
 
     def winners(batch_df: DataFrame, epoch_id: int) -> None:
         hot = (
@@ -390,10 +392,17 @@ def upsert_sink(
         touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
         if not touched:
             return
-        try:
+        # Existence is checked explicitly (Hadoop FS) instead of catching
+        # read errors: a transient read failure must PROPAGATE so the
+        # micro-batch retries — swallowing it would silently replace every
+        # touched bucket with batch-only contents, losing upserted keys.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             existing = spark.read.parquet(path).where(F.col("_bucket").isin(touched))
             merged = existing.unionByName(b)
-        except Exception:  # first batch: nothing to merge yet
+        else:  # first batch: nothing to merge yet
             merged = b
         w = (
             "(PARTITION BY "
