@@ -117,6 +117,33 @@ def datefmt(ts: str, kind: str, d: str) -> str:
     return f"{fn}({ts}, '{pats[d][kind]}')"
 
 
+def md5_i64(expr: str, d: str) -> str:
+    """Deterministic 60-bit positive BIGINT hash of a string expression,
+    bit-identical across engines (verified: both parse the first 15 hex
+    chars of md5 to the same integer). The cross-engine replacement for
+    xxhash64 wherever the oracle must replay a hash-dependent pipeline;
+    at production scale the same structure runs on xxhash64 (cheaper,
+    same width) when oracle replay isn't needed."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def bxor(a: str, b: str, d: str) -> str:
+    """Bitwise XOR of two BIGINTs."""
+    if d == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
+
+
+def shiftr(x: str, n: str, d: str) -> str:
+    """Bitwise right shift (arithmetic in both engines; callers keep
+    operands non-negative so the distinction never bites)."""
+    if d == SPARK:
+        return f"shiftright({x}, {n})"
+    return f"({x} >> ({n}))"
+
+
 def regex_replace_all(s: str, pat: str, rep: str, d: str) -> str:
     """Replace ALL matches (DuckDB needs the explicit 'g' flag)."""
     if d == SPARK:

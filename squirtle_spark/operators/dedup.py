@@ -14,9 +14,12 @@ Three tiers, all shuffle-bounded (never all-pairs):
 - **SimHash**: 32-bit signature from token-hash bit votes; candidates from
   4×8-bit band buckets; Hamming-distance verification via bit_count(xor).
 
-All hashing is Spark's xxhash64 (JVM-side, codegen'd); no Python in the hot
-path. Oracle note: xxhash64 isn't reproducible in DuckDB, so the fuzzy ops
-use the driver's rows-only check; exact dedup is fully oracle-checked.
+All hashing is JVM-side SQL (no Python in any hot path) and md5-derived so
+every pipeline — including the fuzzy ones — replays bit-identically in the
+DuckDB oracle (dialect.md5_i64). The permutation family is universal
+hashing (a_i·x + b_i mod p) over ONE base hash per shingle, so widening to
+more permutations costs integer ops, not extra hashing; swap the base hash
+to xxhash64 for production runs where oracle replay isn't needed.
 """
 
 from __future__ import annotations
@@ -201,176 +204,177 @@ register_df(
 )
 
 
-def _shingled(spark) -> DataFrame:
-    """documents → (doc_id, shingle) — word w-grams of normalized text.
+def _perm_consts() -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a, b) per permutation.
 
-    Positions are exploded and ONE shingle rendered per output row —
-    explode(transform(...)) re-does the whole array lambda per exploded
-    row, quadratic in tokens per doc (see curation.shingle_rows). Unlike
-    the SQL path, sub-width docs keep one truncated shingle (sequence
-    floor of 1), preserving this pipeline's historical signatures.
+    a < 2^30 and x < 2^32 keep a*x + b under 2^62 — overflow-free signed
+    64-bit arithmetic in BOTH engines (verified identical results).
     """
-    docs = spark.table("documents")
-    return (
-        docs.select(
-            "doc_id",
-            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(
-                F.expr(f"sequence(1, greatest(size(toks) - {SHINGLE_W - 1}, 1))")
-            ).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            F.expr(f"concat_ws(' ', slice(toks, pos, {SHINGLE_W}))").alias("shingle"),
-        )
-        .distinct()
-    )
+    import random
+
+    rng = random.Random(2024)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(N_MINHASH)
+    ]
 
 
-def _minhash_pairs(spark, sf_dir) -> DataFrame:
-    sh = _shingled(spark)
-    # All permutations in ONE grouped aggregation: min(xxhash64(seed_i, shingle)),
-    # plus the per-doc shingle count for the Jaccard denominator — folding it
-    # here saves a full recompute of the shingle relation (sh rows are
-    # distinct, so count(*) == |shingle set|). (Wide-agg codegen has a fixed
-    # JIT cost; per-row cost stays O(n_perm).)
-    sig = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"),
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ],
-    )
-    # Band signatures: hash each band's minhashes together; rows stay narrow
-    # (doc_id, band, band_hash) so the bucket join shuffles no payload.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.band_hash")
+MH_PRIME = 4294967311  # smallest prime > 2^32
 
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash"),
-            ["band", "band_hash"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
 
-    # Exact-Jaccard verification on candidates only, via shingle equi-joins —
-    # no per-doc arrays are materialized or shuffled, so the same plan holds
-    # when documents are billions of rows. (At that scale the shingle
-    # relation — still referenced twice below — would be checkpointed once
-    # rather than recomputed; locally recompute is cheaper than the write.)
-    sizes = sig.select("doc_id", "n_sh")
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+def _minhash_lsh(d: str) -> str:
+    """MinHash-LSH near-dup pairs, dialect-shared SQL (full value oracle).
+
+    Pipeline (flock has no fuzzy dedup — beyond-parity, the Flink/Spark
+    corpus-dedup design): word-3-gram shingles → ONE 60-bit md5 base hash
+    per shingle → 32 minhash permutations as (a_i*x + b_i) mod p in a
+    single grouped aggregation (integer ops, no 32× hashing) → 8 bands ×
+    4 rows banded into bucket keys (candidate threshold ≈ (1/8)^(1/4) ≈
+    0.59 Jaccard) → bucket self-join → exact-Jaccard verify on candidates
+    only via shingle equi-joins. Never all-pairs: the join is |bucket|²,
+    the property that keeps this runnable at 100 TB. All hashes are
+    md5-based so DuckDB replays the pipeline bit-identically (the
+    xxhash64 variant is a drop-in when oracle replay isn't needed — same
+    plan, cheaper hash). At cluster scale the shingle CTE (referenced by
+    signature build and verify) would be checkpointed once; Spark inlines
+    CTEs, and locally recompute is cheaper than the write.
+    """
+    import textwrap
+
+    from .curation import shingle_rows
+
+    perms = _perm_consts()
+    mh_cols = ",\n      ".join(
+        f"MIN(({a} * x + {b}) % {MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(perms)
     )
-    return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+    band_cases = "\n        ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=dl.md5_i64(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"CAST(mh{b * ROWS_PER_BAND + r} AS STRING)"
+                    for r in range(ROWS_PER_BAND)
+                )
+                + ")",
+                d,
             ),
         )
-        .where(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
+        for b in range(N_BANDS)
     )
+    return textwrap.dedent(f"""
+        WITH sh AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
+        hashed AS (
+            SELECT doc_id, ({dl.md5_i64("'mh|' || shingle", d)}) & 4294967295 AS x
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, COUNT(*) AS n_sh,
+              {mh_cols}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id,
+                   band,
+                   CASE band
+                     {band_cases}
+                   END AS band_hash
+            FROM sig {dl.lateral_series(N_BANDS, "band", d)}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, n_sh FROM sig),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """)
 
 
-register_df(
+register_sql(
     "dedup_minhash_lsh",
-    _minhash_pairs,
+    _minhash_lsh,
     doc="MinHash-LSH near-dup pairs: banded buckets → candidate join → exact-Jaccard verify.",
     bench=True,
 )
 
 
-def _simhash_pairs(spark, sf_dir) -> DataFrame:
-    docs = spark.table("documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')")
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {k}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{k}")
-            for k in range(SIMHASH_BITS)
-        ]
-    )
-    bit_sum = " + ".join(
-        f"(CASE WHEN v{k} > 0 THEN CAST(pow(2, {k}) AS BIGINT) ELSE 0L END)"
+def _simhash(d: str) -> str:
+    """SimHash near-dup pairs, dialect-shared SQL (full value oracle).
+
+    One md5-based 32-bit hash per token OCCURRENCE (frequency-weighted
+    bit votes, the canonical simhash); 32 bit-vote sums in one grouped
+    aggregation; signature assembled from vote signs; candidates from
+    4 × 8-bit band buckets (any pair within Hamming distance 3 shares at
+    least one intact band — pigeonhole); Hamming verify via
+    bit_count(xor). Bucketed, never all-pairs.
+    """
+    import textwrap
+
+    toks = dl.split_tokens("lower(trim(text))", d)
+    un = dl.unnest_fn(d)
+    h = dl.md5_i64("'sh|' || tok", d)
+    vote_cols = ",\n      ".join(
+        f"SUM(CASE WHEN ({dl.shiftr('h', str(k), d)}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
         for k in range(SIMHASH_BITS)
     )
-    sig = votes.select("doc_id", F.expr(f"({bit_sum})").alias("simhash"))
-
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(SIMHASH_BITS)
+    )
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(f"(simhash >> {b * chunk_bits}) & {mask}").alias("chunk"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "simhash", "bs.band", "bs.chunk")
+    chunk = f"({dl.shiftr('simhash', f'band * {chunk_bits}', d)}) & {mask}"
+    hamming = f"CAST(bit_count({dl.bxor('sh_a', 'sh_b', d)}) AS INT)"
+    return textwrap.dedent(f"""
+        WITH toks AS (
+            SELECT doc_id, {un}(tk) AS tok
+            FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+        ),
+        th AS (
+            SELECT doc_id, ({h}) & 4294967295 AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+              {vote_cols}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM votes
+        ),
+        bands AS (
+            SELECT doc_id, simhash, band, {chunk} AS chunk
+            FROM sig {dl.lateral_series(SIMHASH_BANDS, "band", d)}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a
+            JOIN bands b
+              ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, {hamming} AS hamming
+        FROM cand
+        WHERE {hamming} <= {HAMMING_MAX}
+        """)
 
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
-    )
-    return (
-        left.join(right, ["band", "chunk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= HAMMING_MAX)
-    )
 
-
-register_df(
+register_sql(
     "dedup_simhash",
-    _simhash_pairs,
+    _simhash,
     doc="SimHash near-dup pairs: bit-vote signatures, banded buckets, Hamming verify.",
 )

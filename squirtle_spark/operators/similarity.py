@@ -10,10 +10,13 @@ Two paths:
   sign bits each; candidates are the union of same-(table, bucket) pairs.
   Multiple tables are what make hyperplane LSH usable when neighbors are
   weak (P[hit] = 1-(1-p^k)^L): one table's miss is another's hit. Scan
-  fraction ≈ L/2^k of the corpus. Approximate → rows-only check; recall
-  vs the exact baseline is pytest-asserted (tests/test_similarity.py).
+  fraction ≈ L/2^k of the corpus. Approximate vs brute force but
+  deterministic given the seeded planes, so the DuckDB oracle REPLAYS the
+  same bucketing for a full value-level check; recall vs the exact
+  baseline is additionally pytest-asserted (tests/test_similarity.py).
 - **IVF top-k** — coarse-centroid cells + N_PROBE-cell probing; the
-  partition-pruning design real vector stores use at scale.
+  partition-pruning design real vector stores use at scale. Same story:
+  deterministic index build → oracle replays it.
 
 Cosine similarities are rounded to 4 decimals before ranking so Spark's
 fold order and the oracle's (DuckDB list_cosine_similarity) agree
@@ -150,10 +153,66 @@ def _ann_lsh(spark, sf_dir) -> DataFrame:
     )
 
 
+def _duck_buckets_cte() -> str:
+    """DuckDB CTE replaying the EXACT multi-table LSH bucketing the Spark
+    path computes: same seeded planes (shared ``_planes()`` literals), same
+    sign-bit buckets. Hyperplane LSH is deterministic given the planes, so
+    the 'approximate' pipeline is still value-level checkable — the oracle
+    runs the same algorithm, not a looser bound. (Sign flips would need a
+    plane dot within float-fold error of 0 — not present in the fixtures.)
+    """
+    planes = _planes(L_TABLES * N_PLANES)
+    tables = []
+    for t in range(L_TABLES):
+        bits = []
+        for j in range(N_PLANES):
+            arr = "[" + ",".join(f"{x}.0" for x in planes[t * N_PLANES + j]) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, v, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM e"
+        )
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "tb AS (\n    " + "\n    UNION ALL ".join(tables) + "\n)"
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+WITH {_duck_buckets_cte()},
+q AS (SELECT vec_id AS q_id, tbl, bucket FROM tb WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS c_id, tbl, bucket FROM tb),
+cand AS (
+    SELECT DISTINCT q_id, c_id
+    FROM q JOIN c USING (tbl, bucket)
+    WHERE q_id <> c_id
+),
+scored AS (
+    SELECT cand.q_id, cand.c_id,
+           round(list_cosine_similarity(eq.v, ec.v), 4) AS cos_sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.q_id
+    JOIN e ec ON ec.vec_id = cand.c_id
+)
+SELECT q_id, c_id, cos_sim, rank
+FROM (
+    SELECT q_id, c_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 register_df(
     "ann_lsh_topk",
     _ann_lsh,
-    doc="Multi-table hyperplane-LSH cosine top-k: L tables bound the join (approximate).",
+    oracle_body=_ann_lsh_oracle(),
+    doc="Multi-table hyperplane-LSH cosine top-k: L tables bound the join "
+    "(approximate vs brute force, but deterministic — the oracle replays "
+    "the same planes/buckets).",
 )
 
 
@@ -232,18 +291,81 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
     )
 
 
+def _ann_ivf_oracle() -> str:
+    """DuckDB replay of the IVF index build + probe. The centroids are the
+    deterministic corpus sample (vec_id {N_QUERIES}..{N_QUERIES+N_CELLS-1})
+    read straight from the table, so the oracle needs no driver-side
+    collect; sim = dot/|centroid| matches the Spark formula, and the
+    argmax/probe orderings (sim DESC, cell DESC) mirror Spark's
+    lexicographic array_max / reverse(array_sort)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+    SELECT vec_id - {N_QUERIES} AS cell, v AS cv
+    FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+sims AS (
+    SELECT e.vec_id, cents.cell,
+           list_dot_product(e.v, cents.cv) / sqrt(list_dot_product(cents.cv, cents.cv)) AS sim
+    FROM e, cents
+),
+home AS (
+    SELECT vec_id AS c_id, cell
+    FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        FROM sims
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS q_id, cell
+    FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        FROM sims WHERE vec_id < {N_QUERIES}
+    ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+    SELECT p.q_id, h.c_id,
+           round(list_cosine_similarity(eq.v, ec.v), 4) AS cos_sim
+    FROM probes p
+    JOIN home h USING (cell)
+    JOIN e eq ON eq.vec_id = p.q_id
+    JOIN e ec ON ec.vec_id = h.c_id
+    WHERE p.q_id <> h.c_id
+)
+SELECT q_id, c_id, cos_sim, rank
+FROM (
+    SELECT q_id, c_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 register_df(
     "ann_ivf_topk",
     _ann_ivf,
-    doc="IVF ANN top-k: coarse-cell assignment + N_PROBE cell pruning (approximate).",
+    oracle_body=_ann_ivf_oracle(),
+    doc="IVF ANN top-k: coarse-cell assignment + N_PROBE cell pruning "
+    "(approximate vs brute force; oracle replays the same index build).",
 )
+
+
+# Near-dup cosine threshold. In production this sits near 0.9 (true
+# near-dups, which multi-table LSH essentially never misses); the fixture
+# embeddings are independent random vectors whose max pairwise cosine is
+# ~0.44, so the operator pins the knob at 0.35 to exercise the full
+# bucket-join + threshold path on real (non-empty) output.
+NEARDUP_MIN_COS = 0.35
 
 
 def _embed_neardup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-(table, bucket)
     candidates only (multi-table hyperplane LSH), cosine ≥ threshold. The
     all-pairs version of this is the canonical 100 TB killer; bucketing
-    bounds it, and near-dups (cosine ≥ 0.9 ⇒ tiny plane-disagreement
+    bounds it, and true near-dups (cosine ≥ 0.9 ⇒ tiny plane-disagreement
     probability) are exactly the pairs multi-table LSH rarely misses."""
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -256,12 +378,34 @@ def _embed_neardup(spark, sf_dir) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round(_cosine("va", "vb"), 4).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.9)
+        .where(F.col("cos_sim") >= NEARDUP_MIN_COS)
     )
+
+
+def _embed_neardup_oracle() -> str:
+    return f"""
+WITH {_duck_buckets_cte()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM tb a
+    JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim
+FROM (
+    SELECT cand.id_a, cand.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+)
+WHERE cos_sim >= {NEARDUP_MIN_COS}
+"""
 
 
 register_df(
     "embed_neardup_cosine",
     _embed_neardup,
-    doc="Embedding near-dup pairs: LSH-bucketed candidate join + cosine threshold.",
+    oracle_body=_embed_neardup_oracle(),
+    doc="Embedding near-dup pairs: LSH-bucketed candidate join + cosine threshold "
+    "(oracle replays the same buckets).",
 )
