@@ -78,6 +78,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 # SinglePartition exchange is a scale regression.
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
+    "funnel_conversion",  # three global COUNT(*) stage totals (tiny partials)
     "nexmark_q12_invariant",
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "text_length_quantiles",
