@@ -130,6 +130,32 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
         )
         wall_full = time.perf_counter() - t0
 
+        # Full q8: genuine stream-stream windowed join (person ⋈ auction)
+        # over generated entity streams at the same event-time span.
+        persons = sources.nexmark_persons(spark, 10 * events_per_sec, seconds)
+        auctions = sources.nexmark_auctions(spark, 10 * events_per_sec, seconds)
+        n_q8 = persons.count() + auctions.count()
+        for df, ts, sub in (
+            (persons, "p_date_time", "p"),
+            (auctions, "a_date_time", "a"),
+        ):
+            streaming.write_epoch_files(
+                df.withColumn(
+                    "epoch", F.unix_timestamp(F.col(ts).cast("timestamp")) % 100000
+                ),
+                f"{tmp}/{sub}",
+            )
+        t0 = time.perf_counter()
+        streaming.run_nexmark_q8_stream(
+            spark,
+            f"{tmp}/p",
+            f"{tmp}/a",
+            checkpoint=f"{tmp}/ckpt-q8",
+            size_s=10,
+            files_per_trigger=30,
+        )
+        wall_q8 = time.perf_counter() - t0
+
         # YSB end-to-end stream (filter + broadcast campaign join + tumbling
         # counts) at the same generated scale.
         ads = sources.ysb_ad_events(spark, events_per_sec, seconds)
@@ -153,6 +179,9 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
             "q5_microbatch_latency_sec": round(wall_lat / n_batches_lat, 3),
             "q5_full_query_wall_sec": round(wall_full, 3),
             "q5_full_query_events_per_sec": round(n / wall_full, 1),
+            "q8_events": n_q8,
+            "q8_full_query_wall_sec": round(wall_q8, 3),
+            "q8_full_query_events_per_sec": round(n_q8 / wall_q8, 1),
             "ysb_events": n_ads,
             "ysb_wall_sec": round(wall_ysb, 3),
             "ysb_events_per_sec": round(n_ads / wall_ysb, 1),

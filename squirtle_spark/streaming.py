@@ -245,6 +245,63 @@ def run_nexmark_q7_stream(
     )
 
 
+def run_nexmark_q8_stream(
+    spark: SparkSession,
+    persons_path: str,
+    auctions_path: str,
+    *,
+    checkpoint: str,
+    size_s: int = 86_400,
+    watermark: str = "30 days",
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Full NEXMark q8 (new users who opened auctions) as a genuine
+    STREAM-STREAM join: person and auction replays each get event-time
+    watermarks and a tumbling-window column, and join on
+    (p_id = seller AND same window) — the window-equality join pattern,
+    where matching is bounded per window and watermarks let Spark evict
+    both sides' state one window after the event-time frontier passes
+    (flock executes the same join per collected window,
+    benchmarks/src/nexmark/query/q8.sql; Spark subsumes the collect step
+    with join state). Inner-join matches emit incrementally (append
+    mode); the final DISTINCT collapses one row per (person, window) the
+    way the batch formulation's GROUP BY sides do, so the drained result
+    equals batch ``nexmark_q8`` exactly.
+
+    ``watermark`` bounds join state: at production scale set it to the
+    real lateness budget (state = two windows' worth of keys); the
+    default is generous because the fixture replay spans ~30 days of
+    event time in a handful of micro-batches.
+    """
+    size = f"{size_s} seconds"
+    ps = replay_stream(spark, persons_path, files_per_trigger=files_per_trigger)
+    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
+    if "epoch" in ps.columns:
+        ps = ps.drop("epoch")
+    if "epoch" in au.columns:
+        au = au.drop("epoch")
+    ps = (
+        _with_event_time(ps, "p_date_time")
+        .withWatermark("p_date_time", watermark)
+        .withColumn("w", F.window("p_date_time", size))
+    )
+    au = (
+        _with_event_time(au, "a_date_time")
+        .withWatermark("a_date_time", watermark)
+        .withColumn("w", F.window("a_date_time", size))
+    )
+    joined = ps.join(
+        au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"])
+    ).select("p_id", "name", ps["w"]["start"].alias("starttime"))
+    rows = run_available_now(
+        joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    return spark.createDataFrame(
+        rows, "p_id BIGINT, name STRING, starttime TIMESTAMP"
+    ).distinct()
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],

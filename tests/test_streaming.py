@@ -464,3 +464,45 @@ def test_foreach_batch_sink(spark, tmp_path):
     q.awaitTermination(300)
     assert len(seen) >= 1
     assert sum(c for _, c in seen) == batch_df.count()
+
+
+def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
+    """q8 (new users who opened auctions) end-to-end as a genuine
+    stream-stream join: both replays watermark + window-assign, join on
+    (p_id = seller, same window) — drained result must equal the batch
+    formulation (dedup-per-window sides joined on window)."""
+    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(persons, str(tmp_path / "p"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = streaming.run_nexmark_q8_stream(
+        spark,
+        str(tmp_path / "p"),
+        str(tmp_path / "a"),
+        checkpoint=str(tmp_path / "ckpt-q8full"),
+        size_s=10,
+        files_per_trigger=3,
+    ).collect()
+
+    bp = (
+        persons.drop("epoch")
+        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
+        .select("p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime"))
+        .distinct()
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
+        .distinct()
+    )
+    expected = bp.join(ba, (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"])).select(
+        "p_id", "name", bp["starttime"]
+    ).collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
