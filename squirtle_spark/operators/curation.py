@@ -191,3 +191,79 @@ register_sql(
     doc=f"Exact-quota stratified sample: ceil({STRATUM_FRAC:.0%}) of each "
     "language by hash order.",
 )
+
+
+SAMPLE_WEIGHTED_K = 50
+
+
+def _sample_weighted(d: str) -> str:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u ~ U(0,1] from a hash of its id and gets key =
+    ln(u)/weight; the K LARGEST keys are the sample, biased toward heavy
+    docs (weight = n_chars — stand-in for a quality/importance score).
+
+    The A-ES reduction turns "weighted sample" into "global top-K",
+    expressed as ORDER BY + LIMIT so Spark plans TakeOrderedAndProject
+    (per-partition top-K, tiny driver merge — no single-partition window
+    exchange, no full sort of the corpus); no driver-side randomness, and
+    re-runs are reproducible because u comes from md5(doc_id), not an
+    RNG. Both engines compute ln/division in IEEE double, so the oracle
+    replays the exact ranking; the LIMIT boundary is tie-broken on doc_id.
+    """
+    u = f"((({dl.md5_i64('CAST(doc_id AS STRING)', d)}) % 1073741824) + 1) / 1073741824.0"
+    return textwrap.dedent(f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   ln({u}) / n_chars AS es_key
+            FROM documents
+            WHERE n_chars > 0
+        ) keyed
+        ORDER BY es_key DESC, doc_id ASC
+        LIMIT {SAMPLE_WEIGHTED_K}
+    """)
+
+
+register_sql(
+    "sample_weighted",
+    _sample_weighted,
+    doc=f"Efraimidis–Spirakis weighted sample (K={SAMPLE_WEIGHTED_K}, "
+    "weight = n_chars): deterministic hash-randomness, distributes as top-K.",
+)
+
+
+#: Target language mixture for training (shares must sum to 1); the
+#: operator computes per-language resampling weights against it.
+MIXTURE_TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def _mixture_weights(d: str) -> str:
+    """Dataset-mixing weights: given the corpus's actual per-language
+    token (char) shares and a target mixture, emit the per-language
+    resampling weight target_share / actual_share (the factor a sampler
+    or loader applies per document of that language). One tiny grouped
+    aggregate + a scalar total — the 100 TB cost is one pass.
+    """
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_TARGET.items()))
+    return textwrap.dedent(f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total_chars FROM per_lang)
+        SELECT lang, n_docs, n_chars,
+               round(n_chars / total_chars, 6) AS actual_share,
+               round((CASE lang {case} ELSE 0.0 END)
+                     / (n_chars / total_chars), 6) AS weight
+        FROM per_lang, tot
+    """)
+
+
+register_sql(
+    "mixture_weights",
+    _mixture_weights,
+    doc="Per-language dataset-mixing weights: target share / actual share "
+    "from one grouped pass over the corpus.",
+)

@@ -409,3 +409,84 @@ register_df(
     doc="Embedding near-dup pairs: LSH-bucketed candidate join + cosine threshold "
     "(oracle replays the same buckets).",
 )
+
+
+def _knn_classify(spark, sf_dir) -> DataFrame:
+    """kNN label classification: predict each query vector's label by
+    majority vote of its TOP_K cosine neighbors among the labeled corpus
+    (the label-propagation / quality-classifier-application step of a
+    curation pipeline). Vote ties break to the smaller label; neighbor
+    ranking ties to the smaller candidate id — fully deterministic, so
+    the oracle replays it value-for-value.
+
+    Candidate generation here is the brute-force baseline (broadcast of
+    |queries|=10); at corpus scale swap in the LSH/IVF bucketed candidate
+    joins above — the vote/ranking pipeline is unchanged.
+    """
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    neigh = (
+        c.crossJoin(F.broadcast(q))
+        .select("q_id", "c_id", "c_label", F.round(_cosine("qv", "cv"), 4).alias("cos_sim"))
+        .withColumn(
+            "rank",
+            F.expr("ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"),
+        )
+        .where(F.col("rank") <= TOP_K)
+    )
+    votes = neigh.groupBy("q_id", "c_label").agg(F.count("*").alias("votes"))
+    return (
+        votes.withColumn(
+            "rn",
+            F.expr("ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label ASC)"),
+        )
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("c_label").alias("pred_label"), F.col("votes").cast("bigint").alias("votes"))
+    )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv, label AS c_label
+    FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+neigh AS (
+    SELECT q_id, c_id, c_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC, c_id ASC) AS rank
+    FROM q, c
+),
+votes AS (
+    SELECT q_id, c_label, COUNT(*) AS votes
+    FROM neigh WHERE rank <= {TOP_K}
+    GROUP BY q_id, c_label
+)
+SELECT q_id, pred_label, votes
+FROM (
+    SELECT q_id, c_label AS pred_label, CAST(votes AS BIGINT) AS votes,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label ASC) AS rn
+    FROM votes
+)
+WHERE rn = 1
+"""
+
+
+register_df(
+    "knn_classify",
+    _knn_classify,
+    oracle_body=_KNN_ORACLE,
+    doc="kNN majority-vote label prediction over embedding neighbors "
+    "(deterministic ties; candidate generation swaps to LSH/IVF at scale).",
+)

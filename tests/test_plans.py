@@ -79,6 +79,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
     "funnel_conversion",  # three global COUNT(*) stage totals (tiny partials)
+    "mixture_weights",  # corpus-total scalar agg over 5 per-lang rows
     "nexmark_q12_invariant",
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "text_length_quantiles",
