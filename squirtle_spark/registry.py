@@ -118,6 +118,12 @@ _DEFER = [
     "subq_scalar_in",
     "win_cumulative",
     "win_elementwise_epoch",
+    # Rows-only by nature (engine-specific sketches): their driver row can
+    # only prove rows>0, while the real evidence is the pytest error-bound
+    # contracts — don't let them displace oracle-bearing entries.
+    "sketch_merge_distinct",
+    "approx_topk_tokens",
+    "approx_sketch_stats",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
