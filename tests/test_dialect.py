@@ -156,3 +156,47 @@ FROM pii
     assert list(by_id["n_ip"]) == [0, 2, 0, 0, 1, 0]
     assert list(by_id["n_phone"]) == [0, 0, 2, 0, 1, 0]
     assert "<EMAIL>" in by_id["scrubbed"].iloc[0]
+
+
+def test_hash_primitives_agree_cross_engine(spark, tmp_path):
+    """md5_i64 / bxor / shiftr and the minhash permutation arithmetic must
+    be bit-identical across engines — every fuzzy-dedup/ANN oracle replay
+    rests on them."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "s": ["", "a", "the quick brown fox", "ümlaut", "mh|x y z", "7|seed"],
+        }
+    )
+    path = str(tmp_path / "hashes.parquet")
+    pdf.to_parquet(path)
+
+    def body(d: str) -> str:
+        h = dl.md5_i64("s", d)
+        x = f"(({h}) & 4294967295)"
+        return f"""
+SELECT id,
+       {h} AS h64,
+       ((1046527 * {x} + 998244353) % 4294967311) AS perm,
+       {dl.bxor(h, str(0x5A5A5A5A), d)} AS xored,
+       ({dl.shiftr(h, "7", d)}) & 255 AS shifted
+FROM hashes
+"""
+
+    spark.read.parquet(path).createOrReplaceTempView("hashes")
+    got = spark.sql(body(dl.SPARK)).toPandas()
+
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW hashes AS SELECT * FROM '{path}'")
+        want = con.sql(body(dl.DUCK)).df()
+    finally:
+        con.close()
+
+    res = compare_frames("hashes", got, want)
+    assert res.ok, res.message()
+    # 60-bit positive range, and distinct inputs hash apart
+    assert (got["h64"] >= 0).all() and (got["h64"] < (1 << 60)).all()
+    assert got["h64"].nunique() == len(got)
