@@ -245,6 +245,53 @@ def run_nexmark_q7_stream(
     )
 
 
+def run_nexmark_q11_stream(
+    spark: SparkSession,
+    bids_path: str,
+    *,
+    checkpoint: str,
+    gap_s: int = 86_400,
+    watermark: str = "30 days",
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Full NEXMark q11 (bid sessions per bidder) end-to-end as a stream on
+    Spark's native ``session_window`` — the state-store-backed session
+    operator (flock-function/src/aws/window/session.rs keeps per-key
+    session state in its arena; Spark's state store is the same design).
+    Complete mode re-emits the CURRENT session set each micro-batch
+    (sessions merge as bids arrive), so the drained result equals batch
+    ``nexmark_q11`` exactly — including the final, still-open sessions.
+    On an unbounded deployment the append+watermark variant is the
+    operational choice (emit sessions as the watermark closes them; the
+    open tail is unreadable by definition there), with state bounded by
+    gap + lateness; complete mode here is the always-current
+    materialization, state bounded by the active-session count.
+    """
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    sessions = (
+        _with_event_time(stream, "b_date_time")
+        .withWatermark("b_date_time", watermark)
+        .groupBy(F.col("bidder"), F.session_window("b_date_time", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("bid_count"))
+        .select(
+            "bidder",
+            "bid_count",
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+        )
+    )
+    rows = run_available_now(
+        sessions, checkpoint=checkpoint, mode="complete", timeout_s=timeout_s
+    )
+    return spark.createDataFrame(
+        rows,
+        "bidder BIGINT, bid_count BIGINT, starttime TIMESTAMP, endtime TIMESTAMP",
+    )
+
+
 def run_nexmark_q8_stream(
     spark: SparkSession,
     persons_path: str,

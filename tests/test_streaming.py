@@ -506,3 +506,39 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     ).collect()
     assert len(got) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_nexmark_q11_full_stream_equals_batch(spark, tmp_path):
+    """q11 (bid sessions per bidder) end-to-end as a stream on the native
+    session_window state store: the drained append output must equal the
+    batch session computation, merges included."""
+    bids = sources.nexmark_bids(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+
+    got = streaming.run_nexmark_q11_stream(
+        spark,
+        data_dir,
+        checkpoint=str(tmp_path / "ckpt-q11full"),
+        gap_s=3,
+        files_per_trigger=3,
+    ).collect()
+
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    expected = (
+        batch.groupBy("bidder", F.session_window("b_date_time", "3 seconds"))
+        .agg(F.count("*").alias("bid_count"))
+        .select(
+            "bidder",
+            "bid_count",
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
