@@ -10,9 +10,13 @@ Spark-native equivalents:
     python -m squirtle_spark.cli nexmark -q N [--sf-dir D]
     python -m squirtle_spark.cli ysb [--sf-dir D]
     python -m squirtle_spark.cli tpch -q N [--sf-dir D]
+    python -m squirtle_spark.cli sql "SELECT ..." [--sf-dir D]
 
 ``run --oracle`` executes the query on Spark AND its DuckDB oracle and
-prints the comparison — the same gate the driver applies.
+prints the comparison — the same gate the driver applies. ``sql`` runs
+arbitrary SQL over the full catalog (fixture tables + derived NEXMark/
+YSB/TPC-H views) — the working form of the ``fsql`` REPL the reference
+stubs out (flock-cli/src/fsql.rs:30-68).
 """
 
 from __future__ import annotations
@@ -39,6 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--explain", action="store_true")
         sp.add_argument("--oracle", action="store_true")
+
+    sp = sub.add_parser("sql", help="run arbitrary SQL over the catalog")
+    sp.add_argument("query", help="SQL text (fixture tables + derived views)")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--explain", action="store_true")
     return p
 
 
@@ -64,6 +74,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 continue
             kind = "oracle" if q.oracle else "rows-only"
             print(f"{name:32s} [{kind}] {q.doc}")
+        return 0
+
+    if args.cmd == "sql":
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark(app_name="squirtle-cli-sql")
+        from . import catalog
+
+        catalog.register_all(spark, args.sf_dir)
+        df = spark.sql(args.query)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
         return 0
 
     name = _resolve(args.cmd, getattr(args, "q", None))

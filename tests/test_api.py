@@ -178,6 +178,17 @@ def test_cli_list_and_run(spark, sf_dir, capsys):
     assert cli.main(["nexmark", "-q", "2", "--sf-dir", sf_dir], spark=spark) == 0
     capsys.readouterr()
     assert cli.main(["run", "-q", "nope"], spark=spark) == 2
+    capsys.readouterr()
+
+    # the fsql surface: arbitrary SQL over fixture tables AND derived views
+    assert (
+        cli.main(
+            ["sql", "SELECT COUNT(*) AS n_auctions FROM auction", "--sf-dir", sf_dir],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "n_auctions" in capsys.readouterr().out
 
 
 def test_cli_oracle_gate(spark, sf_dir, capsys):
