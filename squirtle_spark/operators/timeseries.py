@@ -77,3 +77,43 @@ register_sql(
     _gapfill,
     doc="Per-user hourly grid: zero-filled counts + LOCF-interpolated values.",
 )
+
+
+def _resample_ohlc(d: str) -> str:
+    """Downsample the irregular event stream to hourly OHLC bars per
+    event_type (open/high/low/close + volume — the canonical time-series
+    resample). Open/close are FIRST/LAST_VALUE over the bar's event-time
+    order (ties broken on event_id, so both engines pick the same row);
+    high/low/volume are plain aggregates. The window and the GROUP BY
+    share the (event_type, bar) key, so Catalyst plans ONE exchange and
+    reuses its sort — resampling costs a single keyed shuffle at any
+    scale.
+    """
+    bar = dl.tumble_start("ts", 3600, d)
+    order = "ORDER BY ts ASC, event_id ASC"
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    return f"""
+SELECT event_type, bar_start,
+       MIN(open_v) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(close_v) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+    SELECT event_type, {bar} AS bar_start, value,
+           FIRST_VALUE(value) OVER (
+               PARTITION BY event_type, {bar} {order} {frame}) AS open_v,
+           LAST_VALUE(value) OVER (
+               PARTITION BY event_type, {bar} {order} {frame}) AS close_v
+    FROM events
+) bars
+GROUP BY event_type, bar_start
+"""
+
+
+register_sql(
+    "resample_ohlc",
+    _resample_ohlc,
+    doc="Hourly OHLC downsampling per event_type: FIRST/LAST_VALUE bars + "
+    "plain aggs on one shared keyed shuffle.",
+)

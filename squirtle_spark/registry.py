@@ -124,6 +124,9 @@ _DEFER = [
     "sketch_merge_distinct",
     "approx_topk_tokens",
     "approx_sketch_stats",
+    # Evidence subsumed since dedup_minhash_lsh became fully oracle-checked:
+    # its verify stage embeds the identical exact-Jaccard computation.
+    "dedup_ngram_jaccard",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
