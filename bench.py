@@ -38,13 +38,14 @@ def main() -> None:
     for t in catalog.TABLES:
         spark.table(t).count()
 
-    # Two timed runs per query, min taken: the host shows transient
-    # multi-second stalls (shared VM), and min-of-2 keeps those out of the
-    # plan-cost signal. Cold-run JIT cost amortizes at real scale anyway.
+    # Three timed runs per query, min taken: the host shows transient
+    # multi-second stalls and up to ~2x run-to-run drift (shared VM /
+    # steal time), and the min keeps that out of the plan-cost signal.
+    # Cold-run JIT cost amortizes at real scale anyway.
     times: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -145,16 +146,20 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
                 ),
                 f"{tmp}/{sub}",
             )
-        t0 = time.perf_counter()
-        streaming.run_nexmark_q8_stream(
-            spark,
-            f"{tmp}/p",
-            f"{tmp}/a",
-            checkpoint=f"{tmp}/ckpt-q8",
-            size_s=10,
-            files_per_trigger=30,
-        )
-        wall_q8 = time.perf_counter() - t0
+        def run_q8(ckpt: str) -> float:
+            t0 = time.perf_counter()
+            streaming.run_nexmark_q8_stream(
+                spark,
+                f"{tmp}/p",
+                f"{tmp}/a",
+                checkpoint=f"{tmp}/{ckpt}",
+                size_s=10,
+                files_per_trigger=30,
+            )
+            return time.perf_counter() - t0
+
+        run_q8("ckpt-q8-warm")  # stream-stream join path init, like the q5 warmup
+        wall_q8 = run_q8("ckpt-q8")
 
         # YSB end-to-end stream (filter + broadcast campaign join + tumbling
         # counts) at the same generated scale.
