@@ -165,12 +165,16 @@ def load_all() -> dict[str, Query]:
     )
     from .queries import analytics, windows, ysb  # noqa: F401
 
+    missing = [n for n in _DEFER if n not in QUERIES]
+    assert not missing, f"_DEFER names unknown queries: {missing}"
     novel = [n for n in QUERIES if n not in _DEFER]
 
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
     from .queries import core  # noqa: F401  (nexmark already evidences §2.2-2.6)
     from .queries import generators, tpch  # noqa: F401
 
+    missing = [n for n in _PROMOTE if n not in QUERIES]
+    assert not missing, f"_PROMOTE names unknown queries: {missing}"
     head = novel + _PROMOTE
     ordered = {n: QUERIES[n] for n in head}
     ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)

@@ -251,6 +251,26 @@ def kinesis_stream(
     ).select("rec.*")
 
 
+def socket_json_stream(spark: SparkSession, host: str, port: int, schema) -> DataFrame:
+    """Push-based network source: newline-delimited JSON over a TCP socket,
+    decoded through the SAME bytes → JSON → columns path as the Kafka and
+    Kinesis wiring above. This is the one broker-shaped connector that can
+    run end-to-end in a broker-less environment (a localhost server stands
+    in for the broker; tests/test_connectors.py drives it live), so it
+    evidences the whole push-ingest pipeline: connect, receive, parse,
+    window. Spark's socket source is not fault-tolerant (no replay) — for
+    production brokers use kafka_stream/kinesis_stream, which differ only
+    in the reader options.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(F.from_json(F.col("value"), schema).alias("rec")).select("rec.*")
+
+
 def csv_side_input(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Bounded CSV side input (q13's register_csv path,
     flock/src/datasource/nexmark/queries/q13.rs): read once, broadcast into

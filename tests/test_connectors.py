@@ -47,3 +47,60 @@ def test_csv_side_input_join(spark, tmp_path):
     assert joined.count() == bid.count()  # every auction id resolves
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+def test_socket_json_stream_live_push(spark, tmp_path):
+    """Drive the push-based broker stand-in end to end: a localhost TCP
+    server pushes newline-delimited JSON bid events; the socket source
+    connects, the shared bytes→JSON→columns decode parses them, and the
+    drained rows must equal what the server sent."""
+    import socket
+    import threading
+    import time as _time
+
+    events = [
+        {"auction": 1000 + i, "bidder": 50 + i, "price": 7 * i + 1}
+        for i in range(25)
+    ]
+    payload = "".join(json.dumps(e) + "\n" for e in events).encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(payload)
+            stop.wait(30)  # keep the connection open while Spark drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    schema = "auction BIGINT, bidder BIGINT, price BIGINT"
+    stream = sources.socket_json_stream(spark, "127.0.0.1", port, schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("socket_bids")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-socket"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT * FROM socket_bids").count() >= len(events):
+                break
+            _time.sleep(0.5)
+        got = [
+            (r["auction"], r["bidder"], r["price"])
+            for r in spark.sql("SELECT * FROM socket_bids").collect()
+        ]
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
+    expected = [(e["auction"], e["bidder"], e["price"]) for e in events]
+    assert sorted(got) == sorted(expected)
