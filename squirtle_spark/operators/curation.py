@@ -267,3 +267,31 @@ register_sql(
     doc="Per-language dataset-mixing weights: target share / actual share "
     "from one grouped pass over the corpus.",
 )
+
+
+def write_training_shards(spark, sf_dir: str, path: str):
+    """Terminal pipeline step: materialize the corpus as training shards.
+
+    Joins the deterministic shard assignment (shard_corpus) back onto the
+    full documents and writes parquet partitioned by shard_id, with rows
+    sorted by shard_pos inside each file — so a loader streams any shard
+    in its stable global-shuffle order without a sort of its own.
+    repartition(N, shard_id) + sortWithinPartitions keeps it one file per
+    shard per task at any scale (a 100 TB run raises N to bound file
+    size, the layout contract is unchanged). Returns the written row count.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+
+    catalog.register_all(spark, sf_dir)
+    assign = spark.sql(_shard_corpus(dl.SPARK))
+    out = spark.table("documents").join(assign, "doc_id")
+    (
+        out.repartition(N_SHARDS, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).count()

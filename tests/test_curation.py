@@ -163,3 +163,26 @@ def test_cohort_retention_offsets(spark):
         }
     finally:
         catalog.invalidate(spark)
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """The exported shard files must cover the corpus exactly, one
+    directory per shard, rows pre-sorted by shard_pos inside each file."""
+    import glob
+
+    from squirtle_spark.operators.curation import N_SHARDS, write_training_shards
+
+    path = str(tmp_path / "shards")
+    n = write_training_shards(spark, sf_dir, path)
+    assert n == spark.table("documents").count()
+
+    dirs = sorted(glob.glob(f"{path}/shard_id=*"))
+    assert len(dirs) == N_SHARDS
+    seen = 0
+    for d in dirs:
+        pdf = spark.read.parquet(d).toPandas()
+        seen += len(pdf)
+        poss = list(pdf["shard_pos"])
+        assert poss == sorted(poss), d  # loader-ready: stable in-shard order
+        assert poss == list(range(1, len(poss) + 1)), d  # dense, gap-free
+    assert seen == n
