@@ -117,3 +117,51 @@ register_sql(
     doc="Hourly OHLC downsampling per event_type: FIRST/LAST_VALUE bars + "
     "plain aggs on one shared keyed shuffle.",
 )
+
+
+def _rollup_multires(d: str) -> str:
+    """Hypertable-style multi-resolution rollup (continuous aggregate):
+    per-type counts/sums at HOUR grain, with the DAY grain re-aggregated
+    from the hour partials rather than the raw stream — the hierarchical
+    re-aggregation that makes multi-grain dashboards affordable at 100 TB
+    (the day branch aggregates 24x fewer rows, and Spark's ReuseExchange
+    shares the hourly shuffle between the two output branches). Sums ride
+    DECIMAL so re-aggregated partials are exactly associative — the same
+    totals in any grouping order, which also makes the day==sum(hours)
+    invariant bitwise checkable.
+    """
+    hour = dl.tumble_start("ts", 3600, d)
+    day = dl.tumble_start("bucket_start", 86_400, d)
+    return f"""
+WITH hourly AS (
+    SELECT event_type,
+           {hour} AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(value AS DECIMAL(20,4))) AS sum_value
+    FROM events
+    GROUP BY event_type, {hour}
+),
+daily AS (
+    SELECT event_type,
+           {day} AS bucket_start,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           SUM(sum_value) AS sum_value
+    FROM hourly
+    GROUP BY event_type, {day}
+)
+SELECT 'hour' AS grain, event_type, bucket_start, n_events,
+       CAST(sum_value AS DOUBLE) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, event_type, bucket_start, n_events,
+       CAST(sum_value AS DOUBLE) AS sum_value
+FROM daily
+"""
+
+
+register_sql(
+    "rollup_multires",
+    _rollup_multires,
+    doc="Hypertable-style continuous aggregate: hour grain + day grain "
+    "re-aggregated from hour partials (shared shuffle, exact DECIMAL sums).",
+)

@@ -127,6 +127,12 @@ _DEFER = [
     # Evidence subsumed since dedup_minhash_lsh became fully oracle-checked:
     # its verify stage embeds the identical exact-Jaccard computation.
     "dedup_ngram_jaccard",
+    # Same plan/evidence class as an in-budget sibling: sample_domain_cap
+    # is the per-group hash-quota shape sample_stratified evidences, and
+    # pivot is conditional aggregation the multi-key agg family evidences
+    # (its unpivot inverse is already deferred).
+    "sample_domain_cap",
+    "pivot_event_matrix",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

@@ -74,3 +74,22 @@ def test_approx_topk_matches_exact_heavy_hitters(spark, sf_dir):
     kth = exact[-1]["cnt"]
     must_have = {r["tok"] for r in exact if r["cnt"] > kth}
     assert must_have <= {r["token"] for r in got}
+
+
+def test_cms_overestimate_invariant(spark, sf_dir):
+    """Count-Min estimates can only overestimate (hash collisions add),
+    and the absent probe token must estimate below the CMS error bound."""
+    from squirtle_spark.registry import load_all
+
+    rows = {
+        r["token"]: r
+        for r in load_all()["cms_token_counts"].spark_fn(spark, sf_dir).collect()
+    }
+    assert "zzz-absent-token" in rows
+    for tok, r in rows.items():
+        assert r["est_count"] >= r["exact_count"], tok
+    # absent token's estimate is pure collision mass: bounded well below
+    # the heavy hitters' true counts
+    present = [r["exact_count"] for t, r in rows.items() if r["exact_count"] > 0]
+    if present:
+        assert rows["zzz-absent-token"]["est_count"] <= max(present)
