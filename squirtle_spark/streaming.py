@@ -638,3 +638,58 @@ def stateful_running_count(stream: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, alpha: float = 0.5) -> DataFrame:
+    """Per-key exponential moving average maintained across micro-batches —
+    streaming feature engineering as a custom keyed-state operator. Rows
+    fold in event-time order within each batch; the carried state is one
+    (ema, n) pair per key, so state is O(keys) however long the stream
+    runs. Emits the key's current EMA each batch (update mode) — the
+    final emission equals the batch EMA over the whole ordered history
+    (pinned by test). Implemented on applyInPandasWithState; Spark 4's
+    transformWithState API is the successor, but its Python runner needs
+    protobuf, absent in this environment.
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ema", DoubleType()),
+            StructField("n_obs", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("ema", DoubleType()), StructField("n", LongType())]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ema, n = state.get if state.exists else (None, 0)
+        for pdf in batches:
+            for v in pdf.sort_values(ts_col)[value_col]:
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((ema, n))
+        yield pd.DataFrame({"key": [key[0]], "ema": [ema], "n_obs": [n]})
+
+    return (
+        stream.withColumn("key", F.col(key_col).cast("long"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

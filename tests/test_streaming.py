@@ -542,3 +542,41 @@ def test_nexmark_q11_full_stream_equals_batch(spark, tmp_path):
     )
     assert len(got) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stateful_ema_transform_with_state(spark, tmp_path):
+    """transformWithState-based per-key EMA: the last emission per key
+    must equal the batch EMA folded over the key's full ordered history."""
+    bids = sources.nexmark_bids(spark, 100, 10).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+
+    stream = streaming.replay_stream(spark, data_dir, 1).drop("epoch")
+    result = streaming.stateful_ema(stream, "bidder", "price", "b_date_time")
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-ema"), mode="update"
+    )
+    # last emission per key wins (update mode re-emits per batch)
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["ema"], r["n_obs"])
+
+    import pandas as pd
+
+    hist = (
+        bids.drop("epoch")
+        .select("bidder", "price", "b_date_time")
+        .toPandas()
+        .sort_values(["b_date_time"], kind="stable")
+    )
+    alpha = 0.5
+    for key, grp in hist.groupby("bidder"):
+        ema = None
+        for v in grp["price"]:
+            v = float(v)
+            ema = v if ema is None else alpha * v + (1 - alpha) * ema
+        got_ema, got_n = final[key]
+        assert got_n == len(grp), key
+        assert abs(got_ema - ema) < 1e-9, key
