@@ -1,0 +1,107 @@
+"""Data-quality profiling — the audit pass a pipeline runs before and
+after every ingest (the Deequ/great-expectations class of operators),
+as dialect-shared SQL with full value oracles:
+
+- **dq_profile** — per-column profile of the events stream: row count,
+  null count, exact distinct count, numeric min/max (timestamps as epoch
+  seconds; strings report NULL bounds — double rendering is
+  engine-specific, so bounds stay numeric). ONE aggregation pass
+  computes every stat (a single wide global agg row), then a 6-row
+  column-name series unpivots it — profiling cost at 100 TB is one scan
+  regardless of column count, and the final reduce merges tiny partials.
+- **value_histogram** — fixed-bin histogram of `value` per event_type
+  (25 × 20-unit bins, top bin clamped): the distribution drift check.
+  Shared FLOOR arithmetic rather than width_bucket (absent in DuckDB);
+  one grouped count, shuffles only (type, bucket) pairs.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: (column, null-counting expr is COUNT(col), numeric min/max expr or None)
+_COLS: list[tuple[str, str | None]] = [
+    ("event_id", "event_id"),
+    ("ts", None),  # numeric bounds via epoch seconds, see below
+    ("user_id", "user_id"),
+    ("event_type", ""),  # non-numeric: NULL bounds
+    ("value", "value"),
+    ("props", ""),
+]
+
+HIST_BIN_W = 20
+HIST_N_BINS = 25  # covers the fixtures' 0..500 value range; top bin clamps
+
+
+def _dq_profile(d: str) -> str:
+    stats = []
+    for col, num in _COLS:
+        stats.append(f"COUNT({col}) AS nn_{col}")
+        stats.append(f"COUNT(DISTINCT {col}) AS nd_{col}")
+        if num == "":
+            lo, hi = "NULL", "NULL"
+        elif num is None:
+            lo = f"MIN({dl.epoch_s(col, d)})"
+            hi = f"MAX({dl.epoch_s(col, d)})"
+        else:
+            lo, hi = f"MIN({num})", f"MAX({num})"
+        stats.append(f"CAST({lo} AS DOUBLE) AS lo_{col}")
+        stats.append(f"CAST({hi} AS DOUBLE) AS hi_{col}")
+
+    def pick(prefix: str, typ: str) -> str:
+        cases = " ".join(
+            f"WHEN '{c}' THEN {prefix}_{c}" for c, _ in _COLS
+        )
+        return f"CAST(CASE col_name {cases} END AS {typ})"
+
+    names = ", ".join(f"('{c}')" for c, _ in _COLS)
+    return textwrap.dedent(f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {", ".join(stats)}
+            FROM events
+        ),
+        cols(col_name) AS (VALUES {names})
+        SELECT col_name,
+               n_rows,
+               n_rows - {pick("nn", "BIGINT")} AS n_nulls,
+               {pick("nd", "BIGINT")} AS n_distinct,
+               {pick("lo", "DOUBLE")} AS min_num,
+               {pick("hi", "DOUBLE")} AS max_num
+        FROM agg, cols
+        """)
+
+
+register_sql(
+    "dq_profile",
+    _dq_profile,
+    doc="Per-column data-quality profile (nulls/distincts/numeric bounds) "
+    "from ONE aggregation pass + a column-name unpivot.",
+)
+
+
+def _value_histogram(d: str) -> str:
+    bucket = f"LEAST({dl.to_int(f'value / {HIST_BIN_W}.0', d)}, {HIST_N_BINS - 1})"
+    return textwrap.dedent(f"""
+        SELECT event_type,
+               bucket,
+               CAST(bucket * {HIST_BIN_W} AS DOUBLE) AS bin_lo,
+               CAST((bucket + 1) * {HIST_BIN_W} AS DOUBLE) AS bin_hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type, {bucket} AS bucket
+            FROM events
+            WHERE value IS NOT NULL
+        ) b
+        GROUP BY event_type, bucket
+        """)
+
+
+register_sql(
+    "value_histogram",
+    _value_histogram,
+    doc=f"Fixed-bin value histogram per event_type ({HIST_N_BINS} x "
+    f"{HIST_BIN_W}-unit bins, top bin clamped) — distribution drift check.",
+)

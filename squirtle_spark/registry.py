@@ -100,7 +100,13 @@ def register_df(
 #: Oracle-bearing declared headline queries pulled forward into the
 #: driver's check budget (they evidence the §2.3 join classes: equi join,
 #: range-residual winning bid, hopping join-on-aggregate, narrow top-k).
-_PROMOTE = ["nexmark_q3", "nexmark_q4", "nexmark_q5", "nexmark_q9"]
+_PROMOTE = [
+    "ysb_campaign_views",  # declared A9
+    "nexmark_q3",
+    "nexmark_q4",
+    "nexmark_q5",
+    "nexmark_q9",
+]
 
 #: Entries deferred past the budget: each is redundant with a stronger
 #: in-budget representative of the same operator class, and keeps its
@@ -133,6 +139,9 @@ _DEFER = [
     # (its unpivot inverse is already deferred).
     "sample_domain_cap",
     "pivot_event_matrix",
+    # shard_corpus evidences the same pure-hash assignment shape (and adds
+    # the in-shard order window).
+    "split_train_val_test",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
@@ -163,6 +172,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         multimodal,
         pipeline,
+        profiling,
         rangejoin,
         similarity,
         sketches,
@@ -173,7 +183,7 @@ def load_all() -> dict[str, Query]:
 
     missing = [n for n in _DEFER if n not in QUERIES]
     assert not missing, f"_DEFER names unknown queries: {missing}"
-    novel = [n for n in QUERIES if n not in _DEFER]
+    novel = [n for n in QUERIES if n not in _DEFER and n not in _PROMOTE]
 
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
     from .queries import core  # noqa: F401  (nexmark already evidences §2.2-2.6)
@@ -181,7 +191,11 @@ def load_all() -> dict[str, Query]:
 
     missing = [n for n in _PROMOTE if n not in QUERIES]
     assert not missing, f"_PROMOTE names unknown queries: {missing}"
-    head = novel + _PROMOTE
+    # Pin the promoted headliners at slots 46-49 BY CONSTRUCTION so new
+    # operator registrations can never push them past a 50-entry check
+    # budget; the novel tail continues right after them.
+    cut = 50 - len(_PROMOTE)
+    head = novel[:cut] + _PROMOTE + novel[cut:]
     ordered = {n: QUERIES[n] for n in head}
     ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
     assert len(ordered) == len(QUERIES)

@@ -78,6 +78,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 # SinglePartition exchange is a scale regression.
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
+    "dq_profile",  # the whole profile IS one global aggregation pass
     "funnel_conversion",  # three global COUNT(*) stage totals (tiny partials)
     "mixture_weights",  # corpus-total scalar agg over 5 per-lang rows
     "nexmark_q12_invariant",
