@@ -79,6 +79,7 @@ register_sql(
     _dq_profile,
     doc="Per-column data-quality profile (nulls/distincts/numeric bounds) "
     "from ONE aggregation pass + a column-name unpivot.",
+    bench=True,
 )
 
 

@@ -489,4 +489,5 @@ register_df(
     oracle_body=_KNN_ORACLE,
     doc="kNN majority-vote label prediction over embedding neighbors "
     "(deterministic ties; candidate generation swaps to LSH/IVF at scale).",
+    bench=True,
 )

@@ -164,4 +164,5 @@ register_sql(
     _rollup_multires,
     doc="Hypertable-style continuous aggregate: hour grain + day grain "
     "re-aggregated from hour partials (shared shuffle, exact DECIMAL sums).",
+    bench=True,
 )
