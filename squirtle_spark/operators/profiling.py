@@ -7,8 +7,11 @@ as dialect-shared SQL with full value oracles:
   seconds; strings report NULL bounds — double rendering is
   engine-specific, so bounds stay numeric). ONE aggregation pass
   computes every stat (a single wide global agg row), then a 6-row
-  column-name series unpivots it — profiling cost at 100 TB is one scan
-  regardless of column count, and the final reduce merges tiny partials.
+  column-name series unpivots it. Scale note: the scan is single-pass,
+  but N exact COUNT(DISTINCT)s compile to Spark's Expand — N row copies
+  into the shuffle. Exact distincts keep the value oracle; a 100 TB
+  profile swaps them for approx_count_distinct (no Expand, one pass,
+  ±2% — the trade every production profiler makes).
 - **value_histogram** — fixed-bin histogram of `value` per event_type
   (25 × 20-unit bins, top bin clamped): the distribution drift check.
   Shared FLOOR arithmetic rather than width_bucket (absent in DuckDB);
