@@ -112,10 +112,11 @@ _PROMOTE = [
 #: in-budget representative of the same operator class, and keeps its
 #: full pytest oracle/contract regardless of order. kmeans_assign covers
 #: clustering (lloyd adds the loop), multimodal_decode covers the
-#: mapInPandas plumbing (framesample adds N→M), pivot covers unpivot,
-#: text_stats covers tokenization, subq_correlated is the harder subquery
-#: shape, win_analytics+win_rows_frame cover frames/ranking, and core's
-#: projections cover the elementwise epoch bucket.
+#: mapInPandas plumbing (framesample adds N→M), the multi-key agg family
+#: covers pivot/unpivot (conditional aggregation), text_stats covers
+#: tokenization, subq_correlated is the harder subquery shape,
+#: win_analytics covers ranking/frames, and core's projections cover the
+#: elementwise epoch bucket.
 _DEFER = [
     "kmeans_lloyd",
     "multimodal_framesample",
