@@ -124,3 +124,21 @@ def test_codegen_spans(spark, sf_dir):
         df = load_all()[name].spark_fn(spark, sf_dir)
         executed = _executed_plan(df)
         assert "*(" in executed or "WholeStageCodegen" in executed, name
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must show up
+    as PartitionFilters at the scan (only matching directories read) —
+    the layout contract for time/type-partitioned 100 TB corpora."""
+    from squirtle_spark import catalog
+
+    catalog.register_all(spark, sf_dir)
+    path = str(tmp_path / "events_by_type")
+    spark.table("events").write.mode("overwrite").partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).where("event_type = 'view'").select("event_id")
+    df.collect()
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan and "view" in plan, plan
+    # and the pruned scan reads only the one partition's rows
+    total = spark.table("events").where("event_type = 'view'").count()
+    assert df.count() == total
