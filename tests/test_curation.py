@@ -186,3 +186,51 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         assert poss == sorted(poss), d  # loader-ready: stable in-shard order
         assert poss == list(range(1, len(poss) + 1)), d  # dense, gap-free
     assert seen == n
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """Chunks cover every token exactly (stride-aligned starts, last chunk
+    truncated) and no chunk exceeds the window size."""
+    from squirtle_spark.operators.pipeline import _CHUNK_SIZE, _CHUNK_STRIDE
+    from squirtle_spark.registry import load_all
+
+    chunks = load_all()["chunk_documents"].spark_fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT doc_id, size(filter(split(text, '\\\\s+'), x -> x != '')) AS n FROM documents"
+        ).collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["chunk_tokens"] <= _CHUNK_SIZE
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_start"])
+        starts = [r["chunk_start"] for r in rows]
+        assert starts == list(range(1, docs[doc_id] + 1, _CHUNK_STRIDE)), doc_id
+        # every chunk holds exactly the tokens the window reaches
+        for r in rows:
+            expect = min(_CHUNK_SIZE, docs[doc_id] - r["chunk_start"] + 1)
+            assert r["chunk_tokens"] == expect, (doc_id, r["chunk_start"])
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    """Every doc is packed exactly once; bins fill contiguously per source
+    (bin_id/bin_offset are consistent with the running token count)."""
+    from squirtle_spark.operators.pipeline import _PACK_BUDGET
+    from squirtle_spark.registry import load_all
+
+    rows = load_all()["pack_sequences"].spark_fn(spark, sf_dir).collect()
+    n_docs = spark.table("documents").count()
+    assert len(rows) == n_docs  # each doc assigned exactly once
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in rs:
+            assert r["bin_id"] == running // _PACK_BUDGET, (source, r["doc_id"])
+            assert r["bin_offset"] == running % _PACK_BUDGET, (source, r["doc_id"])
+            running += r["n_tokens"]
