@@ -378,3 +378,72 @@ register_sql(
     _simhash,
     doc="SimHash near-dup pairs: bit-vote signatures, banded buckets, Hamming verify.",
 )
+
+
+def _dedup_survivorship(spark, sf_dir) -> DataFrame:
+    """The final dedup decision: one canonical survivor per near-dup
+    cluster, by the classic survivorship rule 'keep the longest document'
+    (ties to the smallest doc_id). Composes the connected-components
+    clusters with a per-doc quality proxy — the step that turns pair/
+    cluster discovery into an actual keep/drop list. One broadcast-sized
+    join (clusters are tiny relative to the corpus) + a per-cluster
+    ROW_NUMBER; the corpus itself is never shuffled.
+    """
+    clusters = _dedup_clusters(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", F.length("text").alias("n_len"))
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn(
+            "rn",
+            F.expr(
+                "ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_len DESC, doc_id ASC)"
+            ),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def _survivorship_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    {_ngram_jaccard(dl.DUCK)}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a
+),
+clusters AS (
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
+register_df(
+    "dedup_survivorship",
+    _dedup_survivorship,
+    oracle_body=_survivorship_oracle(),
+    doc="Canonical survivor per near-dup cluster (longest doc, ties to min "
+    "id) — the keep/drop decision after clustering.",
+)

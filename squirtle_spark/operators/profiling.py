@@ -109,3 +109,46 @@ register_sql(
     doc=f"Fixed-bin value histogram per event_type ({HIST_N_BINS} x "
     f"{HIST_BIN_W}-unit bins, top bin clamped) — distribution drift check.",
 )
+
+
+def _pctl(x: str, p: str, d: str) -> str:
+    """Exact interpolated percentile (bitwise-identical across engines,
+    proven by text_length_quantiles)."""
+    fn = "percentile" if d == dl.SPARK else "quantile_cont"
+    return f"{fn}({x}, {p})"
+
+
+def _outlier_mad(d: str) -> str:
+    """Robust outlier detection per event_type: flag values more than
+    5 MADs from the median (median absolute deviation — immune to the
+    outliers it hunts, unlike stddev). Two grouped percentile passes on
+    the same key plus a broadcast join of the 5-row stats table back onto
+    the stream; exact medians here (bitwise cross-engine), approx_percentile
+    at 100 TB — same plan, t-digest sketch instead of a sort.
+    """
+    med = _pctl("value", "0.5", d)
+    mad = _pctl("ABS(value - med)", "0.5", d)
+    return f"""
+WITH med AS (
+    SELECT event_type, {med} AS med
+    FROM events GROUP BY event_type
+),
+stats AS (
+    SELECT e.event_type, MIN(m.med) AS med, {mad} AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       e.value, s.med, s.mad
+FROM events e
+JOIN stats s ON e.event_type = s.event_type
+WHERE ABS(e.value - s.med) > 5 * s.mad
+"""
+
+
+register_sql(
+    "outlier_mad",
+    _outlier_mad,
+    doc="Per-type robust outliers: |value - median| > 5 MAD (exact medians; "
+    "approx_percentile swap at scale).",
+)

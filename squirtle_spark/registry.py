@@ -101,6 +101,9 @@ def register_df(
 #: driver's check budget (they evidence the §2.3 join classes: equi join,
 #: range-residual winning bid, hopping join-on-aggregate, narrow top-k).
 _PROMOTE = [
+    "win_tumbling",  # declared B2 window class
+    "win_hopping",  # declared B1 window class
+    "win_session",  # declared B4 window class
     "ysb_campaign_views",  # declared A9
     "nexmark_q3",
     "nexmark_q4",
@@ -192,9 +195,9 @@ def load_all() -> dict[str, Query]:
 
     missing = [n for n in _PROMOTE if n not in QUERIES]
     assert not missing, f"_PROMOTE names unknown queries: {missing}"
-    # Pin the promoted headliners at slots 46-49 BY CONSTRUCTION so new
-    # operator registrations can never push them past a 50-entry check
-    # budget; the novel tail continues right after them.
+    # Pin the promoted headliners at the END of the 50-entry check budget
+    # BY CONSTRUCTION so new operator registrations can never push them
+    # past it; the novel tail continues right after them.
     cut = 50 - len(_PROMOTE)
     head = novel[:cut] + _PROMOTE + novel[cut:]
     ordered = {n: QUERIES[n] for n in head}
