@@ -7,9 +7,10 @@ aren't available in this environment, so the decode step is a clearly
 marked STUB producing deterministic fake features — the Spark-side
 contract (schema, batch iteration, partitioning) is real and tested.
 
-``multimodal_meta`` (oracle-checked) proves the binary column path through
-both engines; ``multimodal_decode`` (rows-only) proves the mapInPandas
-plumbing.
+``multimodal_meta`` proves the binary column path through both engines;
+``multimodal_decode`` / ``multimodal_framesample`` prove the mapInPandas
+plumbing — all three value-checked (the stub features are deterministic
+byte math a SQL oracle replays).
 """
 
 from __future__ import annotations
