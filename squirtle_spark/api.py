@@ -160,11 +160,20 @@ def run_streaming(
         if "s" not in fired_schema:
             # Zero micro-batches fired (empty epoch dir): derive the output
             # schema by planning the SQL over an empty slice of the stream.
+            # The empty view shadows any same-named catalog view in the OUTER
+            # session; drop it and invalidate so a later run_olap in this
+            # session doesn't silently resolve e.g. `bid` to an empty table.
             empty = spark.createDataFrame([], stream.schema)
             empty.createOrReplaceTempView(query.view)
-            fired_schema["s"] = (
-                spark.sql(query.sql).withColumn("win_start", F.lit(0).cast("long")).schema
-            )
+            try:
+                fired_schema["s"] = (
+                    spark.sql(query.sql)
+                    .withColumn("win_start", F.lit(0).cast("long"))
+                    .schema
+                )
+            finally:
+                spark.catalog.dropTempView(query.view)
+                catalog.invalidate(spark)
         return spark.createDataFrame(fired, fired_schema["s"])
 
     # tumbling/hopping: distributed window ASSIGNMENT on event time, rows

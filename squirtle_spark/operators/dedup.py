@@ -119,9 +119,11 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
     min-label propagation (GraphFrames'/large-scale-CC style): every
     iteration each node takes the min label among itself and its
     neighbors — two bounded shuffles per iteration, converging in
-    O(log(component diameter)) rounds. The driver-side loop is control
-    flow only (one tiny count per round); all data movement stays
-    distributed. DuckDB's recursive CTE is the oracle.
+    O(component diameter) rounds (a component's min label advances at
+    least one hop per round; the max_rounds cap below is therefore
+    validated, not trusted). The driver-side loop is control flow only
+    (one tiny count per round); all data movement stays distributed.
+    DuckDB's recursive CTE is the oracle.
     """
     pairs = spark.sql(_ngram_jaccard(dl.SPARK)).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -238,6 +240,12 @@ def _minhash_lsh(d: str) -> str:
     plan, cheaper hash). At cluster scale the shingle CTE (referenced by
     signature build and verify) would be checkpointed once; Spark inlines
     CTEs, and locally recompute is cheaper than the write.
+
+    Scope note: shingle_rows emits only full-width word 3-grams, so
+    documents shorter than SHINGLE_W words produce no shingles and are
+    EXCLUDED from fuzzy dedup (identical short docs are still caught by
+    dedup_exact). Both engines share the CTE, so the oracle sees the
+    same population.
     """
     import textwrap
 

@@ -10,7 +10,9 @@ adapted — same operator shape, available columns. Each docstring notes the
 adaptation. partsupp itself is bridged by a deterministic derived view
 (catalog._partsupp_sql: part × 4 suppliers, closed-form costs) the same way
 the NEXMark entities are derived, which unlocks the q2/q9/q11/q16/q20
-shapes; q21 stays inexpressible (needs l_receiptdate/l_commitdate).
+shapes; q21 runs on the `lineitem_ext` view (catalog._lineitem_ext_sql
+derives deterministic l_receiptdate/l_commitdate from shipdate+key
+hashes), with the region filter standing in for single-nation.
 
 Scale notes: q1/q6 are scan-heavy partial-agg queries (map-side combine,
 filter pushed to parquet); q3/q5/q10 are multi-join — nation/region/supplier

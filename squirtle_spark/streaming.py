@@ -675,7 +675,12 @@ def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, a
     ) -> Iterator[pd.DataFrame]:
         ema, n = state.get if state.exists else (None, 0)
         for pdf in batches:
-            for v in pdf.sort_values(ts_col)[value_col]:
+            # Stable sort with the value as tiebreaker: rows sharing an
+            # event timestamp fold in a deterministic order (equal ts AND
+            # equal value commute under the EMA fold), so the result is
+            # reproducible across runs and matches the batch fold.
+            ordered = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            for v in ordered[value_col]:
                 v = float(v)
                 ema = v if ema is None else alpha * v + (1 - alpha) * ema
                 n += 1

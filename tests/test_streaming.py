@@ -569,7 +569,8 @@ def test_stateful_ema_transform_with_state(spark, tmp_path):
         bids.drop("epoch")
         .select("bidder", "price", "b_date_time")
         .toPandas()
-        .sort_values(["b_date_time"], kind="stable")
+        # mirrors stateful_ema's deterministic (ts, value) ordering
+        .sort_values(["b_date_time", "price"], kind="mergesort")
     )
     alpha = 0.5
     for key, grp in hist.groupby("bidder"):
