@@ -3,11 +3,25 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "canary": {...}, "streaming": {...}}
 
 Execution is measured with the noop sink (full pipeline runs, nothing
 crosses back to the driver) — the same shape as the reference's blackhole
 sink benchmarks (flock/src/datasink/mod.rs:47-72, README.md:186-195).
+
+Noise defense (the round-4 artifact was contaminated by a sustained host
+stall that min-of-3 could not survive): a fixed CANARY — one full-scan
+hash-agg over `events`, constant work independent of the query under
+test — is calibrated at startup and re-timed around every measured run.
+If any canary sample in a query's measurement window exceeds
+CANARY_FACTOR x calibration, the whole measurement is discarded and the
+query re-run (bounded retries). The emitted JSON carries the canary
+calibration, p50/max of all samples, and the rerun count, so a
+contaminated run is self-identifying instead of silently wrong.
+
+`--stress` runs the 10x-rate streaming stress (q5 full pipeline + q11
+session store) and prints its own JSON line — the machine-readable form
+of SCALING.md's headroom claim.
 """
 
 from __future__ import annotations
@@ -17,6 +31,84 @@ import os
 import re
 import sys
 import time
+
+CANARY_FACTOR = 2.0  # a canary sample beyond this x calibration voids the window
+MAX_RERUNS_PER_QUERY = 2
+
+
+def _pctl(sorted_vals: list[float], p: float) -> float:
+    """Nearest-rank percentile of an already-sorted list."""
+    if not sorted_vals:
+        return 0.0
+    k = max(0, min(len(sorted_vals) - 1, int(round(p * (len(sorted_vals) - 1)))))
+    return sorted_vals[k]
+
+
+class Canary:
+    """Fixed-cost probe of host health: full scan + hash-agg over `events`.
+
+    Constant work (no dependence on the query under test), touches the
+    same scan/agg machinery as real queries, cheap enough to interleave
+    (~tens of ms at sf0.1). Calibration = min of 5 startup runs (the
+    quiet-host floor); any later sample > CANARY_FACTOR x that floor
+    marks its measurement window as contaminated.
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.samples: list[float] = []
+        self._time()  # warmup: first run pays codegen, not host cost
+        self.calibration = min(self._time() for _ in range(5))
+
+    def _time(self) -> float:
+        t0 = time.perf_counter()
+        self.spark.sql(
+            "SELECT sum(hash(event_id, user_id, event_type)) FROM events"
+        ).collect()
+        return time.perf_counter() - t0
+
+    def sample(self) -> float:
+        dt = self._time()
+        self.samples.append(dt)
+        return dt
+
+    def clean(self, window_samples: list[float]) -> bool:
+        return max(window_samples) <= CANARY_FACTOR * self.calibration
+
+    def stats(self, reruns: int) -> dict:
+        s = sorted(self.samples)
+        return {
+            "calibration_sec": round(self.calibration, 4),
+            "n_samples": len(s),
+            "p50_sec": round(_pctl(s, 0.50), 4),
+            "max_sec": round(s[-1], 4) if s else 0.0,
+            "factor": CANARY_FACTOR,
+            "reruns": reruns,
+        }
+
+
+def _measure_query(spark, q, sf_dir: str, canary: Canary) -> tuple[float, int]:
+    """Min-of-3 noop-sink wall for one query, canary-guarded.
+
+    Canary runs before rep 1 and after every rep; if any of those 4
+    samples is hot, the whole min-of-3 is discarded and retried (the min
+    of a stalled window is still a stalled number — r4's failure mode).
+    After MAX_RERUNS the last measurement is kept (the JSON's canary
+    block flags the run as dirty).
+    """
+    reruns = 0
+    while True:
+        window = [canary.sample()]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            window.append(canary.sample())
+        if canary.clean(window) or reruns >= MAX_RERUNS_PER_QUERY:
+            return best, reruns
+        reruns += 1
 
 
 def main() -> None:
@@ -38,22 +130,21 @@ def main() -> None:
     for t in catalog.TABLES:
         spark.table(t).count()
 
-    # Three timed runs per query, min taken: the host shows transient
-    # multi-second stalls and up to ~2x run-to-run drift (shared VM /
-    # steal time), and the min keeps that out of the plan-cost signal.
-    # Cold-run JIT cost amortizes at real scale anyway.
-    times: dict[str, float] = {}
-    for name, q in sorted(queries.items()):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+    if "--stress" in sys.argv:
+        print(json.dumps(_stress_bench(spark)))
+        return
 
-    streaming_stats = _stream_q5_bench(spark)
+    canary = Canary(spark)
+    times: dict[str, float] = {}
+    total_reruns = 0
+    for name, q in sorted(queries.items()):
+        best, reruns = _measure_query(spark, q, sf_dir, canary)
+        total_reruns += reruns
+        times[name] = round(best, 3)
+        flag = f" [reran {reruns}x]" if reruns else ""
+        print(f"# {name}: {times[name]:.3f}s{flag}", file=sys.stderr)
+
+    streaming_stats = _stream_q5_bench(spark, canary=canary)
 
     total = round(sum(times.values()), 3)
     print(
@@ -64,21 +155,44 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "canary": canary.stats(total_reruns),
                 "streaming": streaming_stats,
             }
         )
     )
 
 
-def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> dict:
+def _progress_latency(q) -> dict:
+    """p50/p95 per-micro-batch latency from StreamingQueryProgress.
+
+    `triggerExecution` is the full micro-batch wall as the engine itself
+    recorded it, per batch — robust to driver-side timing noise in a way
+    wall/n_batches is not (one stalled perf_counter window inflated the
+    whole r4 artifact; per-batch engine timings localize a stall to the
+    batches it actually hit).
+    """
+    durs = sorted(
+        p.durationMs["triggerExecution"] / 1000.0
+        for p in q.recentProgress
+        if p.numInputRows > 0 and "triggerExecution" in p.durationMs
+    )
+    return {
+        "n_batches": len(durs),
+        "p50_sec": round(_pctl(durs, 0.50), 3),
+        "p95_sec": round(_pctl(durs, 0.95), 3),
+    }
+
+
+def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canary=None) -> dict:
     """Streaming anchor vs BASELINE.md: the reference processes 1,000 ev/s
     NEXMark q5 (hopping window) at ~8.5k ev/s effective (10 s of data in
     ~1.18 s source wall, reference README.md:250). Over 60 s of generated
     bids:
 
-    - throughput: large triggers → effective events/sec (hopping agg);
-    - latency: small triggers → per-micro-batch wall (the sub-second
-      latency target);
+    - throughput: large triggers → effective events/sec (hopping agg),
+      canary-guarded (rerun once if the window was hot);
+    - latency: small triggers → per-micro-batch p50/p95 from
+      StreamingQueryProgress (engine-recorded, host-noise-robust);
     - full q5: the DECLARED query end-to-end (hopping counts + per-window
       max join-on-aggregate, streaming.run_nexmark_q5_stream).
 
@@ -100,6 +214,17 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     tmp = tempfile.mkdtemp(prefix="bench-stream-")
+
+    def guarded(fn):
+        """Run fn() → wall; rerun once if the canary saw a host stall."""
+        for attempt in range(2):
+            pre = canary.sample() if canary else 0.0
+            wall = fn()
+            post = canary.sample() if canary else 0.0
+            if canary is None or canary.clean([pre, post]) or attempt:
+                return wall
+        return wall
+
     try:
         bids = sources.nexmark_bids(spark, events_per_sec, seconds)
         n = bids.count()
@@ -108,7 +233,7 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
         )
         streaming.write_epoch_files(staged, f"{tmp}/bids")
 
-        def run(files_per_trigger: int, ckpt: str) -> float:
+        def run(files_per_trigger: int, ckpt: str) -> tuple[float, dict]:
             stream = streaming.replay_stream(
                 spark, f"{tmp}/bids", files_per_trigger=files_per_trigger
             ).drop("epoch")
@@ -116,20 +241,24 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
                 stream, "b_date_time", "auction", size="10 seconds", slide="5 seconds"
             )
             t0 = time.perf_counter()
-            q = streaming.noop_sink(agg, checkpoint=f"{tmp}/{ckpt}")
+            q = streaming.noop_sink(agg, checkpoint=_fresh(tmp, ckpt))
             q.awaitTermination(300)
-            return time.perf_counter() - t0
+            return time.perf_counter() - t0, _progress_latency(q)
 
         run(30, "ckpt-warm")  # one-time streaming-path init, not per-event cost
-        wall_tp = run(15, "ckpt-tp")
-        n_batches_lat = (seconds + 3) // 4
-        wall_lat = run(4, "ckpt-lat")
+        wall_tp = guarded(lambda: run(15, "ckpt-tp")[0])
+        _, lat = run(4, "ckpt-lat")
 
-        t0 = time.perf_counter()
-        streaming.run_nexmark_q5_stream(
-            spark, f"{tmp}/bids", checkpoint=f"{tmp}/ckpt-full", files_per_trigger=15
+        wall_full = guarded(
+            lambda: _timed(
+                lambda: streaming.run_nexmark_q5_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    checkpoint=_fresh(tmp, "ckpt-full"),
+                    files_per_trigger=15,
+                )
+            )
         )
-        wall_full = time.perf_counter() - t0
 
         # Full q8: genuine stream-stream windowed join (person ⋈ auction)
         # over generated entity streams at the same event-time span.
@@ -146,20 +275,21 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
                 ),
                 f"{tmp}/{sub}",
             )
+
         def run_q8(ckpt: str) -> float:
-            t0 = time.perf_counter()
-            streaming.run_nexmark_q8_stream(
-                spark,
-                f"{tmp}/p",
-                f"{tmp}/a",
-                checkpoint=f"{tmp}/{ckpt}",
-                size_s=10,
-                files_per_trigger=30,
+            return _timed(
+                lambda: streaming.run_nexmark_q8_stream(
+                    spark,
+                    f"{tmp}/p",
+                    f"{tmp}/a",
+                    checkpoint=_fresh(tmp, ckpt),
+                    size_s=10,
+                    files_per_trigger=30,
+                )
             )
-            return time.perf_counter() - t0
 
         run_q8("ckpt-q8-warm")  # stream-stream join path init, like the q5 warmup
-        wall_q8 = run_q8("ckpt-q8")
+        wall_q8 = guarded(lambda: run_q8("ckpt-q8"))
 
         # YSB end-to-end stream (filter + broadcast campaign join + tumbling
         # counts) at the same generated scale.
@@ -170,18 +300,26 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
         )
         streaming.write_epoch_files(staged_ads, f"{tmp}/ads")
         campaigns = sources.ysb_campaigns(spark)
-        ysb = streaming.ysb_campaign_stream(
-            spark, f"{tmp}/ads", campaigns, files_per_trigger=15
-        )
-        t0 = time.perf_counter()
-        q = streaming.noop_sink(ysb, checkpoint=f"{tmp}/ckpt-ysb", mode="complete")
-        q.awaitTermination(300)
-        wall_ysb = time.perf_counter() - t0
+
+        def run_ysb() -> float:
+            ysb = streaming.ysb_campaign_stream(
+                spark, f"{tmp}/ads", campaigns, files_per_trigger=15
+            )
+            t0 = time.perf_counter()
+            q = streaming.noop_sink(
+                ysb, checkpoint=_fresh(tmp, "ckpt-ysb"), mode="complete"
+            )
+            q.awaitTermination(300)
+            return time.perf_counter() - t0
+
+        wall_ysb = guarded(run_ysb)
         return {
             "q5_events": n,
             "q5_wall_sec": round(wall_tp, 3),
             "q5_events_per_sec": round(n / wall_tp, 1),
-            "q5_microbatch_latency_sec": round(wall_lat / n_batches_lat, 3),
+            "q5_microbatch_latency_p50_sec": lat["p50_sec"],
+            "q5_microbatch_latency_p95_sec": lat["p95_sec"],
+            "q5_latency_batches": lat["n_batches"],
             "q5_full_query_wall_sec": round(wall_full, 3),
             "q5_full_query_events_per_sec": round(n / wall_full, 1),
             "q8_events": n_q8,
@@ -190,6 +328,87 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60) -> di
             "ysb_events": n_ads,
             "ysb_wall_sec": round(wall_ysb, 3),
             "ysb_events_per_sec": round(n_ads / wall_ysb, 1),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _fresh(tmp: str, name: str) -> str:
+    """A never-used checkpoint dir (guarded reruns must not resume)."""
+    import uuid
+
+    return os.path.join(tmp, f"{name}-{uuid.uuid4().hex[:8]}")
+
+
+def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dict:
+    """10x-rate streaming stress — SCALING.md's headroom claim as data.
+
+    Runs the q5 full pipeline and the q11 session-window store over 10x
+    the bench event rate (~552k bids) and reports sustained ev/s. The
+    expected shape: throughput RISES vs the 1x numbers because per-event
+    cost amortizes fixed micro-batch overhead — state-store-bound
+    pipelines get cheaper per event with volume until state exceeds
+    memory (the RocksDB provider is the cluster answer there).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from squirtle_spark import sources, streaming
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    tmp = tempfile.mkdtemp(prefix="bench-stress-")
+    try:
+        bids = sources.nexmark_bids(spark, events_per_sec, seconds)
+        n = bids.count()
+        staged = bids.withColumn(
+            "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+        )
+        streaming.write_epoch_files(staged, f"{tmp}/bids")
+
+        def run_q5(ckpt: str) -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q5_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    checkpoint=_fresh(tmp, ckpt),
+                    files_per_trigger=15,
+                )
+            )
+
+        run_q5("w")  # streaming-path init
+        wall_q5 = min(run_q5("a"), run_q5("b"))
+
+        def run_q11(ckpt: str) -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q11_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    checkpoint=_fresh(tmp, ckpt),
+                    files_per_trigger=15,
+                )
+            )
+
+        wall_q11 = min(run_q11("c"), run_q11("d"))
+        return {
+            "metric": "stress_events_per_sec",
+            "value": round(n / wall_q5, 1),
+            "unit": "events/sec",
+            "events": n,
+            "rate_multiplier": events_per_sec // 1000,
+            "q5_full_wall_sec": round(wall_q5, 3),
+            "q5_full_events_per_sec": round(n / wall_q5, 1),
+            "q11_session_wall_sec": round(wall_q11, 3),
+            "q11_session_events_per_sec": round(n / wall_q11, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -97,37 +97,34 @@ def register_df(
     )
 
 
-#: Oracle-bearing declared headline queries pulled forward into the
-#: driver's check budget (they evidence the §2.3 join classes: equi join,
-#: range-residual winning bid, hopping join-on-aggregate, narrow top-k).
+#: Round-5 budget spend: the 16 registry entries that have NEVER had a
+#: driver row in any round (every other oracle-bearing entry went green
+#: in r2–r4 and keeps its pytest oracle). Once CORRECTNESS_r05 lands,
+#: all 121 entries have cumulative driver evidence.
 _PROMOTE = [
-    "win_tumbling",  # declared B2 window class
-    "win_hopping",  # declared B1 window class
-    "win_session",  # declared B4 window class
-    "ysb_campaign_views",  # declared A9
-    "nexmark_q3",
-    "nexmark_q4",
-    "nexmark_q5",
-    "nexmark_q9",
+    "tpch_q2",  # partsupp-view unlock (min-cost supplier correlated subq)
+    "tpch_q9",  # partsupp product-profit 6-way join
+    "tpch_q11",  # partsupp group HAVING vs global scalar
+    "tpch_q16",  # partsupp NOT IN + count-distinct
+    "tpch_q20",  # partsupp nested IN-subquery chain
+    "tpch_q21",  # lineitem_ext multi-EXISTS (receipt/commit dates)
+    "tpch_q12_shipmode",  # lineitem_ext date-arith conditional agg
+    "nexmark_q12_invariant",  # proc-time q12's checkable invariant form
+    "set_ops",  # UNION/INTERSECT/EXCEPT
+    "subq_scalar_in",  # scalar + IN subqueries
+    "token_count",  # whitespace+BPE-ish tokenization
+    "unpivot_event_matrix",  # stack() unpivot
+    "win_cumulative",  # running-total frame
+    "win_elementwise_epoch",  # per-epoch elementwise window class
+    "kmeans_lloyd",  # iterative Lloyd loop (rows-only: iterative, no SQL oracle)
+    "multimodal_framesample",  # mapInPandas N→M frame explosion
 ]
 
-#: Entries deferred past the budget: each is redundant with a stronger
-#: in-budget representative of the same operator class, and keeps its
-#: full pytest oracle/contract regardless of order. kmeans_assign covers
-#: clustering (lloyd adds the loop), multimodal_decode covers the
-#: mapInPandas plumbing (framesample adds N→M), the multi-key agg family
-#: covers pivot/unpivot (conditional aggregation), text_stats covers
-#: tokenization, subq_correlated is the harder subquery shape,
-#: win_analytics covers ranking/frames, and core's projections cover the
-#: elementwise epoch bucket.
+#: Entries deferred past the budget: each was driver-green in r2–r4 or is
+#: redundant with a stronger in-budget representative of the same
+#: operator class, and keeps its full pytest oracle/contract regardless
+#: of order.
 _DEFER = [
-    "kmeans_lloyd",
-    "multimodal_framesample",
-    "unpivot_event_matrix",
-    "token_count",
-    "subq_scalar_in",
-    "win_cumulative",
-    "win_elementwise_epoch",
     # Rows-only by nature (engine-specific sketches): their driver row can
     # only prove rows>0, while the real evidence is the pytest error-bound
     # contracts — don't let them displace oracle-bearing entries.
@@ -139,8 +136,7 @@ _DEFER = [
     "dedup_ngram_jaccard",
     # Same plan/evidence class as an in-budget sibling: sample_domain_cap
     # is the per-group hash-quota shape sample_stratified evidences, and
-    # pivot is conditional aggregation the multi-key agg family evidences
-    # (its unpivot inverse is already deferred).
+    # pivot is conditional aggregation the multi-key agg family evidences.
     "sample_domain_cap",
     "pivot_event_matrix",
     # shard_corpus evidences the same pure-hash assignment shape (and adds
@@ -160,10 +156,10 @@ def load_all() -> dict[str, Query]:
 
     Iteration order IS driver-check order: the driver walks ``queries()``
     in insertion order and (round 2) truncated after 50 entries, so order
-    is evidence allocation. The novel operators (dedup/ANN/text/as-of/
-    windows/YSB) sign in first, then the promoted declared headliners, so
-    any truncation starves the redundant TPC-H tail — not the north-star
-    ops or the queries the judge tracks by name.
+    is evidence allocation. Round 5 spends the budget on the 16 entries
+    that have never had a driver row (_PROMOTE, pinned inside the first
+    50 by construction); the rest of the budget re-checks novel operators.
+    Rotated-out entries stay covered by the pytest DuckDB-oracle sweep.
     """
     global _ORDERED
     if _ORDERED is not None:
