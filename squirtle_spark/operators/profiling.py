@@ -23,7 +23,7 @@ from __future__ import annotations
 import textwrap
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: (column, null-counting expr is COUNT(col), numeric min/max expr or None)
 _COLS: list[tuple[str, str | None]] = [
@@ -83,6 +83,62 @@ register_sql(
     doc="Per-column data-quality profile (nulls/distincts/numeric bounds) "
     "from ONE aggregation pass + a column-name unpivot.",
     bench=True,
+)
+
+
+def _dq_profile_approx(spark, sf_dir):
+    """The documented 100 TB form of dq_profile: every exact
+    COUNT(DISTINCT) swapped for approx_count_distinct (HyperLogLog++,
+    default rsd 5%). No Expand — the scan stays a true single pass with
+    one global agg row, so profile cost is one read of the table at any
+    scale. Spark-only (DuckDB's approx_count_distinct is a different HLL
+    implementation, so there is no cross-engine value oracle); the
+    correctness contract is the error-bound pytest against the exact
+    dq_profile entry (tests/test_sketches.py), the same evidence pattern
+    as the HLL/CMS sketches.
+    """
+    stats = []
+    for col, num in _COLS:
+        stats.append(f"COUNT({col}) AS nn_{col}")
+        stats.append(f"approx_count_distinct({col}) AS nd_{col}")
+        if num == "":
+            lo, hi = "NULL", "NULL"
+        elif num is None:
+            lo = f"MIN({dl.epoch_s(col, dl.SPARK)})"
+            hi = f"MAX({dl.epoch_s(col, dl.SPARK)})"
+        else:
+            lo, hi = f"MIN({num})", f"MAX({num})"
+        stats.append(f"CAST({lo} AS DOUBLE) AS lo_{col}")
+        stats.append(f"CAST({hi} AS DOUBLE) AS hi_{col}")
+
+    def pick(prefix: str, typ: str) -> str:
+        cases = " ".join(f"WHEN '{c}' THEN {prefix}_{c}" for c, _ in _COLS)
+        return f"CAST(CASE col_name {cases} END AS {typ})"
+
+    names = ", ".join(f"('{c}')" for c, _ in _COLS)
+    return spark.sql(
+        textwrap.dedent(f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {", ".join(stats)}
+            FROM events
+        ),
+        cols(col_name) AS (VALUES {names})
+        SELECT col_name,
+               n_rows,
+               n_rows - {pick("nn", "BIGINT")} AS n_nulls,
+               {pick("nd", "BIGINT")} AS n_distinct,
+               {pick("lo", "DOUBLE")} AS min_num,
+               {pick("hi", "DOUBLE")} AS max_num
+        FROM agg, cols
+        """)
+    )
+
+
+register_df(
+    "dq_profile_approx",
+    _dq_profile_approx,
+    doc="dq_profile's 100 TB form: approx_count_distinct (HLL++, no Expand), "
+    "single-pass scan; bound-tested against the exact profile.",
 )
 
 

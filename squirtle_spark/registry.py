@@ -131,6 +131,7 @@ _DEFER = [
     "sketch_merge_distinct",
     "approx_topk_tokens",
     "approx_sketch_stats",
+    "dq_profile_approx",  # bound-tested vs the exact dq_profile entry
     # Evidence subsumed since dedup_minhash_lsh became fully oracle-checked:
     # its verify stage embeds the identical exact-Jaccard computation.
     "dedup_ngram_jaccard",

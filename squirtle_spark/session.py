@@ -36,6 +36,42 @@ RUNTIME_CONFS = {
 }
 
 
+#: Streaming state-store providers. The default HDFS-backed provider keeps
+#: all state on the JVM heap — right for local tests and small state; the
+#: RocksDB provider spills keyed state off-heap/to disk and is the cluster
+#: choice for large session/dedup state (SCALING.md cluster change #3).
+#: Both jars ship with stock Spark, so this is a pure config switch.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def configure_state_store(spark: SparkSession, provider: str | None = None) -> str | None:
+    """Select the streaming state-store provider ("hdfs" | "rocksdb").
+
+    With no argument, reads ``$SPARK_GRAFT_STATE_STORE`` (unset → leave
+    Spark's default in place and return None). The conf is read at
+    streaming-query START, so flipping it affects queries started after
+    this call — running queries keep the provider they checkpointed with
+    (provider choice is baked into the checkpoint's state format).
+    """
+    provider = provider or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if not provider:
+        return None
+    cls = STATE_STORE_PROVIDERS[provider.lower()]
+    spark.conf.set(_STATE_STORE_KEY, cls)
+    return cls
+
+
 def _master_preconfigured() -> bool:
     """True when a cluster manager / spark-submit already chose a master."""
     from pyspark import SparkConf
@@ -81,5 +117,6 @@ def get_spark(
     # runtime-settable ones that correctness depends on.
     for k, v in RUNTIME_CONFS.items():
         spark.conf.set(k, v)
+    configure_state_store(spark)  # env-gated ($SPARK_GRAFT_STATE_STORE)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -93,3 +93,25 @@ def test_cms_overestimate_invariant(spark, sf_dir):
     present = [r["exact_count"] for t, r in rows.items() if r["exact_count"] > 0]
     if present:
         assert rows["zzz-absent-token"]["est_count"] <= max(present)
+
+
+def test_dq_profile_approx_tracks_exact_profile(spark, sf_dir):
+    """The 100 TB profiler (approx_count_distinct, no Expand) must agree
+    with the exact dq_profile on every non-estimated stat and keep each
+    approximate distinct count within HLL++'s 5% default rsd (3 sigma
+    gives a hard deterministic-seed bound of ~15%; the fixtures land well
+    inside 5%)."""
+    qs = load_all()
+    exact = {r["col_name"]: r for r in qs["dq_profile"].spark_fn(spark, sf_dir).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in qs["dq_profile_approx"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for col, e in exact.items():
+        a = approx[col]
+        assert a["n_rows"] == e["n_rows"], col
+        assert a["n_nulls"] == e["n_nulls"], col
+        assert a["min_num"] == e["min_num"], col
+        assert a["max_num"] == e["max_num"], col
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(1, 0.05 * e["n_distinct"]), col

@@ -311,6 +311,67 @@ def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
     assert len(rows) == expected
 
 
+def test_rocksdb_state_store_session_and_dedup(spark, tmp_path):
+    """The two largest-state streaming ops (q11 session store, watermarked
+    dedup) run green on the RocksDB state-store provider — SCALING.md's
+    cluster change #3 as a tested config switch, not prose. Results must
+    equal the batch formulation exactly, same as the default provider."""
+    from squirtle_spark.session import (
+        _STATE_STORE_KEY,
+        STATE_STORE_PROVIDERS,
+        configure_state_store,
+    )
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_KEY)
+    except Exception:
+        prev = None
+    assert configure_state_store(spark, "rocksdb") == STATE_STORE_PROVIDERS["rocksdb"]
+    try:
+        # q11-shape session aggregation on the RocksDB store
+        batch_df, stream = _replay_setup(spark, tmp_path)
+        result = streaming.session_agg(stream, "b_date_time", "bidder", gap="2 seconds")
+        rows = streaming.run_available_now(
+            result, checkpoint=str(tmp_path / "ckpt-sess-rocks"), mode="complete"
+        )
+        expected = (
+            batch_df.groupBy("bidder", F.session_window("b_date_time", "2 seconds"))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "bidder",
+                F.col("session_window.start").alias("starttime"),
+                F.col("session_window.end").alias("endtime"),
+                "cnt",
+            )
+            .collect()
+        )
+        assert len(rows) > 0
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+        # watermarked streaming dedup on the RocksDB store
+        bids = sources.nexmark_bids(spark, 100, 6)
+        doubled = bids.union(bids).withColumn(
+            "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+        )
+        data_dir = str(tmp_path / "dup-bids-rocks")
+        streaming.write_epoch_files(doubled, data_dir)
+        dstream = streaming.replay_stream(spark, data_dir, files_per_trigger=2).drop(
+            "epoch"
+        )
+        deduped = streaming.stream_dedup(
+            dstream, ["auction", "bidder", "price"], "b_date_time"
+        )
+        drows = streaming.run_available_now(
+            deduped, checkpoint=str(tmp_path / "ckpt-dedup-rocks"), mode="append"
+        )
+        assert len(drows) == bids.dropDuplicates(["auction", "bidder", "price"]).count()
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_STORE_KEY)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prev)
+
+
 def test_partitioned_sink(spark, tmp_path):
     """q10: dt/hm-partitioned file sink produces real partitions with all rows."""
     batch_df, stream = _replay_setup(spark, tmp_path, eps=100, secs=3)
