@@ -149,6 +149,36 @@ def test_streaming_q8_two_streams_per_window(spark, tmp_path):
     )
 
 
+def test_empty_elementwise_replay_does_not_clobber_catalog(spark, sf_dir, tmp_path):
+    """A checkpoint-restart with no new data fires ZERO micro-batches; the
+    elementwise fallback then derives its output schema by planning the
+    SQL over an EMPTY temp view named after the stream table. That view
+    must not survive into the session, or the next OLAP query would
+    silently resolve `bid` to an empty table."""
+    count_sql = Query(sql="SELECT COUNT(*) AS n FROM bid")
+    before = sorted(map(tuple, run_olap(spark, count_sql, sf_dir).collect()))
+    assert before[0][0] > 0
+
+    data_dir, _ = _write_bids(spark, tmp_path, eps=50, secs=3)
+    q = Query(
+        sql="SELECT auction, price FROM bid", window=Window.elementwise()
+    )
+    first = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-empty")
+    )
+    assert first.count() > 0
+
+    # same workdir → checkpoint resumes, no new files → zero batches
+    rerun = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-empty")
+    )
+    assert rerun.count() == 0  # typed empty result, correct schema
+    assert [f.name for f in rerun.schema.fields] == ["auction", "price", "win_start"]
+
+    after = sorted(map(tuple, run_olap(spark, count_sql, sf_dir).collect()))
+    assert after == before
+
+
 def test_streaming_run_does_not_clobber_catalog(spark, sf_dir, tmp_path):
     """run_streaming binds window slices under the stream table name; the
     catalog's derived view must come back for the next OLAP query."""
