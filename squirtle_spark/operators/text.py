@@ -196,6 +196,67 @@ register_sql(
 )
 
 
+def _lm_perplexity(d: str) -> str:
+    """CCNet-style language-model quality scoring: per-document average
+    negative log-likelihood (and perplexity) under a unigram LM whose
+    probabilities are the corpus's own token frequencies — the classic
+    "perplexity filter" a training-data pipeline runs to rank documents
+    by fluency before mixing (beyond-parity; the reference has no text
+    ops at all).
+
+    Scale shape: token explode → ONE grouped count builds the LM (vocab-
+    sized, shuffle on token) → per-(doc,token) counts join the LM on an
+    equi-key → one keyed reduction per doc. No driver-side model object:
+    the "LM" is a DataFrame, so 100 TB trains and scores in the same two
+    shuffles (at cluster scale the vocab table is broadcast-joinable
+    after a frequency floor). The NLL sum accumulates through DECIMAL so
+    partition/merge order can't perturb the float result (dialect.py
+    pattern); LN/EXP/division are IEEE-identical across engines.
+    Zero-token docs have no defined perplexity and are excluded (their
+    quality signal comes from text_quality's length stats).
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    nll_term = f"dt.n * (-LN(lm.c / t.n_total))"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {un}({toks}) AS tok FROM documents
+),
+lm AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+t AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM lm
+),
+dt AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT dt.doc_id,
+           {dl.bsum("dt.n", d)} AS n_tokens,
+           {dl.dsum(nll_term, d, "DECIMAL(28,12)")} AS nll_sum
+    FROM dt
+    JOIN lm ON dt.tok = lm.tok
+    CROSS JOIN t
+    GROUP BY dt.doc_id
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(nll_sum / n_tokens, 6) AS avg_nll,
+       ROUND(EXP(nll_sum / n_tokens), 4) AS perplexity
+FROM scored
+"""
+
+
+register_sql(
+    "lm_perplexity",
+    _lm_perplexity,
+    doc="Unigram-LM perplexity quality score per document (CCNet-style "
+    "filter): corpus-trained token frequencies, two bounded shuffles.",
+)
+
+
 def _len_quantiles(spark, sf_dir):
     """Document-length quantiles — EXACT percentile (linear interpolation,
     bitwise-identical to DuckDB's quantile_cont). Scale note: exact

@@ -83,6 +83,7 @@ _GLOBAL_AGG_QUERIES = {
     "mixture_weights",  # corpus-total scalar agg over 5 per-lang rows
     "nexmark_q12_invariant",
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
+    "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
     "text_length_quantiles",
     "tfidf_top_terms",
     "tpch_q6",
