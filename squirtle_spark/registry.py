@@ -171,6 +171,7 @@ def load_all() -> dict[str, Query]:
         clustering,
         curation,
         dedup,
+        e2e,
         multimodal,
         pipeline,
         profiling,

@@ -84,6 +84,7 @@ _GLOBAL_AGG_QUERIES = {
     "nexmark_q12_invariant",
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
+    "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
     "tpch_q6",
