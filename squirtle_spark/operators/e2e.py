@@ -17,11 +17,15 @@ has no text/curation surface at all):
 
 Scale shape: strictly the union of its stages' shapes — banded LSH
 self-join, broadcastable eval-shingle set, two bounded perplexity
-shuffles, and pure-hash split/gating; composing them adds only
-doc_id equi-joins (the manifest key), so the whole pipeline remains one
-Catalyst plan with no new shuffle class. Catalyst shares the repeated
-`documents` scan; at 100 TB the shingle relation (used by both the LSH
-and decontamination stages) would be checkpointed once.
+shuffles, and pure-hash split/gating; composing them adds only doc_id
+equi-joins (the manifest key), so no new shuffle class appears. Spark
+INLINES CTEs, so the single-plan form re-derives the shared shingle/
+token relations per reference (cheap at test scale; measured ~3 s at
+sf0.1). At 100 TB a pipeline materializes the shingle relation and each
+stage's keep/drop list once and joins the persisted outputs — exactly
+the per-stage entries this operator composes, run individually with a
+checkpoint between them; this entry is the semantics contract for that
+composition, value-checked end-to-end.
 
 The whole composition renders in both dialects, so the driver
 value-checks the END-TO-END manifest, not just the stages.
