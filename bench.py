@@ -353,12 +353,13 @@ def _fresh(tmp: str, name: str) -> str:
 def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dict:
     """10x-rate streaming stress — SCALING.md's headroom claim as data.
 
-    Runs the q5 full pipeline and the q11 session-window store over 10x
-    the bench event rate (~552k bids) and reports sustained ev/s. The
-    expected shape: throughput RISES vs the 1x numbers because per-event
-    cost amortizes fixed micro-batch overhead — state-store-bound
-    pipelines get cheaper per event with volume until state exceeds
-    memory (the RocksDB provider is the cluster answer there).
+    Runs the q5 full pipeline, the q11 session-window store, and the q8
+    stream-stream windowed join over 10x the bench event rate (~552k
+    bids / 480k entities) and reports sustained ev/s. The expected
+    shape: throughput RISES vs the 1x numbers because per-event cost
+    amortizes fixed micro-batch overhead — state-store-bound pipelines
+    get cheaper per event with volume until state exceeds memory (the
+    RocksDB provider is the cluster answer there).
     """
     import shutil
     import tempfile
@@ -402,6 +403,36 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             )
 
         wall_q11 = min(run_q11("c"), run_q11("d"))
+
+        # q8: genuine two-sided stream-stream join state at 10x volume.
+        persons = sources.nexmark_persons(spark, 10 * events_per_sec, seconds)
+        auctions = sources.nexmark_auctions(spark, 10 * events_per_sec, seconds)
+        n_q8 = persons.count() + auctions.count()
+        for df, ts, sub in (
+            (persons, "p_date_time", "p"),
+            (auctions, "a_date_time", "a"),
+        ):
+            streaming.write_epoch_files(
+                df.withColumn(
+                    "epoch", F.unix_timestamp(F.col(ts).cast("timestamp")) % 100000
+                ),
+                f"{tmp}/{sub}",
+            )
+
+        def run_q8(ckpt: str) -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q8_stream(
+                    spark,
+                    f"{tmp}/p",
+                    f"{tmp}/a",
+                    checkpoint=_fresh(tmp, ckpt),
+                    size_s=10,
+                    files_per_trigger=30,
+                )
+            )
+
+        run_q8("e")  # stream-stream path init
+        wall_q8 = min(run_q8("f"), run_q8("g"))
         return {
             "metric": "stress_events_per_sec",
             "value": round(n / wall_q5, 1),
@@ -412,6 +443,9 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "q5_full_events_per_sec": round(n / wall_q5, 1),
             "q11_session_wall_sec": round(wall_q11, 3),
             "q11_session_events_per_sec": round(n / wall_q11, 1),
+            "q8_events": n_q8,
+            "q8_join_wall_sec": round(wall_q8, 3),
+            "q8_join_events_per_sec": round(n_q8 / wall_q8, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
