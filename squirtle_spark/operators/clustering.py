@@ -165,3 +165,104 @@ register_df(
     doc=f"{N_ITERS} full Lloyd iterations (broadcast assign + posexplode update); "
     "inertia contract pytest-asserted.",
 )
+
+
+#: Cosine cutoff for "semantically duplicate" — the fixture's random
+#: 64-dim vectors top out near cosine 0.44 (COVERAGE.md), so 0.35 keeps
+#: the gate exercised while dropping a small, meaningful fraction.
+SEM_THRESHOLD = 0.35
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic dedup via
+    cluster-scoped cosine pruning. Candidate generation is the k-means
+    assignment — pairs are only formed WITHIN a cluster, the published
+    alternative to LSH bucketing (operators/dedup.py) for embedding-space
+    dedup. Every dropped vector reports its surviving duplicate
+    (keep-lowest-id rule, the same survivorship convention as dedup_exact).
+
+    Scale shape: assignment is the broadcast K-row join kmeans_assign
+    evidences; the pair join is an equi-join on cluster id, so the
+    quadratic term is bounded by cluster size, never corpus size — at
+    100 TB k grows with N (SemDeDup uses k ~ sqrt(N)) precisely to hold
+    that bound, and the cosine math stays in JVM higher-order functions.
+    Deterministic end-to-end (seeded centroids, 4-decimal rounding before
+    the threshold), so DuckDB replays the full pipeline value-level.
+    """
+    from .similarity import _cosine
+
+    emb = _corpus(spark)
+    assigned = assign(emb, _seed_centroids(emb)).select("vec_id", "v", "cluster")
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("cluster").alias("b_cluster"),
+    )
+    pairs = (
+        a.join(b, (a.cluster == b.b_cluster) & (F.col("a_id") < F.col("b_id")))
+        .select(
+            "a_id", "b_id", "cluster", F.round(_cosine("av", "bv"), 4).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= SEM_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("b_id").alias("vec_id"), "cluster").agg(
+        F.count("*").alias("n_dups"),
+        F.min("a_id").alias("survivor"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+    SELECT vec_id - {SEED_LO} AS cell, v AS cv
+    FROM emb
+    WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_LO + K_CLUSTERS}
+),
+scored AS (
+    SELECT emb.vec_id,
+           emb.v,
+           cents.cell,
+           round(list_distance(emb.v, cents.cv), 4) AS dist
+    FROM emb CROSS JOIN cents
+),
+assigned AS (
+    SELECT vec_id, v, cell AS cluster
+    FROM (
+        SELECT vec_id, v, cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT x.vec_id AS a_id,
+           y.vec_id AS b_id,
+           x.cluster,
+           round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+    FROM assigned x
+    JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT b_id AS vec_id,
+       cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(a_id) AS survivor,
+       MAX(cos_sim) AS max_cos
+FROM pairs
+WHERE cos_sim >= {SEM_THRESHOLD}
+GROUP BY b_id, cluster
+"""
+
+
+register_df(
+    "semdedup",
+    _semdedup,
+    oracle_body=_SEMDEDUP_ORACLE,
+    doc="SemDeDup: k-means-cluster-scoped cosine near-dup pruning over "
+    "embeddings (pairs bounded by cluster size, keep-lowest-id survivor).",
+)
