@@ -162,3 +162,30 @@ def test_kafka_round_trip_when_broker_available(spark, tmp_path):
     rows = spark.sql("SELECT * FROM kafka_rt").collect()
     assert sum(r["count"] for r in rows) == 100
     assert {r["auction"] for r in rows} == set(range(7))
+
+
+def test_batch_sink_format_round_trips(spark, tmp_path):
+    """flock's datasink encodes CSV / JSON / Parquet (+ a binary Arrow
+    serde) — flock/src/datasink/mod.rs:47-72. The Spark equivalents must
+    round-trip the generated bid schema losslessly in every format, with
+    ORC standing in for the binary-columnar (SerdeBinary) case. Schema is
+    supplied on read (the flock sink ships its schema alongside the
+    payload the same way), so text formats reload to identical types."""
+    bids = (
+        sources.nexmark_bids(spark, 200, 3)
+        .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
+    )
+    expected = sorted(map(tuple, bids.collect()))
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"sink-{fmt}")
+        writer = bids.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(path)
+
+        reader = spark.read.schema(bids.schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        got = sorted(map(tuple, reader.format(fmt).load(path).collect()))
+        assert got == expected, fmt
