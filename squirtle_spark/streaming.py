@@ -349,6 +349,172 @@ def run_nexmark_q8_stream(
     ).distinct()
 
 
+def write_flush_epoch(
+    spark: SparkSession,
+    data_dir: str,
+    ts_col: str,
+    advance_s: int,
+    neg_keys: list[str],
+) -> None:
+    """Append one far-future sentinel row to an epoch-replay dir.
+
+    Append-mode windowed aggregations only emit a window once the
+    watermark passes its end; on a FINITE replay the watermark stalls at
+    (max event time − delay), so the final windows would never emit. One
+    sentinel row per input stream, timestamped ``advance_s`` past the
+    stream's max event time, pushes the frontier over every real window
+    at drain time. Its key columns are negative so it can never join or
+    form a real aggregate — it exists only to advance the watermark.
+    (The reference never faces this: flock closes windows by wall-clock
+    sweep, flock-function/src/aws/window/session.rs:106-140; watermarks
+    are the event-time replacement for that sweep.)
+
+    Idempotent per dir: the sentinel lands in a reserved epoch partition
+    that is overwritten, not appended, on re-use.
+    """
+    latest = spark.read.parquet(data_dir).orderBy(F.col(ts_col).desc()).limit(1)
+    sentinel = latest.withColumn(
+        ts_col, F.expr(f"timestampadd(SECOND, {advance_s}, {ts_col})")
+    ).withColumn("epoch", F.lit(999_999).cast("long"))
+    for c in neg_keys:
+        sentinel = sentinel.withColumn(
+            c, F.lit(-1).cast(dict(latest.dtypes)[c])
+        )
+    (
+        sentinel.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(data_dir)
+    )
+
+
+def nexmark_q4_stream(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    window_s: int = 10,
+    max_dur_s: int = 25,
+    delay: str = "600 seconds",
+    files_per_trigger: int = 15,
+) -> DataFrame:
+    """NEXMark q4 (avg winning price per category) as a fully incremental
+    append-mode pipeline of THREE chained stateful operators:
+
+    1. stream-stream time-interval join — bid ⋈ auction on the equi key
+       plus ``b_date_time ∈ [a_date_time, a_date_time + max_dur_s]``,
+       which gives Spark a state-eviction bound on both sides; the exact
+       ``b_date_time <= expires`` residual rides the same join (the
+       generator caps auction duration under ``max_dur_s``, so the
+       interval bound is a superset and drops nothing);
+    2. windowed MAX(price) per (auction, category) — every auction's bids
+       fall inside one ``window(a_date_time)`` bucket (auctions live
+       < max_dur_s, bids join only within that), so the per-window max IS
+       the winning bid; the window exists to let the watermark finalize
+       and evict per-auction state;
+    3. chained windowed SUM/COUNT per category over the finalized maxes
+       (``window_time``-anchored — Spark's chained-aggregation form).
+
+    Emits (win_start, category, sum_final, n_auctions) partial rows as
+    watermarks close windows; ``run_nexmark_q4_stream`` folds them to the
+    declared per-category average. This is the append/watermark
+    formulation of flock's collect-then-fire q4 (queries/q4.rs): state is
+    bounded by (watermark + max_dur_s) worth of auctions however long the
+    stream runs — the shape that survives an unbounded deployment.
+    """
+    size = f"{window_s} seconds"
+    bi = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
+    if "epoch" in bi.columns:
+        bi = bi.drop("epoch")
+    if "epoch" in au.columns:
+        au = au.drop("epoch")
+    bi = _with_event_time(bi, "b_date_time").withWatermark("b_date_time", delay)
+    au = (
+        _with_event_time(au, "a_date_time")
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+        .withWatermark("a_date_time", delay)
+    )
+    joined = bi.join(
+        au,
+        (bi["auction"] == au["a_id"])
+        & (bi["b_date_time"] >= au["a_date_time"])
+        & (
+            bi["b_date_time"]
+            <= au["a_date_time"] + F.expr(f"INTERVAL {max_dur_s} SECONDS")
+        )
+        & (bi["b_date_time"] <= au["expires"]),
+    ).select(au["a_id"], au["category"], au["a_date_time"], bi["price"])
+    per_auction = joined.groupBy(
+        F.window("a_date_time", size), "a_id", "category"
+    ).agg(F.max("price").alias("final"))
+    return (
+        per_auction.groupBy(
+            F.window(F.window_time("window"), size), "category"
+        )
+        .agg(
+            F.sum("final").alias("sum_final"),
+            F.count("*").alias("n_auctions"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "category",
+            "sum_final",
+            "n_auctions",
+        )
+    )
+
+
+def run_nexmark_q4_stream(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    checkpoint: str,
+    window_s: int = 10,
+    max_dur_s: int = 25,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive :func:`nexmark_q4_stream` to completion over a bounded replay
+    and fold the emitted per-(window, category) partials into the declared
+    per-category average — the exact arithmetic the batch q4 performs,
+    just distributed over watermark-finalized window partials. Appends a
+    flush sentinel to both replay dirs first (see write_flush_epoch) so
+    every real window closes by drain time."""
+    for path, ts, keys in (
+        (bids_path, "b_date_time", ["auction", "bidder"]),
+        (auctions_path, "a_date_time", ["a_id", "seller"]),
+    ):
+        write_flush_epoch(spark, path, ts, flush_advance_s, keys)
+    partials = nexmark_q4_stream(
+        spark,
+        bids_path,
+        auctions_path,
+        window_s=window_s,
+        max_dur_s=max_dur_s,
+        delay=delay,
+        files_per_trigger=files_per_trigger,
+    )
+    rows = run_available_now(
+        partials, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    schema = (
+        "win_start TIMESTAMP, category INT, sum_final BIGINT, n_auctions BIGINT"
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .groupBy("category")
+        .agg(
+            (
+                F.sum("sum_final").cast("double") / F.sum("n_auctions")
+            ).alias("avg_final")
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],

@@ -642,3 +642,62 @@ def test_stateful_ema_transform_with_state(spark, tmp_path):
         got_ema, got_n = final[key]
         assert got_n == len(grp), key
         assert abs(got_ema - ema) < 1e-9, key
+
+
+def test_nexmark_q4_full_stream_equals_batch(spark, tmp_path):
+    """q4 (avg winning price per category) as THREE chained stateful
+    operators in append mode: stream-stream time-interval join, windowed
+    per-auction MAX, chained windowed per-category partials — folded to
+    the declared averages, they must equal the batch q4 over the same
+    generated events (the flush sentinel closes the tail windows)."""
+    bids = sources.nexmark_bids(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = sorted(
+        map(
+            tuple,
+            streaming.run_nexmark_q4_stream(
+                spark,
+                str(tmp_path / "b"),
+                str(tmp_path / "a"),
+                checkpoint=str(tmp_path / "ckpt-q4full"),
+                files_per_trigger=3,
+            ).collect(),
+        )
+    )
+
+    bb = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+    )
+    winning = (
+        ba.join(
+            bb,
+            (ba["a_id"] == bb["auction"])
+            & bb["b_date_time"].between(ba["a_date_time"], ba["expires"]),
+        )
+        .groupBy("a_id", "category")
+        .agg(F.max("price").alias("final"))
+    )
+    expected = sorted(
+        map(
+            tuple,
+            winning.groupBy("category")
+            .agg((F.sum("final").cast("double") / F.count("*")).alias("avg_final"))
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert [c for c, _ in got] == [c for c, _ in expected]
+    for (_, g), (_, e) in zip(got, expected):
+        assert abs(g - e) < 1e-9
