@@ -19,9 +19,10 @@ query re-run (bounded retries). The emitted JSON carries the canary
 calibration, p50/max of all samples, and the rerun count, so a
 contaminated run is self-identifying instead of silently wrong.
 
-`--stress` runs the 10x-rate streaming stress (q5 full pipeline + q11
-session store) and prints its own JSON line — the machine-readable form
-of SCALING.md's headroom claim.
+`--stress` runs the 10x-rate streaming stress (q5 full pipeline, q11
+session store, q8 stream-stream join, q4 chained three-stateful
+pipeline) and prints its own JSON line — the machine-readable form of
+SCALING.md's headroom claim.
 """
 
 from __future__ import annotations
@@ -316,6 +317,36 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
             return time.perf_counter() - t0
 
         wall_ysb = guarded(run_ysb)
+
+        # Full q4: the chained three-stateful-operator append pipeline
+        # (stream-stream interval join → windowed per-auction max →
+        # chained per-category partials). Runs LAST because its flush
+        # sentinel mutates the staged bids dir (negative-keyed row in a
+        # reserved epoch partition — harmless, but only after every other
+        # consumer of the dir has been timed).
+        q4_aucs = sources.nexmark_auctions(spark, events_per_sec, seconds)
+        n_q4 = n + q4_aucs.count()
+        streaming.write_epoch_files(
+            q4_aucs.withColumn(
+                "epoch",
+                F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000,
+            ),
+            f"{tmp}/a4",
+        )
+
+        def run_q4(ckpt: str) -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q4_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    f"{tmp}/a4",
+                    checkpoint=_fresh(tmp, ckpt),
+                    files_per_trigger=30,
+                )
+            )
+
+        run_q4("ckpt-q4-warm")  # chained-stateful path init
+        wall_q4 = guarded(lambda: run_q4("ckpt-q4"))
         return {
             "q5_events": n,
             "q5_wall_sec": round(wall_tp, 3),
@@ -331,6 +362,9 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
             "ysb_events": n_ads,
             "ysb_wall_sec": round(wall_ysb, 3),
             "ysb_events_per_sec": round(n_ads / wall_ysb, 1),
+            "q4_events": n_q4,
+            "q4_full_query_wall_sec": round(wall_q4, 3),
+            "q4_full_query_events_per_sec": round(n_q4 / wall_q4, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -353,9 +387,10 @@ def _fresh(tmp: str, name: str) -> str:
 def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dict:
     """10x-rate streaming stress — SCALING.md's headroom claim as data.
 
-    Runs the q5 full pipeline, the q11 session-window store, and the q8
-    stream-stream windowed join over 10x the bench event rate (~552k
-    bids / 480k entities) and reports sustained ev/s. The expected
+    Runs the q5 full pipeline, the q11 session-window store, the q8
+    stream-stream windowed join, and the q4 chained three-stateful
+    pipeline over 10x the bench event rate (~552k bids / 480k entities)
+    and reports sustained ev/s. The expected
     shape: throughput RISES vs the 1x numbers because per-event cost
     amortizes fixed micro-batch overhead — state-store-bound pipelines
     get cheaper per event with volume until state exceeds memory (the
@@ -433,6 +468,32 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
 
         run_q8("e")  # stream-stream path init
         wall_q8 = min(run_q8("f"), run_q8("g"))
+
+        # q4 chained three-stateful pipeline at 10x; runs last — its
+        # flush sentinel mutates the shared bids dir (see _stream_q5_bench).
+        q4_aucs = sources.nexmark_auctions(spark, events_per_sec, seconds)
+        n_q4 = n + q4_aucs.count()
+        streaming.write_epoch_files(
+            q4_aucs.withColumn(
+                "epoch",
+                F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000,
+            ),
+            f"{tmp}/a4",
+        )
+
+        def run_q4(ckpt: str) -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q4_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    f"{tmp}/a4",
+                    checkpoint=_fresh(tmp, ckpt),
+                    files_per_trigger=30,
+                )
+            )
+
+        run_q4("h")  # chained-stateful path init
+        wall_q4 = min(run_q4("i"), run_q4("j"))
         return {
             "metric": "stress_events_per_sec",
             "value": round(n / wall_q5, 1),
@@ -446,6 +507,9 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "q8_events": n_q8,
             "q8_join_wall_sec": round(wall_q8, 3),
             "q8_join_events_per_sec": round(n_q8 / wall_q8, 1),
+            "q4_events": n_q4,
+            "q4_chained_wall_sec": round(wall_q4, 3),
+            "q4_chained_events_per_sec": round(n_q4 / wall_q4, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -388,6 +388,53 @@ def write_flush_epoch(
     )
 
 
+def _winning_bid_join(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    max_dur_s: int,
+    delay: str,
+    files_per_trigger: int,
+) -> DataFrame:
+    """The q4/q6/q9 winning-bid core as a stream-stream time-interval
+    join: bid ⋈ auction on the equi key plus
+    ``b_date_time ∈ [a_date_time, a_date_time + max_dur_s]`` — the
+    two-sided bound that lets Spark evict join state — with the exact
+    ``b_date_time <= expires`` residual riding the same join (the
+    generator caps auction duration under ``max_dur_s``, so the interval
+    bound is a superset and drops nothing)."""
+    bi = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
+    if "epoch" in bi.columns:
+        bi = bi.drop("epoch")
+    if "epoch" in au.columns:
+        au = au.drop("epoch")
+    bi = _with_event_time(bi, "b_date_time").withWatermark("b_date_time", delay)
+    au = (
+        _with_event_time(au, "a_date_time")
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+        .withWatermark("a_date_time", delay)
+    )
+    return bi.join(
+        au,
+        (bi["auction"] == au["a_id"])
+        & (bi["b_date_time"] >= au["a_date_time"])
+        & (
+            bi["b_date_time"]
+            <= au["a_date_time"] + F.expr(f"INTERVAL {max_dur_s} SECONDS")
+        )
+        & (bi["b_date_time"] <= au["expires"]),
+    ).select(
+        au["a_id"],
+        au["category"],
+        au["a_date_time"],
+        bi["price"],
+        bi["bidder"],
+        bi["b_date_time"],
+    )
+
+
 def nexmark_q4_stream(
     spark: SparkSession,
     bids_path: str,
@@ -423,28 +470,14 @@ def nexmark_q4_stream(
     stream runs — the shape that survives an unbounded deployment.
     """
     size = f"{window_s} seconds"
-    bi = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
-    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
-    if "epoch" in bi.columns:
-        bi = bi.drop("epoch")
-    if "epoch" in au.columns:
-        au = au.drop("epoch")
-    bi = _with_event_time(bi, "b_date_time").withWatermark("b_date_time", delay)
-    au = (
-        _with_event_time(au, "a_date_time")
-        .withColumn("expires", F.col("expires").cast("timestamp"))
-        .withWatermark("a_date_time", delay)
-    )
-    joined = bi.join(
-        au,
-        (bi["auction"] == au["a_id"])
-        & (bi["b_date_time"] >= au["a_date_time"])
-        & (
-            bi["b_date_time"]
-            <= au["a_date_time"] + F.expr(f"INTERVAL {max_dur_s} SECONDS")
-        )
-        & (bi["b_date_time"] <= au["expires"]),
-    ).select(au["a_id"], au["category"], au["a_date_time"], bi["price"])
+    joined = _winning_bid_join(
+        spark,
+        bids_path,
+        auctions_path,
+        max_dur_s=max_dur_s,
+        delay=delay,
+        files_per_trigger=files_per_trigger,
+    ).select("a_id", "category", "a_date_time", "price")
     per_auction = joined.groupBy(
         F.window("a_date_time", size), "a_id", "category"
     ).agg(F.max("price").alias("final"))
@@ -512,6 +545,116 @@ def run_nexmark_q4_stream(
                 F.sum("sum_final").cast("double") / F.sum("n_auctions")
             ).alias("avg_final")
         )
+    )
+
+
+def nexmark_q9_stream(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    window_s: int = 10,
+    max_dur_s: int = 25,
+    delay: str = "600 seconds",
+    files_per_trigger: int = 15,
+) -> DataFrame:
+    """NEXMark q9 (the winning BID row per auction) as an incremental
+    append pipeline: the winning-bid interval join followed by ONE
+    windowed ``MAX(struct(...))`` argmax per auction.
+
+    The struct encodes the batch q9's exact tie order — price DESC, then
+    b_date_time ASC, then bidder ASC (queries/q9.sql:13) — as
+    (price, -unix_micros(ts), -bidder), so the struct MAX picks the
+    identical winner the ROW_NUMBER formulation ranks first, and the
+    whole query needs no per-epoch re-rank: per-auction state is one
+    struct, finalized and evicted when the watermark passes the
+    auction's window. Like the batch q9, only NARROW columns flow
+    through the stateful stage; wide auction attributes join back onto
+    the few winners afterwards (run_nexmark_q9_stream does it for the
+    replayed fixture).
+    """
+    joined = _winning_bid_join(
+        spark,
+        bids_path,
+        auctions_path,
+        max_dur_s=max_dur_s,
+        delay=delay,
+        files_per_trigger=files_per_trigger,
+    )
+    best = F.max(
+        F.struct(
+            F.col("price"),
+            (-F.unix_micros("b_date_time")).alias("neg_ts"),
+            (-F.col("bidder")).alias("neg_bidder"),
+        )
+    ).alias("best")
+    return (
+        joined.groupBy(F.window("a_date_time", f"{window_s} seconds"), "a_id")
+        .agg(best)
+        .select(
+            "a_id",
+            F.col("best.price").alias("price"),
+            F.timestamp_micros(-F.col("best.neg_ts")).alias("bid_date_time"),
+            (-F.col("best.neg_bidder")).alias("bidder"),
+        )
+    )
+
+
+def run_nexmark_q9_stream(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    checkpoint: str,
+    window_s: int = 10,
+    max_dur_s: int = 25,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain :func:`nexmark_q9_stream` over a bounded replay (flush
+    sentinels close the tail windows) and join the wide auction
+    attributes back onto the winners — the same narrow-rank/wide-join
+    split the batch q9 plans."""
+    for path, ts, keys in (
+        (bids_path, "b_date_time", ["auction", "bidder"]),
+        (auctions_path, "a_date_time", ["a_id", "seller"]),
+    ):
+        write_flush_epoch(spark, path, ts, flush_advance_s, keys)
+    winners = nexmark_q9_stream(
+        spark,
+        bids_path,
+        auctions_path,
+        window_s=window_s,
+        max_dur_s=max_dur_s,
+        delay=delay,
+        files_per_trigger=files_per_trigger,
+    )
+    rows = run_available_now(
+        winners, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    won = spark.createDataFrame(
+        rows, "a_id BIGINT, price INT, bid_date_time TIMESTAMP, bidder BIGINT"
+    )
+    auctions = (
+        spark.read.parquet(auctions_path)
+        .drop("epoch")
+        .where(F.col("a_id") >= 0)  # exclude the flush sentinel
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+        .select("a_id", "item_name", "seller", "category", "a_date_time", "expires")
+    )
+    return auctions.join(won, "a_id").select(
+        "a_id",
+        "item_name",
+        "seller",
+        "category",
+        "a_date_time",
+        "expires",
+        "bidder",
+        "price",
+        "bid_date_time",
     )
 
 

@@ -701,3 +701,67 @@ def test_nexmark_q4_full_stream_equals_batch(spark, tmp_path):
     assert [c for c, _ in got] == [c for c, _ in expected]
     for (_, g), (_, e) in zip(got, expected):
         assert abs(g - e) < 1e-9
+
+
+def test_nexmark_q9_full_stream_equals_batch(spark, tmp_path):
+    """q9 (winning bid row per auction) as the incremental interval join +
+    windowed struct-argmax: drained winners (wide auction attrs joined
+    back) must equal the batch ROW_NUMBER formulation with the identical
+    price DESC / ts ASC / bidder ASC tie order."""
+    bids = sources.nexmark_bids(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = sorted(
+        map(
+            tuple,
+            streaming.run_nexmark_q9_stream(
+                spark,
+                str(tmp_path / "b"),
+                str(tmp_path / "a"),
+                checkpoint=str(tmp_path / "ckpt-q9full"),
+                files_per_trigger=3,
+            ).collect(),
+        )
+    )
+
+    bb = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+    )
+    w = "(PARTITION BY a_id ORDER BY price DESC, b_date_time ASC, bidder ASC)"
+    expected = sorted(
+        map(
+            tuple,
+            ba.join(
+                bb,
+                (ba["a_id"] == bb["auction"])
+                & bb["b_date_time"].between(ba["a_date_time"], ba["expires"]),
+            )
+            .withColumn("rn", F.expr(f"ROW_NUMBER() OVER {w}"))
+            .where(F.col("rn") == 1)
+            .select(
+                "a_id",
+                "item_name",
+                "seller",
+                "category",
+                "a_date_time",
+                "expires",
+                "bidder",
+                "price",
+                F.col("b_date_time").alias("bid_date_time"),
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == expected
