@@ -428,6 +428,7 @@ def _winning_bid_join(
     ).select(
         au["a_id"],
         au["category"],
+        au["seller"],
         au["a_date_time"],
         bi["price"],
         bi["bidder"],
@@ -655,6 +656,181 @@ def run_nexmark_q9_stream(
         "bidder",
         "price",
         "bid_date_time",
+    )
+
+
+def stateful_last_n_avg(
+    stream: DataFrame,
+    key_col: str,
+    val_col: str,
+    ts_col: str,
+    id_col: str,
+    n: int = 11,
+) -> DataFrame:
+    """Per-key average over the last ``n`` entries ordered by (ts, id) —
+    q6's frame semantics as keyed state. The state is the top-``n``
+    (ts, id, value) triples per key; membership is defined by the ORDER,
+    not by arrival, so merging batches in any order yields the same
+    state — the final emission is deterministic under replay and equals
+    the batch frame average at each key's last row.
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("avg_last", DoubleType()),
+            StructField("n_in_frame", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(LongType())),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, ids, vals = (list(x) for x in state.get)
+        else:
+            ts, ids, vals = [], [], []
+        entries = list(zip(ts, ids, vals))
+        for pdf in batches:
+            entries.extend(
+                (int(t), int(i), int(v))
+                for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[val_col])
+            )
+        entries = sorted(entries, reverse=True)[:n]
+        state.update(tuple(list(c) for c in zip(*entries)))
+        avg = sum(e[2] for e in entries) / len(entries)
+        yield pd.DataFrame(
+            {"key": [key[0]], "avg_last": [avg], "n_in_frame": [len(entries)]}
+        )
+
+    return (
+        stream.withColumn("key", F.col(key_col).cast("long"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_nexmark_q6_stream(
+    spark: SparkSession,
+    bids_path: str,
+    auctions_path: str,
+    *,
+    checkpoint: str,
+    winners_path: str,
+    window_s: int = 10,
+    max_dur_s: int = 25,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """NEXMark q6 (avg price of each seller's last 10 closed auctions) as
+    a TWO-QUERY streaming topology — the staged-pipeline shape production
+    deployments run between broker topics:
+
+    1. the winning-bid pipeline (interval join + windowed struct-argmax,
+       the q9 stages) APPENDS finalized winners to a parquet channel
+       under its own checkpoint;
+    2. a second streaming query reads the channel and maintains the
+       per-seller last-11 frame (ROWS BETWEEN 10 PRECEDING AND CURRENT
+       ROW over win_ts, a_id — queries/q6_v2.rs:29-45) in keyed state
+       via :func:`stateful_last_n_avg`.
+
+    Returns one row per seller: the frame average at the seller's latest
+    winner — equal to the batch ``nexmark_q6``'s final row per seller.
+    State is bounded at 11 entries per seller however long the stream
+    runs; the channel is replayable, so the second query recovers
+    independently of the first (two checkpoints, two state stores).
+    """
+    for path, ts, keys in (
+        (bids_path, "b_date_time", ["auction", "bidder"]),
+        (auctions_path, "a_date_time", ["a_id", "seller"]),
+    ):
+        write_flush_epoch(spark, path, ts, flush_advance_s, keys)
+    joined = _winning_bid_join(
+        spark,
+        bids_path,
+        auctions_path,
+        max_dur_s=max_dur_s,
+        delay=delay,
+        files_per_trigger=files_per_trigger,
+    )
+    best = F.max(
+        F.struct(
+            F.col("price"),
+            (-F.unix_micros("b_date_time")).alias("neg_ts"),
+            (-F.col("bidder")).alias("neg_bidder"),
+        )
+    ).alias("best")
+    winners = (
+        joined.groupBy(
+            F.window("a_date_time", f"{window_s} seconds"), "a_id", "seller"
+        )
+        .agg(best)
+        .select(
+            "a_id",
+            "seller",
+            F.col("best.price").alias("final"),
+            (-F.col("best.neg_ts")).alias("win_ts_us"),
+        )
+    )
+    qa = (
+        winners.writeStream.format("parquet")
+        .option("path", winners_path)
+        .option("checkpointLocation", checkpoint + "-winners")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not qa.awaitTermination(timeout_s):
+        qa.stop()
+        raise TimeoutError("q6 winners stage still running")
+
+    if not any(
+        f.endswith(".parquet")
+        for f in os.listdir(winners_path)
+        if not f.startswith(("_", "."))
+    ):
+        return spark.createDataFrame(
+            [], "seller BIGINT, avg_last10 DOUBLE, n_in_frame BIGINT"
+        )
+    wstream = replay_stream(spark, winners_path, files_per_trigger=files_per_trigger)
+    result = stateful_last_n_avg(wstream, "seller", "final", "win_ts_us", "a_id", n=11)
+    rows = run_available_now(
+        result, checkpoint=checkpoint + "-frame", mode="update", timeout_s=timeout_s
+    )
+    finals: dict = {}
+    for r in rows:  # update mode re-emits per batch; last emission per key wins
+        finals[r["key"]] = (r["avg_last"], r["n_in_frame"])
+    return spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in finals.items()],
+        "seller BIGINT, avg_last10 DOUBLE, n_in_frame BIGINT",
     )
 
 

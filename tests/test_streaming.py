@@ -765,3 +765,77 @@ def test_nexmark_q9_full_stream_equals_batch(spark, tmp_path):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_nexmark_q6_full_stream_equals_batch(spark, tmp_path):
+    """q6 (avg of each seller's last 10 closed auctions) as a two-query
+    topology: winners pipeline → parquet channel → keyed-state last-11
+    frame. The final per-seller emission must equal the batch frame
+    average at each seller's last winner (same winner tie order)."""
+    bids = sources.nexmark_bids(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = {
+        r["seller"]: (r["avg_last10"], r["n_in_frame"])
+        for r in streaming.run_nexmark_q6_stream(
+            spark,
+            str(tmp_path / "b"),
+            str(tmp_path / "a"),
+            checkpoint=str(tmp_path / "ckpt-q6full"),
+            winners_path=str(tmp_path / "q6-winners"),
+            files_per_trigger=3,
+        ).collect()
+    }
+
+    bb = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+    )
+    wsel = "(PARTITION BY a_id ORDER BY price DESC, b_date_time ASC, bidder ASC)"
+    frame = (
+        "(PARTITION BY seller ORDER BY win_ts, a_id "
+        "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)"
+    )
+    wlast = "(PARTITION BY seller ORDER BY win_ts DESC, a_id DESC)"
+    expected = {
+        r["seller"]: (r["avg_last10"], r["n_in_frame"])
+        for r in ba.join(
+            bb,
+            (ba["a_id"] == bb["auction"])
+            & bb["b_date_time"].between(ba["a_date_time"], ba["expires"]),
+        )
+        .select(
+            "a_id", "seller", F.col("price").alias("final"),
+            F.col("b_date_time").alias("win_ts"),
+            F.expr(f"ROW_NUMBER() OVER {wsel}").alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "seller",
+            "a_id",
+            "win_ts",
+            F.expr(
+                f"CAST(SUM(final) OVER {frame} AS DOUBLE)"
+                f" / COUNT(*) OVER {frame}"
+            ).alias("avg_last10"),
+            F.expr(f"COUNT(*) OVER {frame}").alias("n_in_frame"),
+        )
+        .withColumn("rn2", F.expr(f"ROW_NUMBER() OVER {wlast}"))
+        .where(F.col("rn2") == 1)
+        .collect()
+    }
+    assert len(got) > 0
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k][1] == expected[k][1], k
+        assert abs(got[k][0] - expected[k][0]) < 1e-9, k
