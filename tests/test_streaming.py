@@ -839,3 +839,38 @@ def test_nexmark_q6_full_stream_equals_batch(spark, tmp_path):
     for k in got:
         assert got[k][1] == expected[k][1], k
         assert abs(got[k][0] - expected[k][0]) < 1e-9, k
+
+
+def test_q4_stream_plans_three_chained_stateful_operators(spark, tmp_path):
+    """The q4 pipeline must plan as ONE streaming query with a symmetric
+    stream-stream hash join and TWO state-store aggregations — the
+    incremental shape SCALING.md claims. Losing an operator (or gaining
+    a re-computation stage) is a scale regression."""
+    import contextlib
+    import io
+
+    bids = sources.nexmark_bids(spark, 100, 2).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 100, 2).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    df = streaming.nexmark_q4_stream(
+        spark, str(tmp_path / "b"), str(tmp_path / "a"), files_per_trigger=10
+    )
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt-q4plan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "StreamingSymmetricHashJoin" in plan
+    assert plan.count("StateStoreSave") == 2
