@@ -874,3 +874,78 @@ def test_q4_stream_plans_three_chained_stateful_operators(spark, tmp_path):
     plan = buf.getvalue()
     assert "StreamingSymmetricHashJoin" in plan
     assert plan.count("StateStoreSave") == 2
+
+
+def test_rocksdb_state_store_q4_chained_pipeline(spark, tmp_path):
+    """The heaviest multi-stateful pipeline (q4: stream-stream join + two
+    chained windowed aggs) must run green on the RocksDB provider too —
+    its three state stores are exactly the state that outgrows executor
+    heap first on a cluster. Result must equal the batch q4."""
+    from squirtle_spark.session import (
+        _STATE_STORE_KEY,
+        STATE_STORE_PROVIDERS,
+        configure_state_store,
+    )
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_KEY)
+    except Exception:
+        prev = None
+    assert configure_state_store(spark, "rocksdb") == STATE_STORE_PROVIDERS["rocksdb"]
+    try:
+        bids = sources.nexmark_bids(spark, 300, 4).withColumn(
+            "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+        )
+        auctions = sources.nexmark_auctions(spark, 300, 4).withColumn(
+            "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+        )
+        streaming.write_epoch_files(bids, str(tmp_path / "b"))
+        streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+        got = sorted(
+            map(
+                tuple,
+                streaming.run_nexmark_q4_stream(
+                    spark,
+                    str(tmp_path / "b"),
+                    str(tmp_path / "a"),
+                    checkpoint=str(tmp_path / "ckpt-q4-rocks"),
+                    files_per_trigger=3,
+                ).collect(),
+            )
+        )
+
+        bb = bids.drop("epoch").withColumn(
+            "b_date_time", F.col("b_date_time").cast("timestamp")
+        )
+        ba = (
+            auctions.drop("epoch")
+            .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+            .withColumn("expires", F.col("expires").cast("timestamp"))
+        )
+        expected = sorted(
+            map(
+                tuple,
+                ba.join(
+                    bb,
+                    (ba["a_id"] == bb["auction"])
+                    & bb["b_date_time"].between(ba["a_date_time"], ba["expires"]),
+                )
+                .groupBy("a_id", "category")
+                .agg(F.max("price").alias("final"))
+                .groupBy("category")
+                .agg(
+                    (F.sum("final").cast("double") / F.count("*")).alias("avg_final")
+                )
+                .collect(),
+            )
+        )
+        assert len(got) > 0
+        assert [c for c, _ in got] == [c for c, _ in expected]
+        for (_, g), (_, e) in zip(got, expected):
+            assert abs(g - e) < 1e-9
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_STORE_KEY)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prev)
