@@ -92,6 +92,62 @@ register_sql(
 )
 
 
+#: Fixed logistic weights for the quality classifier — a documented
+#: stand-in for a trained fasttext/LR quality model (the weights would
+#: come from training; the INFERENCE plumbing is what this operator
+#: proves). Chosen so the fixture corpus straddles the 0.5 boundary
+#: (stopword_ratio 0-0.21, n_tok 10-99, mean_token_span 4.4-5.9).
+_QC_W = {
+    "bias": -1.0,
+    "stopword_ratio": 12.0,
+    "punct_ratio": -30.0,
+    "log_n_tok": 0.22,
+    "mean_token_span": -0.12,
+}
+
+
+def _quality_classifier(d: str) -> str:
+    """Model scoring as a pure-SQL projection: a logistic quality
+    classifier over the text_quality features — the shape a trained
+    fasttext/LR quality filter takes in a Spark pipeline (weights are a
+    broadcastable constant vector; inference is whole-stage-codegen
+    arithmetic, zero shuffle, so scoring 100 TB costs one scan).
+    Deterministic: the features are integer-derived, the linear term and
+    EXP are IEEE-identical across engines, and the keep decision tests
+    the raw margin sign (no float-rounded threshold).
+    """
+    toks = dl.split_tokens("text", d)
+    n_tok = dl.array_len(toks, d)
+    w = _QC_W
+    z = (
+        f"{w['bias']} + {w['stopword_ratio']} * stopword_ratio"
+        f" + {w['punct_ratio']} * punct_ratio"
+        f" + {w['log_n_tok']} * LN(1 + n_tok)"
+        f" + {w['mean_token_span']} * mean_token_span"
+    )
+    return f"""
+WITH f AS (
+    SELECT q.doc_id, q.stopword_ratio, q.punct_ratio, q.mean_token_span, t.n_tok
+    FROM ({_quality(d)}) q
+    JOIN (SELECT doc_id, {n_tok} AS n_tok FROM documents) t
+      ON q.doc_id = t.doc_id
+),
+scored AS (SELECT doc_id, {z} AS z FROM f)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-z)), 6) AS quality_score,
+       CAST(z >= 0 AS INT) AS keep
+FROM scored
+"""
+
+
+register_sql(
+    "quality_classifier",
+    _quality_classifier,
+    doc="Logistic quality-model inference as pure codegen SQL "
+    "(fasttext/LR-shaped scoring; fixed documented weights).",
+)
+
+
 def _lang_guess(d: str) -> str:
     scores = {
         lang: dl.regex_count("text", _word_alt(words, d), d)
