@@ -949,3 +949,90 @@ def test_rocksdb_state_store_q4_chained_pipeline(spark, tmp_path):
             spark.conf.unset(_STATE_STORE_KEY)
         else:
             spark.conf.set(_STATE_STORE_KEY, prev)
+
+
+def test_q4_stream_recovers_from_checkpoint_mid_replay(spark, tmp_path):
+    """Kill the q4 chained pipeline mid-replay and restart from the same
+    checkpoint into an exactly-once file sink: the union of committed
+    partials across both runs must fold to the exact batch q4 answer —
+    join buffers and both agg state stores recover, nothing double-emits
+    (flock's PROCESSED_WINDOWS idempotence, subsumed by checkpoint +
+    sink commit log)."""
+    import time as _time
+
+    bids = sources.nexmark_bids(spark, 400, 10).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 10).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+    for path, ts, keys in (
+        (str(tmp_path / "b"), "b_date_time", ["auction", "bidder"]),
+        (str(tmp_path / "a"), "a_date_time", ["a_id", "seller"]),
+    ):
+        streaming.write_flush_epoch(spark, path, ts, 3600, keys)
+    out = str(tmp_path / "q4-partials")
+    ckpt = str(tmp_path / "ckpt-q4-recover")
+
+    def start():
+        df = streaming.nexmark_q4_stream(
+            spark, str(tmp_path / "b"), str(tmp_path / "a"), files_per_trigger=1
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    _time.sleep(4)
+    q1.stop()  # interrupt mid-replay (uncommitted batch is fine: the sink
+    # commit log only exposes committed files to readers)
+    q2 = start()
+    assert q2.awaitTermination(300)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .groupBy("category")
+            .agg(
+                (F.sum("sum_final").cast("double") / F.sum("n_auctions")).alias(
+                    "avg_final"
+                )
+            )
+            .collect(),
+        )
+    )
+    bb = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .withColumn("expires", F.col("expires").cast("timestamp"))
+    )
+    expected = sorted(
+        map(
+            tuple,
+            ba.join(
+                bb,
+                (ba["a_id"] == bb["auction"])
+                & bb["b_date_time"].between(ba["a_date_time"], ba["expires"]),
+            )
+            .groupBy("a_id", "category")
+            .agg(F.max("price").alias("final"))
+            .groupBy("category")
+            .agg((F.sum("final").cast("double") / F.count("*")).alias("avg_final"))
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert [c for c, _ in got] == [c for c, _ in expected]
+    for (_, g), (_, e) in zip(got, expected):
+        assert abs(g - e) < 1e-9
