@@ -455,3 +455,97 @@ register_df(
     doc="Canonical survivor per near-dup cluster (longest doc, ties to min "
     "id) — the keep/drop decision after clustering.",
 )
+
+
+SPAN_W = 5  # word 5-grams: long enough to be a "span", short enough to fire on fixtures
+
+
+def _dedup_spans(d: str) -> str:
+    """Exact duplicate-SPAN detection (Lee et al., arXiv:2107.06499): for
+    every document, how much of it is covered by word {SPAN_W}-grams that
+    also occur in at least one OTHER document — the substring-level dedup
+    signal that catches boilerplate/templating which document-level fuzzy
+    dedup (MinHash/SimHash) is blind to.
+
+    Plan shape (three keyed shuffles, never all-pairs, all-integer math so
+    the oracle is hash-exact):
+
+    1. positional shingle fan-out (one row per (doc, pos) — linear, not
+       the quadratic array-lambda re-evaluation; dialect.pos_shingle_fanout);
+    2. ONE grouped pass marks shingles whose doc-frequency >= 2 — at 100 TB
+       this is the same shuffle-by-shingle that powers minhash/decontam;
+    3. duplicated positions per doc merge into maximal spans by
+       gaps-and-islands: sorted by pos, a new island starts iff
+       pos > lag(pos) + W - 1 (ends are monotone in pos, so the running
+       max of previous ends IS lag(pos) + W - 1); covered tokens =
+       sum over islands of (max(pos) - min(pos) + W) — exact interval
+       union, pure window functions.
+
+    Emits per-doc duplicated-token coverage and the RefinedWeb-style gate
+    (drop when > 30% of tokens sit in cross-doc duplicated spans).
+    Beyond-parity: the reference engine has no text operators.
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    fanout, one = dl.pos_shingle_fanout(SPAN_W, d)
+    w = SPAN_W
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {toks} AS tk FROM documents
+),
+pos_sh AS (
+    SELECT doc_id, pos, {one} AS sh
+    FROM tk
+    {fanout}
+),
+shared AS (
+    SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (
+    SELECT p.doc_id, p.pos
+    FROM pos_sh p JOIN shared s ON p.sh = s.sh
+),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w - 1}
+                THEN 1 ELSE 0 END AS new_island
+    FROM dup
+),
+grp AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk
+),
+spans AS (
+    SELECT doc_id, island,
+           MIN(pos) AS span_start,
+           MAX(pos) + {w - 1} AS span_end
+    FROM grp GROUP BY doc_id, island
+),
+cov AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       {dl.array_len('t.tk', d)} AS n_tokens,
+       COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+             / CAST({dl.array_len('t.tk', d)} AS DOUBLE), 4) AS dup_frac,
+       (CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+            / CAST({dl.array_len('t.tk', d)} AS DOUBLE)) <= 0.30 AS gate_pass
+FROM tk t
+LEFT JOIN cov c ON t.doc_id = c.doc_id
+"""
+
+
+register_sql(
+    "dedup_spans",
+    _dedup_spans,
+    doc="Duplicate-span coverage per document (exact substring-level dedup "
+    "signal): cross-doc 5-gram doc-frequency -> interval union by "
+    "gaps-and-islands; RefinedWeb-style 30% gate.",
+)
