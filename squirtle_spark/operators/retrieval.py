@@ -1,0 +1,144 @@
+"""Sparse retrieval over the ``documents`` table: BM25 ranking and an
+inverted index — the lexical side of the similarity-search family
+(operators/similarity.py is the dense side). Beyond-parity: the reference
+engine has no text operators at all.
+
+Both operators are pure SQL built-ins (JVM-side, whole-stage codegen) and
+share the token fan-out shape with text.py/dedup.py, so at 100 TB they ride
+the same shuffle-by-token the dedup/decontamination family already pays:
+
+- **BM25**: the score needs only (tf per doc-term, df per term, doc length,
+  corpus avgdl). tf is computed over tokens FILTERED to the query terms
+  before the shuffle — the grouped state is |query| rows per doc, not
+  |vocab|; df/avgdl are term- and corpus-grain scalars. Per-term scores
+  assemble through a conditional-aggregation pivot and sum in a FIXED
+  left-associative order, so the double result is bit-identical across
+  engines/partitionings (the lm_perplexity determinism pattern).
+- **Inverted index**: token -> (df, total tf, capped posting list). The
+  posting list is the first ``POSTINGS_CAP`` doc_ids in sorted order —
+  bounded per-group state (sort + slice), never an unbounded collect; a
+  production index would shard postings by (token, doc_id range), which is
+  exactly what the shuffle key already provides.
+"""
+
+from __future__ import annotations
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: Fixed lexical query — terms chosen from the synthetic corpus vocabulary.
+BM25_TERMS = ["hash", "join", "window", "stream"]
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+BM25_TOPK = 50
+
+POSTINGS_CAP = 20
+
+
+def _bm25_topk(d: str) -> str:
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # Okapi BM25: idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dlen/avgdl)).
+    idf = "LN(CAST(1 AS DOUBLE) + (c.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    score = (
+        f"{idf} * (tf.tf * ({BM25_K1} + 1)) "
+        f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dlen / c.avgdl))"
+    )
+    per_term = "\n".join(
+        f"           COALESCE(MAX(CASE WHEN tok = '{t}' THEN s END), CAST(0 AS DOUBLE)) AS s_{t},"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)  # fixed fold order
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {toks} AS tk FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST({dl.array_len('tk', d)} AS BIGINT) AS dlen FROM tk
+),
+hits AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, {un}(tk) AS tok FROM tk) x
+    WHERE tok IN ({terms})
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM hits GROUP BY doc_id, tok
+),
+df AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dlen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok, {score} AS s
+    FROM tf
+    JOIN df ON tf.tok = df.tok
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN c
+),
+pivoted AS (
+    SELECT doc_id,
+{per_term}
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       n_matched_terms,
+       ROUND({total}, 6) AS bm25_score
+FROM pivoted
+ORDER BY ROUND({total}, 6) DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+register_sql(
+    "bm25_topk",
+    _bm25_topk,
+    doc="Okapi BM25 top-k lexical retrieval (fixed query terms): filtered "
+    "token tf + term df + corpus avgdl; fixed-order score fold for "
+    "cross-engine bit-equality.",
+    bench=True,
+)
+
+
+def _inverted_index(d: str) -> str:
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    if d == dl.SPARK:
+        postings = (
+            "concat_ws(',', transform("
+            f"slice(sort_array(collect_set(doc_id)), 1, {POSTINGS_CAP}), "
+            "x -> CAST(x AS STRING)))"
+        )
+    else:
+        postings = (
+            "array_to_string(list_transform("
+            f"list_slice(list_sort(list(DISTINCT doc_id)), 1, {POSTINGS_CAP}), "
+            "x -> CAST(x AS VARCHAR)), ',')"
+        )
+    return f"""
+WITH hits AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, {un}({toks}) AS tok FROM documents) x
+)
+SELECT tok,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf_total,
+       {postings} AS postings_head
+FROM hits
+GROUP BY tok
+"""
+
+
+register_sql(
+    "inverted_index",
+    _inverted_index,
+    doc="Inverted index build: token -> document frequency, total term "
+    "frequency, and a capped sorted posting-list head (bounded per-group "
+    "state).",
+)

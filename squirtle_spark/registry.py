@@ -176,6 +176,7 @@ def load_all() -> dict[str, Query]:
         pipeline,
         profiling,
         rangejoin,
+        retrieval,
         similarity,
         sketches,
         text,
