@@ -569,6 +569,37 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q3_full_stream_equals_batch(spark, tmp_path):
+    """q3 end-to-end as a pure incremental equi-join (no window, state
+    retained for the stream's life): drained append output must equal the
+    batch join, across persons and auctions arriving in different
+    micro-batches."""
+    persons = sources.nexmark_persons(spark, 300, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 600, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(persons, str(tmp_path / "p"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = streaming.run_nexmark_q3_stream(
+        spark,
+        str(tmp_path / "p"),
+        str(tmp_path / "a"),
+        checkpoint=str(tmp_path / "ckpt-q3full"),
+        files_per_trigger=2,
+    ).collect()
+
+    bp = persons.drop("epoch").where(F.col("state").isin("OR", "ID", "CA"))
+    ba = auctions.drop("epoch").where(F.col("category") == 10)
+    expected = ba.join(bp, ba["seller"] == bp["p_id"]).select(
+        "name", "city", "state", "a_id"
+    ).collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
 def test_nexmark_q11_full_stream_equals_batch(spark, tmp_path):
     """q11 (bid sessions per bidder) end-to-end as a stream on the native
     session_window state store: the drained append output must equal the
