@@ -143,6 +143,13 @@ _DEFER = [
     # shard_corpus evidences the same pure-hash assignment shape (and adds
     # the in-shard order window).
     "split_train_val_test",
+    # Driver-green in r4 and redundant with in-budget siblings (pure
+    # codegen per-row projections: dedup_exact's md5 fingerprint /
+    # text_stats+text_quality's regex-count shape) — deferred so the
+    # round-5 additions bm25_topk and inverted_index, which have never
+    # had a driver row, fit inside the 50-entry budget.
+    "doc_fingerprint",
+    "lang_id",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
