@@ -549,3 +549,54 @@ register_sql(
     "signal): cross-doc 5-gram doc-frequency -> interval union by "
     "gaps-and-islands; RefinedWeb-style 30% gate.",
 )
+
+
+EDIT_BLOCK_PREFIX = 16  # chars of shared prefix that admit a candidate pair
+EDIT_MAX_DIST = 24  # max edits for a near-dup verdict (fixture docs ~128 chars)
+
+
+def _dedup_edit_distance(d: str) -> str:
+    """Character-level near-duplicate pairs by Levenshtein edit distance —
+    the third lens next to token-shingle Jaccard (MinHash/ngram) and
+    bit-signature Hamming (SimHash): it catches single-character edits,
+    whitespace drift and truncations that re-tokenize into very different
+    shingle sets.
+
+    Candidates are BLOCKED, never all-pairs: only documents sharing a
+    {EDIT_BLOCK_PREFIX}-char prefix meet (one equi-shuffle on the prefix;
+    self-join bounded per block). Levenshtein is O(len^2) per pair, so the
+    blocking key is doing the scale work — a production run widens recall
+    with additional cheap keys (suffix block, length band, a minhash
+    band) unioned before the verify, exactly like dedup_minhash_lsh's
+    band family. Edit distance is classic dynamic programming with one
+    well-defined answer, so the oracle is integer-exact.
+    """
+    sim = (
+        "1 - CAST(dist AS DOUBLE) / "
+        "CAST(CASE WHEN len_a > len_b THEN len_a ELSE len_b END AS DOUBLE)"
+    )
+    return f"""
+WITH blocked AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS dist,
+           CAST(length(a.text) AS BIGINT) AS len_a,
+           CAST(length(b.text) AS BIGINT) AS len_b
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, {EDIT_BLOCK_PREFIX}) = substr(b.text, 1, {EDIT_BLOCK_PREFIX})
+     AND a.doc_id < b.doc_id
+    WHERE a.text <> b.text
+)
+SELECT doc_a, doc_b, dist, len_a, len_b,
+       ROUND({sim}, 4) AS edit_sim
+FROM blocked
+WHERE dist <= {EDIT_MAX_DIST}
+"""
+
+
+register_sql(
+    "dedup_edit_distance",
+    _dedup_edit_distance,
+    doc="Character-level near-dup pairs: prefix-blocked Levenshtein verify "
+    "(catches single-char edits token shingles miss); integer-exact oracle.",
+)

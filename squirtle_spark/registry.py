@@ -150,6 +150,9 @@ _DEFER = [
     # had a driver row, fit inside the 50-entry budget.
     "doc_fingerprint",
     "lang_id",
+    # r4-green; multimodal_decode drives the same binary-column path plus
+    # the Arrow-batched codec, so meta's projection-only row is redundant.
+    "multimodal_meta",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

@@ -349,6 +349,40 @@ def run_nexmark_q8_stream(
     ).distinct()
 
 
+def run_nexmark_q13_stream(
+    spark: SparkSession,
+    bids_path: str,
+    side_input: DataFrame,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Full NEXMark q13 (bounded side-input join) as a stream: every bid
+    broadcast-joins a STATIC side-input table on MOD(auction, 1000) — the
+    stream-static join class (flock benchmarks/src/nexmark/query/q13.sql
+    ships the side input as a payload to every worker; Spark's broadcast
+    of a static DataFrame is the same distribution, done by the engine).
+    Stateless per micro-batch: no watermark, no state store — the only
+    retained object is the broadcast table, so this scales with the
+    side input's size, not the stream's history.
+    """
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    joined = stream.join(
+        F.broadcast(side_input), F.expr("MOD(auction, 1000)") == side_input["key"]
+    ).select("auction", "bidder", "price", "b_date_time", "value")
+    rows = run_available_now(
+        joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    return spark.createDataFrame(
+        rows,
+        "auction BIGINT, bidder BIGINT, price BIGINT, "
+        "b_date_time TIMESTAMP_NTZ, value STRING",
+    )
+
+
 def run_nexmark_q3_stream(
     spark: SparkSession,
     persons_path: str,

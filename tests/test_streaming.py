@@ -569,6 +569,34 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q13_full_stream_equals_batch(spark, tmp_path):
+    """q13 end-to-end as a stream-static broadcast join: every replayed bid
+    joins the static side-input table; drained output must equal the batch
+    join (stateless per micro-batch — no watermark, no state)."""
+    bids = sources.nexmark_bids(spark, 400, 8).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    side = spark.range(1000).selectExpr(
+        "CAST(id AS BIGINT) AS key", "'side_' || CAST(id % 42 AS STRING) AS value"
+    )
+    streaming.write_epoch_files(bids, str(tmp_path / "b"))
+
+    got = streaming.run_nexmark_q13_stream(
+        spark,
+        str(tmp_path / "b"),
+        side,
+        checkpoint=str(tmp_path / "ckpt-q13full"),
+        files_per_trigger=3,
+    ).collect()
+
+    bb = bids.drop("epoch")
+    expected = bb.join(
+        F.broadcast(side), F.expr("MOD(auction, 1000)") == side["key"]
+    ).select("auction", "bidder", "price", "b_date_time", "value").collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
 def test_nexmark_q3_full_stream_equals_batch(spark, tmp_path):
     """q3 end-to-end as a pure incremental equi-join (no window, state
     retained for the stream's life): drained append output must equal the
