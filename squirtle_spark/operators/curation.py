@@ -295,3 +295,61 @@ def write_training_shards(spark, sf_dir: str, path: str):
         .parquet(path)
     )
     return spark.read.parquet(path).count()
+
+
+def _source_overlap_matrix(d: str) -> str:
+    """Pairwise cross-dataset contamination matrix: for every pair of
+    sources, how many DISTINCT word {SHINGLE_W}-gram shingles they share,
+    plus the containment coefficient (shared / smaller side) — the
+    dataset-level version of decontaminate_ngram_overlap, answering "which
+    corpora overlap enough to distort mixture_weights' dedup assumptions"
+    before mixing (beyond-parity; reference has no text ops).
+
+    Scale shape: DISTINCT (source, shingle) is one shuffle keyed on the
+    shingle; the pair join meets only rows sharing a shingle, so cost is
+    sum over shingles of (sources containing it choose 2) — bounded by
+    source count squared per shingle, never |corpus|^2. A viral shingle
+    appearing in all S sources contributes S^2 rows: at production scale
+    drop stop-shingles (document frequency above a cap) first, the same
+    guard decontamination uses.
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    fanout, one = dl.pos_shingle_fanout(SHINGLE_W, d)
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT source, shingle
+    FROM (
+        SELECT source, {one} AS shingle
+        FROM (SELECT source, {toks} AS tk FROM documents) t
+        {fanout}
+    ) u
+),
+tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY source
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.shared_shingles,
+       ta.n_shingles AS n_a,
+       tb.n_shingles AS n_b,
+       ROUND(CAST(p.shared_shingles AS DOUBLE)
+             / CAST(LEAST(ta.n_shingles, tb.n_shingles) AS DOUBLE), 4)
+           AS containment
+FROM pairs p
+JOIN tot ta ON p.src_a = ta.source
+JOIN tot tb ON p.src_b = tb.source
+"""
+
+
+register_sql(
+    "source_overlap_matrix",
+    _source_overlap_matrix,
+    doc="Pairwise source-contamination matrix: distinct shared shingles + "
+    "containment per source pair, met only through the shingle key.",
+)

@@ -491,3 +491,80 @@ register_df(
     "(deterministic ties; candidate generation swaps to LSH/IVF at scale).",
     bench=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (streaming): the 100 TB ingest path —
+# new embeddings stream in, LSH bucket rows append to a partitioned index,
+# queries hit only their buckets. Batch ann_lsh_topk is the equality oracle.
+# ---------------------------------------------------------------------------
+
+
+def stream_lsh_index_build(
+    spark,
+    emb_path: str,
+    index_path: str,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 4,
+    timeout_s: int = 300,
+) -> None:
+    """Maintain the multi-table LSH index INCREMENTALLY: replayed embedding
+    batches map to (vec_id, v, tbl, bucket) rows — the same seeded planes
+    as the batch ``ann_lsh_topk`` — and append to a tbl-partitioned parquet
+    index via foreachBatch. Stateless per micro-batch (the index IS the
+    state, on storage, not in a state store), so ingest scales with batch
+    size; queries later prune to their (tbl, bucket) slice. Per-batch
+    appends produce small files — production compacts per partition on a
+    schedule (or writes through an upsert_sink keyed on vec_id, which also
+    absorbs at-least-once replays; here the query path's pair-dedup makes
+    duplicate index rows harmless).
+    """
+    from .. import streaming as st
+
+    stream = st.replay_stream(spark, emb_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    stream = stream.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = _lsh_tables(stream, "v")
+
+    def write(df, _epoch_id):
+        df.write.mode("append").partitionBy("tbl").parquet(index_path)
+
+    q = st.foreach_batch_sink(bucketed, write, checkpoint=checkpoint)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"LSH index build still running after {timeout_s}s")
+
+
+def query_lsh_index(spark, index_path: str, queries: DataFrame) -> DataFrame:
+    """Top-k cosine neighbors against the streamed index: queries bucket
+    with the same planes, broadcast-join the index on (tbl, bucket) —
+    partition pruning on tbl + bucket filter mean each query scans its
+    ≈L/2^k slice of the corpus, identical to the batch ann_lsh_topk plan.
+    """
+    idx = spark.read.parquet(index_path)
+    q = _lsh_tables(
+        queries.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "v",
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    )
+    scored = (
+        idx.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(_cosine("qv", "v"), 4).alias("cos_sim"),
+        )
+    )
+    w = "(PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"
+    return (
+        scored.withColumn("rank", F.expr(f"ROW_NUMBER() OVER {w}"))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

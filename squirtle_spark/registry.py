@@ -153,6 +153,9 @@ _DEFER = [
     # r4-green; multimodal_decode drives the same binary-column path plus
     # the Arrow-batched codec, so meta's projection-only row is redundant.
     "multimodal_meta",
+    # r4-green; dq_profile (in-budget) evidences the same single-wide-agg
+    # profiling class.
+    "value_histogram",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

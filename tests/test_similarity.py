@@ -38,3 +38,35 @@ def test_lsh_recall_vs_brute(spark, sf_dir):
     approx = _topk_sets(qs["ann_lsh_topk"].spark_fn(spark, sf_dir))
     r = _recall(approx, exact)
     assert r >= 0.3, f"LSH recall@5 {r:.2f} below floor"
+
+
+def test_stream_lsh_index_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: embeddings streamed in epochs into a
+    partitioned LSH index must answer top-k queries identically to the
+    batch ann_lsh_topk plan over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from squirtle_spark import catalog, streaming
+    from squirtle_spark.operators import similarity
+
+    catalog.register_all(spark, sf_dir)
+    emb = spark.table("embeddings")
+    streaming.write_epoch_files(
+        emb.withColumn("epoch", F.col("vec_id") % 8), str(tmp_path / "emb")
+    )
+
+    similarity.stream_lsh_index_build(
+        spark,
+        str(tmp_path / "emb"),
+        str(tmp_path / "index"),
+        checkpoint=str(tmp_path / "ckpt-lsh"),
+        files_per_trigger=2,
+    )
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+    got = similarity.query_lsh_index(spark, str(tmp_path / "index"), queries)
+
+    expected = load_all()["ann_lsh_topk"].spark_fn(spark, sf_dir)
+    got_rows = sorted(map(tuple, got.collect()))
+    exp_rows = sorted(map(tuple, expected.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == exp_rows
