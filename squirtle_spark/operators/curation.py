@@ -353,3 +353,78 @@ register_sql(
     doc="Pairwise source-contamination matrix: distinct shared shingles + "
     "containment per source pair, met only through the shingle key.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation: the incremental ingest form of the batch pipeline —
+# new documents arrive, pass the quality gate, dedup against everything
+# already accepted, and append to the curated store. The batch formulation
+# (gate -> exact dedup, min-id survivor) is the equality oracle in tests.
+# ---------------------------------------------------------------------------
+
+#: Quality gate for the streaming curation path (kept to one cheap
+#: predicate; the full battery is text_quality/quality_classifier).
+CURATION_MIN_CHARS = 64
+
+
+def stream_curation(
+    spark,
+    docs_path: str,
+    accept_path: str,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 2,
+    timeout_s: int = 300,
+) -> None:
+    """Curate a document STREAM incrementally: per micro-batch, (1) drop
+    docs under the length gate, (2) collapse within-batch exact dups to
+    the min doc_id, (3) anti-join the accumulated accepted-fingerprint
+    index so nothing ever re-admits a seen fingerprint, (4) append
+    survivors to the curated store. The index is the store itself (a
+    fingerprint column on accepted rows) — no driver state, no state
+    store; dedup state lives on storage exactly like dedup_incremental's
+    corpus index, so a year-long ingest holds nothing in memory.
+
+    At-least-once note: a retried batch would re-append rows it already
+    wrote (its fingerprints aren't visible to its own retry's anti-join
+    read in all FS implementations); production routes the append through
+    upsert_sink keyed on content_fp for idempotence. Replay order defines
+    survivorship (first accepted wins); the batch-equality test feeds
+    epochs in doc_id order so first-arrival == min doc_id, making the
+    stream comparable to the batch min-id rule.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import streaming as st
+
+    stream = st.replay_stream(spark, docs_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+
+    def process(df, _epoch_id):
+        batch = (
+            df.where(F.length("text") >= CURATION_MIN_CHARS)
+            .withColumn("content_fp", F.md5(F.lower(F.trim(F.col("text")))))
+        )
+        w = "(PARTITION BY content_fp ORDER BY doc_id)"
+        batch = (
+            batch.withColumn("rn", F.expr(f"ROW_NUMBER() OVER {w}"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Existence via Hadoop FS (not try/except) so real read errors
+        # propagate instead of silently re-admitting duplicates — the
+        # upsert_sink pattern.
+        sess = df.sparkSession
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(accept_path)
+        fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            seen = sess.read.parquet(accept_path).select("content_fp")
+            batch = batch.join(seen, "content_fp", "left_anti")
+        batch.write.mode("append").parquet(accept_path)
+
+    q = st.foreach_batch_sink(stream, process, checkpoint=checkpoint)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream_curation still running after {timeout_s}s")

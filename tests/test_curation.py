@@ -234,3 +234,45 @@ def test_pack_sequences_budget_invariants(spark, sf_dir):
             assert r["bin_id"] == running // _PACK_BUDGET, (source, r["doc_id"])
             assert r["bin_offset"] == running % _PACK_BUDGET, (source, r["doc_id"])
             running += r["n_tokens"]
+
+
+def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental curation: streamed gate -> within-batch dedup ->
+    anti-join vs the accumulated accepted store must admit exactly the
+    batch formulation's survivor set (gate, then min-id exact dedup).
+    Epochs are fed in doc_id order so first-arrival == min doc_id."""
+    from squirtle_spark import streaming
+
+    catalog.register_all(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    chunk = (n + 7) // 8  # 8 epochs, lexicographic dir order == numeric
+    streaming.write_epoch_files(
+        docs.withColumn("epoch", F.expr(f"CAST(doc_id DIV {chunk} AS INT)")),
+        str(tmp_path / "docs"),
+    )
+
+    curation.stream_curation(
+        spark,
+        str(tmp_path / "docs"),
+        str(tmp_path / "accepted"),
+        checkpoint=str(tmp_path / "ckpt-cur"),
+        files_per_trigger=2,
+    )
+    got = spark.read.parquet(str(tmp_path / "accepted"))
+
+    expected = spark.sql(f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+            FROM documents
+            WHERE length(text) >= {curation.CURATION_MIN_CHARS}
+        ) WHERE rn = 1
+    """)
+    got_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    exp_ids = sorted(r["doc_id"] for r in expected.collect())
+    assert len(got_ids) > 0
+    assert got_ids == exp_ids
+    # the store's fingerprints are unique — the anti-join held
+    assert got.select("content_fp").distinct().count() == len(got_ids)
