@@ -281,3 +281,46 @@ def csv_side_input(spark: SparkSession, path: str, schema=None) -> DataFrame:
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dir whose files were written under EVOLVING schemas
+    (columns added over time — the normal life of a long-lived ingest
+    path): ``mergeSchema`` unions all file footers into one wide schema;
+    files missing a column surface NULLs. Spark's default reads ONE
+    footer for speed (at 100 TB, merging a million footers is a real
+    cost — production pins the merged schema in a catalog and passes it
+    explicitly; this helper is the discovery step that builds it).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def json_lines_tolerant(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines with broken records QUARANTINED, not dropped or
+    fatal (kafka.rs's decode path panics the worker on bad payloads; a
+    100 TB ingest treats malformed input as data, not as an error):
+    PERMISSIVE mode routes unparseable lines into a corrupt-record
+    column. Returns (good_rows, quarantine) — quarantine keeps the raw
+    line for replay after a parser fix.
+
+    The corrupt column must be materialized (cached) before filtering on
+    it — Spark refuses a filter referencing ONLY the corrupt column on a
+    lazy scan (internal-corrupt-record restriction).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    df = df.cache()
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -189,3 +189,40 @@ def test_batch_sink_format_round_trips(spark, tmp_path):
             reader = reader.option("header", "true")
         got = sorted(map(tuple, reader.format(fmt).load(path).collect()))
         assert got == expected, fmt
+
+
+def test_read_evolving_parquet_merges_added_columns(spark, tmp_path):
+    """Files written before a column existed read back as NULLs under the
+    merged schema — schema evolution without rewrites."""
+    p = str(tmp_path / "evolve")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(p + "/part=old")
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "'v2' AS b"
+    ).write.parquet(p + "/part=new")
+
+    df = sources.read_evolving_parquet(spark, p)
+    assert set(df.columns) >= {"id", "a", "b"}
+    assert df.count() == 8
+    assert df.where("b IS NULL").count() == 5
+    assert df.where("b = 'v2'").count() == 3
+
+
+def test_json_lines_tolerant_quarantines_corrupt(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    lines = [
+        '{"k": 1, "s": "ok"}',
+        "this is not json at all",
+        '{"k": 2, "s": "fine"}',
+        '{"k": "NOT_A_NUMBER", "s": "type-broken"}',
+        '{"k": 3, "s": "good"}',
+    ]
+    p = tmp_path / "lines.json"
+    p.write_text("\n".join(lines) + "\n")
+
+    schema = StructType().add("k", LongType()).add("s", StringType())
+    good, bad = sources.json_lines_tolerant(spark, str(p), schema)
+    assert sorted(r["k"] for r in good.collect()) == [1, 2, 3]
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 2  # the non-JSON line and the type-broken record
+    assert any("not json" in r for r in raws)
