@@ -368,3 +368,159 @@ register_sql(
     _cohort_retention,
     doc="Weekly cohort retention matrix (first-seen week × week offset).",
 )
+
+
+SESSION_GAP_S = 1800  # matches win_session's gap: ~10k events / 30 days
+
+
+def _session_paths(d: str) -> str:
+    """Top user-journey paths: sessionize per user (gaps-and-islands, the
+    same 30-min-gap rule win_session's oracle pins), render each session's
+    ordered event-type sequence as a path string, rank paths by frequency.
+    The classic product-analytics query downstream of sessionization —
+    beyond-parity (the reference stops at the session window itself).
+
+    Ordered aggregation is the cross-engine trap: Spark has no ORDER BY
+    inside string_agg, so the path assembles via
+    array_sort(collect_list(struct(ts, event_id, type))) — struct order
+    makes the sort total (event_id tiebreak), identical to DuckDB's
+    string_agg(... ORDER BY ts, event_id). Top-20 rides
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    if d == dl.SPARK:
+        path = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), x -> x.event_type), '>')"
+        )
+    else:
+        path = "string_agg(event_type, '>' ORDER BY ts, event_id)"
+    lag = "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN {dl.epoch_s('ts', d)} - {dl.epoch_s(lag, d)} >= {SESSION_GAP_S}
+                     OR {lag} IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_id, {path} AS path,
+           CAST(COUNT(*) AS BIGINT) AS path_len
+    FROM sessions
+    GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(path_len) AS BIGINT) AS path_len
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+register_sql(
+    "session_paths",
+    _session_paths,
+    doc="Top user-journey paths per session (gaps-and-islands sessionize + "
+    "order-deterministic path assembly + frequency top-k).",
+)
+
+
+def _event_transitions(d: str) -> str:
+    """First-order Markov transition matrix over each user's event stream:
+    (previous type -> type) counts and the conditional probability
+    P(next | prev) — the Sankey/flow-diagram aggregate. One keyed window
+    pass for LAG, one grouped count; the probability joins back the
+    per-prev totals (integer counts → the division is bit-identical).
+    """
+    lag = "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+WITH steps AS (
+    SELECT {lag} AS prev_type, event_type AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM steps
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+),
+totals AS (
+    SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_total
+    FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 4) AS p_next
+FROM pairs p
+JOIN totals t ON p.prev_type = t.prev_type
+"""
+
+
+register_sql(
+    "event_transitions",
+    _event_transitions,
+    doc="First-order event-type transition matrix with P(next|prev) — one "
+    "LAG pass + one grouped count.",
+)
+
+
+ANOM_WINDOW = 7  # trailing hourly buckets per rolling baseline
+ANOM_K = 3.0  # flag beyond mean ± 3 sigma
+
+
+def _ts_anomaly(d: str) -> str:
+    """Rolling-baseline anomaly flags on the hourly event-type series:
+    mean/std of the {ANOM_WINDOW} STRICTLY-PRIOR buckets (the frame ends
+    at 1 PRECEDING — a frame including the current row lets a spike
+    inflate its own baseline and mask itself), from INTEGER power sums
+    inside the frame (counts are BIGINT, so sum and sum-of-squares are
+    exact and association-order-free — the agg_stats_moments determinism
+    trick); flag buckets beyond mean ± {ANOM_K}σ once a full baseline
+    exists. One keyed shuffle for the hourly rollup, one window pass per
+    series — the monitoring query a pipeline runs over its own
+    throughput/quality metrics at any scale.
+    """
+    hour = dl.tumble_start("ts", 3600, d)
+    frame = f"ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING"
+    win = f"OVER (PARTITION BY event_type ORDER BY bucket_hour {frame})"
+    return f"""
+WITH hourly AS (
+    SELECT event_type, {hour} AS bucket_hour, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type, {hour}
+),
+rolled AS (
+    SELECT event_type, bucket_hour, cnt,
+           CAST(SUM(cnt) {win} AS BIGINT) AS s1,
+           CAST(SUM(cnt * cnt) {win} AS BIGINT) AS s2,
+           CAST(COUNT(*) {win} AS BIGINT) AS n
+    FROM hourly
+)
+SELECT event_type, bucket_hour, cnt,
+       ROUND(CAST(s1 AS DOUBLE) / n, 4) AS roll_mean,
+       ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                 CAST(0 AS DOUBLE))), 4) AS roll_std,
+       (n >= {ANOM_WINDOW}
+        AND ABS(cnt - CAST(s1 AS DOUBLE) / n)
+            > {ANOM_K} * SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                  CAST(0 AS DOUBLE)))) AS is_anomaly
+FROM rolled
+"""
+
+
+register_sql(
+    "ts_anomaly",
+    _ts_anomaly,
+    doc="Rolling mean±3σ anomaly flags on hourly event-type series "
+    "(integer power sums in the frame — exact, order-free).",
+)
