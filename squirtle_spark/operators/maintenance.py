@@ -81,3 +81,27 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Reprocess a slice of a partitioned table IDEMPOTENTLY: dynamic
+    partition overwrite replaces exactly the partitions present in ``df``
+    and leaves every other partition's files untouched — the backfill
+    primitive for "re-run day X with the fixed pipeline" against a
+    petabyte table without rewriting it (static overwrite mode would drop
+    the whole table first; the option scopes this write only).
+
+    Idempotence is the operational property: re-running the same backfill
+    converges to the same table state, so a failed backfill is retried,
+    never reconciled.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    # Readers in this session may hold the pre-backfill file listing in the
+    # shared InMemoryFileIndex cache — without the refresh they fail on the
+    # replaced files (FAILED_READ_FILE), exactly what a backfill must not do.
+    df.sparkSession.catalog.refreshByPath(path)

@@ -36,3 +36,60 @@ def test_ts_anomaly_flags_injected_spike(spark):
     assert flagged[0]["cnt"] == 40
     # steady hours stay quiet
     assert all(r["cnt"] == 3 for r in out if not r["is_anomaly"])
+
+
+def test_session_assignment_native_equals_gaps_islands(spark):
+    """Property: for ANY timestamp multiset (duplicates, exact-gap
+    boundaries, singletons), native session_window and the gaps-and-islands
+    formulation assign identical sessions — the equivalence every
+    session-window oracle in this repo rests on. Hypothesis hunts the
+    boundary cases (diff == gap must OPEN a new session: windows are
+    half-open)."""
+    from hypothesis import given, settings, strategies as st
+
+    gap = 10
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=25)
+    )
+    def check(offsets):
+        rows = [
+            (i, datetime(2024, 1, 1) + timedelta(seconds=o))
+            for i, o in enumerate(offsets)
+        ]
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP_NTZ")
+        df.createOrReplaceTempView("sess_prop")
+
+        from pyspark.sql import functions as F
+
+        native = sorted(
+            (r["start"], r["n"])
+            for r in df.groupBy(F.session_window("ts", f"{gap} seconds"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("session_window.start").alias("start"), "n")
+            .collect()
+        )
+        islands = sorted(
+            (r["start"], r["n"])
+            for r in spark.sql(f"""
+                WITH flagged AS (
+                    SELECT ts,
+                           CASE WHEN unix_timestamp(lag(ts) OVER (ORDER BY ts, event_id))
+                                     + {gap} <= unix_timestamp(ts)
+                                     OR lag(ts) OVER (ORDER BY ts, event_id) IS NULL
+                                THEN 1 ELSE 0 END AS new_session
+                    FROM sess_prop
+                ),
+                sess AS (
+                    SELECT ts, SUM(new_session) OVER (
+                        ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS sid
+                    FROM flagged
+                )
+                SELECT MIN(ts) AS start, COUNT(*) AS n FROM sess GROUP BY sid
+            """).collect()
+        )
+        assert native == islands, (offsets, native, islands)
+
+    check()

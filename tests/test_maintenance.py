@@ -59,3 +59,43 @@ def test_clustered_write_has_disjoint_prunable_spans(spark, sf_dir, tmp_path):
     key = spans[0][0]
     holding = [1 for lo, hi in spans if lo <= key <= hi]
     assert len(holding) == 1
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").selectExpr(
+        "event_id", "user_id", "value", "CAST(ts AS DATE) AS dt"
+    )
+    path = str(tmp_path / "table")
+    maintenance.backfill_partitions(ev, path, ["dt"])
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    days = [r["dt"] for r in before.select("dt").distinct().collect()]
+    target = sorted(days)[1]
+
+    # reprocess ONE day with a corrected value
+    fixed = ev.where(F.col("dt") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_day = fixed.count()
+    maintenance.backfill_partitions(fixed, path, ["dt"])
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_total  # no other partition lost or duplicated
+    assert after.where(F.col("dt") == target).count() == n_day
+    # the touched day carries the fix; untouched days are byte-identical rows
+    orig_day = ev.where(F.col("dt") == target).agg(F.sum("value")).first()[0]
+    new_day = after.where(F.col("dt") == target).agg(F.sum("value")).first()[0]
+    assert abs(new_day - 2 * orig_day) < 1e-6
+    others_before = ev.where(F.col("dt") != target)
+    others_after = after.where(F.col("dt") != target)
+    assert others_before.exceptAll(others_after).count() == 0
+    assert others_after.exceptAll(others_before).count() == 0
+
+    # idempotence: the same backfill again converges to the same state
+    # (materialize first — a DataFrame over the replaced files is stale)
+    after_rows = sorted(map(tuple, after.collect()))
+    maintenance.backfill_partitions(fixed, path, ["dt"])
+    again = spark.read.parquet(path)
+    assert again.count() == n_total
+    assert sorted(map(tuple, again.collect())) == after_rows
