@@ -115,8 +115,12 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
     step a real dedup pipeline runs after pair-finding (keep one canonical
     doc per cluster).
 
-    Spark has no recursive CTE; the idiomatic scale algorithm is iterative
-    min-label propagation (GraphFrames'/large-scale-CC style): every
+    Spark 4's recursive CTE allows only UNION ALL (no cycle-safe
+    distinct), so unbounded closure over a cyclic edge set cannot
+    terminate there — full components keep the idiomatic scale
+    algorithm, iterative min-label propagation (GraphFrames'/
+    large-scale-CC style; bounded-hop closure uses the native recursion,
+    see neardup_transitive_pairs): every
     iteration each node takes the min label among itself and its
     neighbors — two bounded shuffles per iteration, converging in
     O(component diameter) rounds (a component's min label advances at
@@ -599,4 +603,56 @@ register_sql(
     _dedup_edit_distance,
     doc="Character-level near-dup pairs: prefix-blocked Levenshtein verify "
     "(catches single-char edits token shingles miss); integer-exact oracle.",
+)
+
+
+CHAIN_MAX_HOPS = 3  # transitive near-dup chains up to A~B~C~D
+
+
+def _neardup_transitive(d: str) -> str:
+    """Bounded-hop transitive closure over the near-dup pair graph, as a
+    NATIVE recursive CTE (Spark 4 and DuckDB run the identical SQL):
+    A~B and B~C make (A, C) a 2-hop near-dup pair even when A and C
+    themselves fall under the Jaccard threshold — the drift chains that
+    motivate cluster-level dedup, surfaced with their hop distance.
+
+    The recursion is UNION ALL (all Spark supports in recursive CTEs), so
+    termination comes from the hop CAP, not row dedup — cycles in the
+    bidirectional edge set just stop at depth {CHAIN_MAX_HOPS}; MIN(hops)
+    outside the recursion collapses revisited paths. Scale shape: each
+    step is one equi-join on the frontier — worst case |E|·max_degree^h
+    rows, so at 100 TB cap the degree first (drop hub docs — they're
+    boilerplate by definition) exactly like the LSH band family caps hot
+    buckets. Full components (unbounded closure) stay on the iterative
+    min-label loop (_dedup_clusters).
+    """
+    return f"""
+WITH RECURSIVE pairs AS (
+    {_ngram_jaccard(d)}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(a, b, hops) AS (
+    SELECT a, b, 1 FROM edges
+    UNION ALL
+    SELECT w.a, e.b, w.hops + 1
+    FROM walk w
+    JOIN edges e ON w.b = e.a
+    WHERE w.hops < {CHAIN_MAX_HOPS} AND e.b <> w.a
+)
+SELECT a AS doc_a, b AS doc_b, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM walk
+WHERE a < b
+GROUP BY a, b
+"""
+
+
+register_sql(
+    "neardup_transitive_pairs",
+    _neardup_transitive,
+    doc="Bounded-hop transitive near-dup closure via native recursive CTE "
+    "(UNION ALL recursion, hop-capped; MIN(hops) collapses paths).",
 )

@@ -93,3 +93,30 @@ def test_session_assignment_native_equals_gaps_islands(spark):
         assert native == islands, (offsets, native, islands)
 
     check()
+
+
+def test_neardup_transitive_finds_two_hop_chain(spark):
+    """The fixture's near-dup pairs are all mutual (exact-ish copies), so
+    min_hops is 1 everywhere there; this pins the recursion actually
+    TRAVERSES: A shares a half with B, B's other half with C, A and C
+    share nothing — (A, C) must surface with min_hops = 2."""
+    x = "alpha beta gamma delta epsilon zeta eta theta"
+    y = "one two three four five six seven eight"
+    docs = [(0, x), (1, x + " " + y), (2, y)]
+    spark.createDataFrame(docs, "doc_id BIGINT, text STRING").createOrReplaceTempView(
+        "documents"
+    )
+    catalog.invalidate(spark)
+    try:
+        from squirtle_spark.operators.dedup import _neardup_transitive
+
+        out = {
+            (r["doc_a"], r["doc_b"]): r["min_hops"]
+            for r in spark.sql(_neardup_transitive(dl.SPARK)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+        catalog.invalidate(spark)
+
+    assert out[(0, 1)] == 1 and out[(1, 2)] == 1
+    assert out[(0, 2)] == 2  # the chain A~B~C, invisible to direct Jaccard
