@@ -156,6 +156,10 @@ _DEFER = [
     # r4-green; dq_profile (in-budget) evidences the same single-wide-agg
     # profiling class.
     "value_histogram",
+    # r4-green; the pure-projection text class keeps three in-budget
+    # representatives (text_quality, quality_classifier, and the promoted
+    # token_count) — stats' row is redundant with them.
+    "text_stats",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
