@@ -463,3 +463,88 @@ register_sql(
     _repetition,
     doc="Gopher-style repetition metrics: dup-token / top-token / top-bigram fractions.",
 )
+
+
+BIGRAM_SMOOTH_K = "CAST(0.5 AS DOUBLE)"  # add-k smoothing
+
+
+def _lm_perplexity_bigram(d: str) -> str:
+    """Bigram-LM perplexity (the CCNet filter one order up from
+    lm_perplexity's unigram model): per-document average NLL under
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), add-k smoothed so unseen
+    continuations stay finite — fluency scoring that punishes improbable
+    token ORDER, which the unigram model cannot see.
+
+    Scale shape mirrors the unigram entry: one positional pair fan-out
+    (linear, no array-lambda re-evaluation), ONE grouped count per model
+    table (bigram + unigram — vocab-sized, shuffle on the gram), per-doc
+    occurrences equi-join the model, one keyed DECIMAL reduction per doc
+    (association-order-free; LN/division IEEE-identical). V is the
+    whitelisted corpus-scalar class. Docs under 2 tokens have no bigrams
+    and are excluded, like zero-token docs in the unigram entry.
+
+    Honest note: like lm_perplexity, the model trains on the corpus it
+    scores, so every bigram is in-model and the COALESCE(unseen) branch
+    cannot fire here — it exists (and is smoothed) so the same SQL scores
+    NEW batches against a frozen model table, where unseen pairs are the
+    point.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    if d == dl.SPARK:
+        fanout = (
+            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
+            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
+        )
+        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
+    else:
+        fanout = (
+            ", unnest(CASE WHEN len(tk) >= 2 "
+            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
+        )
+        w1, w2 = "tk[pos]", "tk[pos + 1]"
+    k = BIGRAM_SMOOTH_K
+    nll = f"dt.n * (-LN((COALESCE(bg.c, 0) + {k}) / (ug.c + {k} * v.n_vocab)))"
+    return f"""
+WITH pairs AS (
+    SELECT doc_id, {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+    {fanout}
+),
+bg AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2
+),
+ug AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1
+),
+v AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM ug
+),
+dt AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY doc_id, w1, w2
+),
+scored AS (
+    SELECT dt.doc_id,
+           {dl.bsum("dt.n", d)} AS n_bigrams,
+           {dl.dsum(nll, d, "DECIMAL(28,12)")} AS nll_sum
+    FROM dt
+    JOIN ug ON dt.w1 = ug.w1
+    LEFT JOIN bg ON dt.w1 = bg.w1 AND dt.w2 = bg.w2
+    CROSS JOIN v
+    GROUP BY dt.doc_id
+)
+SELECT doc_id,
+       n_bigrams,
+       ROUND(nll_sum / n_bigrams, 6) AS avg_nll,
+       ROUND(EXP(nll_sum / n_bigrams), 4) AS perplexity
+FROM scored
+"""
+
+
+register_sql(
+    "lm_perplexity_bigram",
+    _lm_perplexity_bigram,
+    doc="Bigram-LM perplexity filter (add-k smoothed conditional "
+    "probabilities; punishes improbable token order the unigram LM "
+    "cannot see).",
+)

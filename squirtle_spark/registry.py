@@ -118,6 +118,11 @@ _PROMOTE = [
     "win_elementwise_epoch",  # per-epoch elementwise window class
     "kmeans_lloyd",  # iterative Lloyd loop (rows-only: iterative, no SQL oracle)
     "multimodal_framesample",  # mapInPandas N→M frame explosion
+    # Round-5 additions that register late in import order: pinned here so
+    # further registrations can't push them past the budget before their
+    # first driver row.
+    "bm25_topk",
+    "inverted_index",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is

@@ -85,6 +85,7 @@ _GLOBAL_AGG_QUERIES = {
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
+    "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
