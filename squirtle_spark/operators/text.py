@@ -548,3 +548,90 @@ register_sql(
     "probabilities; punishes improbable token order the unigram LM "
     "cannot see).",
 )
+
+
+def _lm_score_new_batch(d: str) -> str:
+    """Score a NEW batch against a FROZEN bigram LM — the deployment form
+    of lm_perplexity_bigram: the model trains only on the corpus slice
+    (doc_id % 4 != 0, the dedup_incremental convention for "already
+    ingested"), the held-out batch (doc_id % 4 = 0) is scored against it,
+    so unseen bigrams genuinely hit the smoothed COALESCE branch — the
+    add-k floor is live, not latent. Emits the unseen-bigram count per
+    doc alongside perplexity: batch docs whose n_unseen fraction spikes
+    are drifting away from the corpus distribution (the quality signal
+    CCNet thresholds on).
+
+    Same two model shuffles as the self-scored entry; the batch side is
+    a quarter of the corpus and joins the model on the bigram key.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    if d == dl.SPARK:
+        fanout = (
+            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
+            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
+        )
+        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
+    else:
+        fanout = (
+            ", unnest(CASE WHEN len(tk) >= 2 "
+            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
+        )
+        w1, w2 = "tk[pos]", "tk[pos + 1]"
+    k = BIGRAM_SMOOTH_K
+    # Unseen w1 contributes the uniform floor k/(k*V) with zero context
+    # count — COALESCE on BOTH model sides keeps the probability proper.
+    nll = (
+        f"dt.n * (-LN((COALESCE(bg.c, 0) + {k}) "
+        f"/ (COALESCE(ug.c, 0) + {k} * v.n_vocab)))"
+    )
+    return f"""
+WITH corpus_pairs AS (
+    SELECT {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 <> 0) t
+    {fanout}
+),
+bg AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM corpus_pairs GROUP BY w1, w2
+),
+ug AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM corpus_pairs GROUP BY w1
+),
+v AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM ug
+),
+batch_pairs AS (
+    SELECT doc_id, {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 = 0) t
+    {fanout}
+),
+dt AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM batch_pairs GROUP BY doc_id, w1, w2
+),
+scored AS (
+    SELECT dt.doc_id,
+           {dl.bsum("dt.n", d)} AS n_bigrams,
+           {dl.bsum("CASE WHEN bg.c IS NULL THEN dt.n ELSE 0 END", d)} AS n_unseen,
+           {dl.dsum(nll, d, "DECIMAL(28,12)")} AS nll_sum
+    FROM dt
+    LEFT JOIN ug ON dt.w1 = ug.w1
+    LEFT JOIN bg ON dt.w1 = bg.w1 AND dt.w2 = bg.w2
+    CROSS JOIN v
+    GROUP BY dt.doc_id
+)
+SELECT doc_id,
+       n_bigrams,
+       n_unseen,
+       ROUND(nll_sum / n_bigrams, 6) AS avg_nll,
+       ROUND(EXP(nll_sum / n_bigrams), 4) AS perplexity
+FROM scored
+"""
+
+
+register_sql(
+    "lm_score_new_batch",
+    _lm_score_new_batch,
+    doc="Frozen-model batch scoring: held-out docs scored against the "
+    "corpus-trained bigram LM; unseen-bigram counts make the smoothing "
+    "branch live.",
+)

@@ -86,6 +86,7 @@ _GLOBAL_AGG_QUERIES = {
     "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
+    "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
