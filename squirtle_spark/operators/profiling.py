@@ -208,3 +208,51 @@ register_sql(
     doc="Per-type robust outliers: |value - median| > 5 MAD (exact medians; "
     "approx_percentile swap at scale).",
 )
+
+
+def _embedding_profile(d: str) -> str:
+    """Data-quality profile for the VECTOR modality (dq_profile covers the
+    scalar columns): per-label vector counts, dimensionality consistency
+    (a ragged dim range is how a bad embedding batch announces itself),
+    and the L2-norm distribution (mean/min/max + zero-vector count —
+    zero vectors poison cosine similarity downstream). One grouped pass;
+    the norm is the same sequential-fold-vs-list_dot_product pair the ANN
+    oracles pin, made order-free by the 4dp round before the DECIMAL sum.
+    """
+    if d == dl.SPARK:
+        v = "CAST(embedding AS ARRAY<DOUBLE>)"
+        dim = "size(v)"
+        dot = "aggregate(v, 0D, (acc, x) -> acc + x * x)"
+    else:
+        v = "CAST(embedding AS DOUBLE[])"
+        dim = "len(v)"
+        dot = "list_dot_product(v, v)"
+    return f"""
+WITH e AS (
+    SELECT label, {v} AS v FROM embeddings
+),
+n AS (
+    SELECT label,
+           CAST({dim} AS BIGINT) AS dim,
+           ROUND(SQRT({dot}), 4) AS norm
+    FROM e
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(dim) AS BIGINT) AS dim_min,
+       CAST(MAX(dim) AS BIGINT) AS dim_max,
+       ROUND(CAST({dl.dsum('norm', d)} AS DOUBLE) / COUNT(*), 4) AS norm_mean,
+       MIN(norm) AS norm_min,
+       MAX(norm) AS norm_max,
+       CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs
+FROM n
+GROUP BY label
+"""
+
+
+register_sql(
+    "embedding_profile",
+    _embedding_profile,
+    doc="DQ profile for the vector modality: per-label dim consistency + "
+    "L2-norm distribution + zero-vector count, one grouped pass.",
+)
