@@ -1264,3 +1264,95 @@ def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, a
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_anomaly(
+    stream: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cnt_col: str,
+    window: int = 7,
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Streaming form of the batch ``ts_anomaly`` monitor: per-key rolling
+    mean±kσ anomaly flags over PRE-AGGREGATED series buckets arriving in
+    order (the channel-topology input — a windowed count stream feeds
+    this, like q6's winners channel feeds its keyed frame). State is the
+    last ``window`` counts per key (one bounded array — O(keys·window)
+    however long the stream runs); each bucket is judged against the
+    STRICTLY-PRIOR baseline before being pushed, the same
+    no-self-masking rule the batch SQL pins, with identical IEEE
+    arithmetic — so the streamed flags equal the batch query's
+    (tests/test_streaming.py).
+    """
+    import math
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("series_key", StringType()),
+            StructField("bucket", TimestampNTZType()),
+            StructField("cnt", LongType()),
+            StructField("roll_mean", DoubleType()),
+            StructField("roll_std", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("hist", ArrayType(LongType()))])
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        rows = []
+        for pdf in batches:
+            for _, r in pdf.sort_values(bucket_col).iterrows():
+                cnt = int(r[cnt_col])
+                n = len(hist)
+                if n:
+                    s1 = sum(hist)
+                    s2 = sum(c * c for c in hist)
+                    mean = float(s1) / n
+                    var = max(float(s2) / n - mean * mean, 0.0)
+                    std = math.sqrt(var)
+                    flag = n >= window and abs(cnt - mean) > k_sigma * std
+                    rows.append(
+                        (key[0], r[bucket_col], cnt,
+                         round(mean, 4), round(std, 4), bool(flag))
+                    )
+                else:
+                    # mirror the batch SQL's empty-frame rendering: mean is
+                    # NULL (NULL/0) but std is 0.0 — GREATEST(NULL, 0) -> 0
+                    rows.append((key[0], r[bucket_col], cnt, None, 0.0, False))
+                hist.append(cnt)
+                if len(hist) > window:
+                    hist.pop(0)
+        state.update((hist,))
+        yield pd.DataFrame(
+            rows,
+            columns=["series_key", "bucket", "cnt", "roll_mean", "roll_std", "is_anomaly"],
+        )
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

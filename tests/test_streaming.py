@@ -1095,3 +1095,47 @@ def test_q4_stream_recovers_from_checkpoint_mid_replay(spark, tmp_path):
     assert [c for c, _ in got] == [c for c, _ in expected]
     for (_, g), (_, e) in zip(got, expected):
         assert abs(g - e) < 1e-9
+
+
+def test_stateful_anomaly_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming anomaly monitor (keyed last-7 state over a
+    pre-aggregated bucket channel) must emit exactly the batch
+    ts_anomaly flags — same strictly-prior baseline, same arithmetic."""
+    from squirtle_spark import catalog
+    from squirtle_spark import dialect as dl
+    from squirtle_spark.registry import load_all
+
+    catalog.register_all(spark, sf_dir)
+    hour = dl.tumble_start("ts", 3600, dl.SPARK)
+    hourly = spark.sql(f"""
+        SELECT event_type, {hour} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, {hour}
+    """)
+    # epochs ordered by bucket so arrival order == series order (<=10 dirs
+    # keeps lexicographic dir order numeric)
+    hourly = hourly.withColumn(
+        "epoch",
+        F.expr(
+            "CAST(DENSE_RANK() OVER (ORDER BY bucket) AS INT) DIV 90"
+        ),
+    )
+    streaming.write_epoch_files(hourly, str(tmp_path / "buckets"))
+
+    stream = streaming.replay_stream(
+        spark, str(tmp_path / "buckets"), files_per_trigger=2
+    ).drop("epoch")
+    flagged = streaming.stateful_anomaly(stream, "event_type", "bucket", "cnt")
+    rows = streaming.run_available_now(
+        flagged, checkpoint=str(tmp_path / "ckpt-anom"), mode="update"
+    )
+    got = sorted(
+        (r["series_key"], r["bucket"], r["cnt"], r["roll_mean"], r["roll_std"], r["is_anomaly"])
+        for r in rows
+    )
+
+    expected = sorted(
+        (r["event_type"], r["bucket_hour"], r["cnt"], r["roll_mean"], r["roll_std"], bool(r["is_anomaly"]))
+        for r in load_all()["ts_anomaly"].spark_fn(spark, sf_dir).collect()
+    )
+    assert len(got) == len(expected) > 0
+    assert got == expected
