@@ -256,3 +256,52 @@ register_sql(
     doc="DQ profile for the vector modality: per-label dim consistency + "
     "L2-norm distribution + zero-vector count, one grouped pass.",
 )
+
+
+def _corpus_report(d: str) -> str:
+    """The corpus "data card" numbers as ONE composed plan: corpus size,
+    source/language breadth, token volume, exact-duplicate rate, and
+    length spread — the summary block every dataset release prints.
+    Emits (metric, value) rows so downstream diffing between snapshots is
+    a trivial join on metric. Each metric is a corpus-grain scalar (the
+    whitelisted global-agg class, like dq_profile); Spark computes the
+    six branches in one scan-shaped plan over shared CTEs, and every
+    input is integer-derived so the report replays exactly.
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, lang,
+           md5(lower(trim(text))) AS fp,
+           CAST({dl.array_len(toks, d)} AS BIGINT) AS n_tok
+    FROM documents
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM base
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM s
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM s
+UNION ALL SELECT 'mean_doc_tokens',
+          ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4) FROM s
+UNION ALL SELECT 'exact_dup_rate',
+          ROUND(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) FROM s
+UNION ALL SELECT 'min_doc_tokens', CAST(min_tok AS DOUBLE) FROM s
+UNION ALL SELECT 'max_doc_tokens', CAST(max_tok AS DOUBLE) FROM s
+"""
+
+
+register_sql(
+    "corpus_report",
+    _corpus_report,
+    doc="Corpus data-card summary as (metric, value) rows — size, breadth, "
+    "token volume, exact-dup rate, length spread in one composed plan.",
+)

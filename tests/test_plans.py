@@ -87,6 +87,7 @@ _GLOBAL_AGG_QUERIES = {
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
+    "corpus_report",  # the whole report IS corpus-grain scalars
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
