@@ -29,7 +29,8 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..registry import register_df
+from .. import dialect as dl
+from ..registry import register_df, register_sql
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -568,3 +569,70 @@ def query_lsh_index(spark, index_path: str, queries: DataFrame) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized ANN (SQ8): the memory-bound scale path — int8 codes are
+# 8x smaller than float64, so the candidate scan stays in page cache at
+# corpus sizes where raw vectors thrash. Per-vector max-abs scaling makes
+# the scales CANCEL in cosine, so ranking runs on exact integer dot
+# products (BIGINT sums — order-free, no float fold anywhere until the
+# final division), which is why this "approximate" method has an exact
+# cross-engine oracle.
+# ---------------------------------------------------------------------------
+
+
+def _ann_sq8(d: str) -> str:
+    if d == dl.SPARK:
+        v = "CAST(embedding AS ARRAY<DOUBLE>)"
+        absmax = "array_max(transform(v, x -> abs(x)))"
+        code = "transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT))"
+
+        def dot(a, b):
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+    else:
+        v = "CAST(embedding AS DOUBLE[])"
+        absmax = "list_max(list_transform(v, x -> abs(x)))"
+        code = "list_transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT))"
+
+        def dot(a, b):
+            return f"list_dot_product({a}, {b})"
+
+    cos = (
+        f"CAST({dot('qc', 'cc')} AS DOUBLE) / "
+        f"(SQRT(CAST({dot('qc', 'qc')} AS DOUBLE)) * "
+        f"SQRT(CAST({dot('cc', 'cc')} AS DOUBLE)))"
+    )
+    return f"""
+WITH codes AS (
+    SELECT vec_id, {code} AS c
+    FROM (SELECT vec_id, v, {absmax} AS s
+          FROM (SELECT vec_id, {v} AS v FROM embeddings) e) x
+),
+q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id < {N_QUERIES}),
+cand AS (SELECT vec_id AS c_id, c AS cc FROM codes),
+scored AS (
+    SELECT q_id, c_id, ROUND({cos}, 4) AS cos_sim
+    FROM cand CROSS JOIN q
+    WHERE q_id <> c_id
+)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT q_id, c_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+register_sql(
+    "ann_sq8_topk",
+    _ann_sq8,
+    doc="Int8 scalar-quantized cosine top-k: per-vector scales cancel in "
+    "cosine, so ranking runs on exact BIGINT dot products (8x smaller "
+    "candidate scan; exact oracle despite quantization).",
+)

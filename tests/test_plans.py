@@ -41,7 +41,7 @@ def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
 
 def test_no_cartesian_products(spark, sf_dir):
     """Nothing except the by-design broadcast crossJoins may be cartesian."""
-    allowed = {"ann_cosine_topk"}
+    allowed = {"ann_cosine_topk", "ann_sq8_topk"}  # broadcast 10-query side by design
     for name, q in load_all().items():
         if q.oracle is None or name in allowed:
             continue

@@ -70,3 +70,13 @@ def test_stream_lsh_index_equals_batch(spark, sf_dir, tmp_path):
     exp_rows = sorted(map(tuple, expected.collect()))
     assert len(got_rows) > 0
     assert got_rows == exp_rows
+
+
+def test_sq8_recall_vs_brute(spark, sf_dir):
+    """Int8 quantization must barely dent top-k recall (measured 0.98 at
+    sf0.001/sf0.01; floor pinned well above what a lossy scheme that
+    mattered would score)."""
+    qs = load_all()
+    exact = _topk_sets(qs["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    approx = _topk_sets(qs["ann_sq8_topk"].spark_fn(spark, sf_dir))
+    assert _recall(approx, exact) >= 0.9
