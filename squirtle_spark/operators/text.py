@@ -635,3 +635,55 @@ register_sql(
     "corpus-trained bigram LM; unseen-bigram counts make the smoothing "
     "branch live.",
 )
+
+
+def _zipf_slope(d: str) -> str:
+    """Corpus language-health check: the Zipf slope — ordinary least
+    squares of LN(freq) on LN(rank) over the token frequency table.
+    Natural language sits near -1; templated/synthetic corpora flatten
+    toward 0, token-soup noise steepens — a one-number drift alarm
+    between corpus snapshots (pairs with corpus_report).
+
+    One token-count shuffle + one rank window + one scalar reduction.
+    The OLS sums accumulate through DECIMAL (the lm_perplexity pattern)
+    so partition order can't perturb the closed-form slope:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    un = dl.unnest_fn(d)
+    prec = "DECIMAL(28,12)"
+    return f"""
+WITH freq AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (SELECT {un}({toks}) AS tok FROM documents) t
+    GROUP BY tok
+),
+ranked AS (
+    SELECT f,
+           ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+    FROM freq
+),
+pts AS (
+    SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {dl.dsum('x', d, prec)} AS sx,
+           {dl.dsum('y', d, prec)} AS sy,
+           {dl.dsum('x * y', d, prec)} AS sxy,
+           {dl.dsum('x * x', d, prec)} AS sxx
+    FROM pts
+)
+SELECT n AS n_token_types,
+       ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE), 4) AS zipf_slope
+FROM s
+"""
+
+
+register_sql(
+    "zipf_slope",
+    _zipf_slope,
+    doc="Zipf slope of the token frequency distribution (log-log OLS, "
+    "DECIMAL-exact sums) — the one-number language-health drift alarm.",
+)
