@@ -398,7 +398,7 @@ def _session_paths(d: str) -> str:
     return f"""
 WITH flagged AS (
     SELECT user_id, ts, event_id, event_type,
-           CASE WHEN {dl.epoch_s('ts', d)} - {dl.epoch_s(lag, d)} >= {SESSION_GAP_S}
+           CASE WHEN {dl.epoch_s('ts', d)} - {dl.epoch_s(lag, d)} > {SESSION_GAP_S}
                      OR {lag} IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events

@@ -301,8 +301,10 @@ def _q11(d: str) -> str:
     """q11: user sessions — gap-based session windows per bidder (q11.sql).
 
     DuckDB has no session_window; the oracle derives identical sessions via
-    gaps-and-islands (new session when the gap to the previous bid ≥ gap,
-    matching Spark's half-open [first, last+gap) session semantics).
+    gaps-and-islands (new session when the gap to the previous bid is
+    STRICTLY greater than the gap: Spark's native session_window merges an
+    event landing exactly at the previous session's end — pinned by the
+    hypothesis boundary test in tests/test_analytics.py).
     """
     gap = SESSION_GAP_S
     return f"""
@@ -310,7 +312,7 @@ WITH flagged AS (
     SELECT bidder, b_date_time,
            CASE WHEN {dl.epoch_s('b_date_time', d)} -
                      {dl.epoch_s('LAG(b_date_time) OVER (PARTITION BY bidder ORDER BY b_date_time)', d)}
-                     >= {gap}
+                     > {gap}
                 OR LAG(b_date_time) OVER (PARTITION BY bidder ORDER BY b_date_time) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM bid

@@ -120,7 +120,7 @@ def _win_session_oracle(d: str = dl.DUCK) -> str:
     return f"""
 WITH flagged AS (
     SELECT user_id, ts, value,
-           CASE WHEN {dl.epoch_s('ts', d)} - {dl.epoch_s(lag, d)} >= {gap}
+           CASE WHEN {dl.epoch_s('ts', d)} - {dl.epoch_s(lag, d)} > {gap}
                      OR {lag} IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events

@@ -43,8 +43,9 @@ def test_session_assignment_native_equals_gaps_islands(spark):
     boundaries, singletons), native session_window and the gaps-and-islands
     formulation assign identical sessions — the equivalence every
     session-window oracle in this repo rests on. Hypothesis hunts the
-    boundary cases (diff == gap must OPEN a new session: windows are
-    half-open)."""
+    boundary cases (an event at EXACTLY gap distance MERGES into the
+    running session — native session_window extends through the boundary,
+    which the first draft of this test got backwards)."""
     from hypothesis import given, settings, strategies as st
 
     gap = 10
@@ -76,7 +77,7 @@ def test_session_assignment_native_equals_gaps_islands(spark):
                 WITH flagged AS (
                     SELECT ts,
                            CASE WHEN unix_timestamp(lag(ts) OVER (ORDER BY ts, event_id))
-                                     + {gap} <= unix_timestamp(ts)
+                                     + {gap} < unix_timestamp(ts)
                                      OR lag(ts) OVER (ORDER BY ts, event_id) IS NULL
                                 THEN 1 ELSE 0 END AS new_session
                     FROM sess_prop
