@@ -121,3 +121,45 @@ def test_neardup_transitive_finds_two_hop_chain(spark):
 
     assert out[(0, 1)] == 1 and out[(1, 2)] == 1
     assert out[(0, 2)] == 2  # the chain A~B~C, invisible to direct Jaccard
+
+
+def test_tumble_assignment_native_equals_floor(spark):
+    """Property: dialect.tumble_start's floor arithmetic must bucket every
+    timestamp exactly like native F.window() — including events landing on
+    the exact window boundary (they open the NEXT window: [start, end))."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    size = 10
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=25)
+    )
+    def check(offsets):
+        rows = [
+            (i, datetime(2024, 1, 1) + timedelta(seconds=o))
+            for i, o in enumerate(offsets)
+        ]
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP_NTZ")
+        df.createOrReplaceTempView("tumble_prop")
+
+        native = sorted(
+            (r["start"], r["n"])
+            for r in df.groupBy(F.window("ts", f"{size} seconds"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("start"), "n")
+            .collect()
+        )
+        floored = sorted(
+            (r["start"], r["n"])
+            for r in spark.sql(f"""
+                SELECT {dl.tumble_start('ts', size, dl.SPARK)} AS start,
+                       COUNT(*) AS n
+                FROM tumble_prop GROUP BY 1
+            """).collect()
+        )
+        assert native == floored, (offsets, native, floored)
+
+    check()
