@@ -163,3 +163,50 @@ def test_tumble_assignment_native_equals_floor(spark):
         assert native == floored, (offsets, native, floored)
 
     check()
+
+
+def test_hopping_assignment_native_equals_bucket_fanout(spark):
+    """Property: the hop-bucket fan-out (each event belongs to size/slide
+    slide-aligned windows, derived by integer arithmetic from
+    dialect.hop_bucket) must reproduce native F.window(size, slide)
+    assignment exactly, boundaries included."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    size, slide = 10, 5
+    nwin = size // slide
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=25)
+    )
+    def check(offsets):
+        rows = [
+            (i, datetime(2024, 1, 1) + timedelta(seconds=o))
+            for i, o in enumerate(offsets)
+        ]
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP_NTZ")
+        df.createOrReplaceTempView("hop_prop")
+
+        native = sorted(
+            (r["start"], r["n"])
+            for r in df.groupBy(F.window("ts", f"{size} seconds", f"{slide} seconds"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("start"), "n")
+            .collect()
+        )
+        bucket = dl.hop_bucket("ts", slide, dl.SPARK)
+        fanout = sorted(
+            (r["start"], r["n"])
+            for r in spark.sql(f"""
+                SELECT CAST(timestamp_seconds(({bucket} - j) * {slide}) AS TIMESTAMP_NTZ) AS start,
+                       COUNT(*) AS n
+                FROM hop_prop
+                LATERAL VIEW explode(sequence(0, {nwin - 1})) g AS j
+                GROUP BY 1
+            """).collect()
+        )
+        assert native == fanout, (offsets, native, fanout)
+
+    check()
