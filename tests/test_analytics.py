@@ -210,3 +210,47 @@ def test_hopping_assignment_native_equals_bucket_fanout(spark):
         assert native == fanout, (offsets, native, fanout)
 
     check()
+
+
+def test_asof_join_equals_bruteforce(spark):
+    """Property: asof_join attaches the latest right value at-or-BEFORE
+    each left timestamp — boundary equality (quote and probe at the same
+    instant) must resolve to the simultaneous quote, per the documented
+    <= semantics. Right timestamps are unique per key (the join is
+    undefined under duplicate quotes, in DuckDB's native ASOF too)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from squirtle_spark.operators.asof import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    )
+    def check(left_offs, right_offs):
+        base = datetime(2024, 1, 1)
+        left_rows = [
+            (i, base + timedelta(seconds=o)) for i, o in enumerate(left_offs)
+        ]
+        right_rows = [
+            (base + timedelta(seconds=o), float(o)) for o in sorted(right_offs)
+        ]
+        left = spark.createDataFrame(left_rows, "event_id BIGint, ts TIMESTAMP_NTZ")
+        left = left.withColumn("user_id", F.lit(1))
+        right = spark.createDataFrame(right_rows, "ts TIMESTAMP_NTZ, value DOUBLE")
+        right = right.withColumn("user_id", F.lit(1))
+
+        got = {
+            r["event_id"]: r["asof_value"]
+            for r in asof_join(
+                left, right, key="user_id", left_ts="ts", right_ts="ts",
+                value_cols=["value"],
+            ).collect()
+        }
+        for i, o in enumerate(left_offs):
+            eligible = [ro for ro in right_offs if ro <= o]
+            want = float(max(eligible)) if eligible else None
+            assert got[i] == want, (left_offs, sorted(right_offs), i, got[i], want)
+
+    check()
