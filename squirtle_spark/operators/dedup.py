@@ -552,6 +552,7 @@ register_sql(
     doc="Duplicate-span coverage per document (exact substring-level dedup "
     "signal): cross-doc 5-gram doc-frequency -> interval union by "
     "gaps-and-islands; RefinedWeb-style 30% gate.",
+    bench=True,
 )
 
 

@@ -634,5 +634,9 @@ register_sql(
     _ann_sq8,
     doc="Int8 scalar-quantized cosine top-k: per-vector scales cancel in "
     "cosine, so ranking runs on exact BIGINT dot products (8x smaller "
-    "candidate scan; exact oracle despite quantization).",
+    "candidate scan; exact oracle despite quantization). At bench scale "
+    "the encode pass makes it SLOWER than brute force — the win is "
+    "memory-bandwidth-bound corpora that no longer fit page cache, and "
+    "the benched row exists to keep that tradeoff measured, not hidden.",
+    bench=True,
 )
