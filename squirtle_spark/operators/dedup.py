@@ -657,3 +657,54 @@ register_sql(
     doc="Bounded-hop transitive near-dup closure via native recursive CTE "
     "(UNION ALL recursion, hop-capped; MIN(hops) collapses paths).",
 )
+
+
+STRONG_JACCARD = 0.6  # above the banding threshold (~0.59) recall should be ~1
+
+
+def _lsh_quality_report(d: str) -> str:
+    """Self-evaluation of the LSH approximation as a QUERY: the verified
+    MinHash-LSH pairs measured against the exact n-gram-Jaccard ground
+    truth, reported as one row. Precision is 1.0 by construction (the
+    verify stage re-checks exact Jaccard on candidates), so the number
+    that matters is RECALL: banding at 8x4 has a ~0.59 Jaccard knee, so
+    recall over ALL true pairs (>= 0.2) is expectedly partial while
+    recall over strong pairs (>= {STRONG_JACCARD}) should sit at ~1.0 —
+    this report keeps that contract measured per corpus snapshot instead
+    of assumed from theory. Both inputs are the deterministic registry
+    pipelines, so the report itself is value-oracled.
+    """
+    return f"""
+WITH truth AS (
+    SELECT doc_a, doc_b, jaccard FROM ({_ngram_jaccard(d)}) t
+),
+found AS (
+    SELECT doc_a, doc_b FROM ({_minhash_lsh(d)}) l
+),
+j AS (
+    SELECT t.jaccard,
+           CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+    FROM truth t
+    LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_found_pairs,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall_all,
+       CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_strong,
+       CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN hit ELSE 0 END) AS BIGINT)
+           AS n_found_strong,
+       ROUND(CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN hit ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN 1 ELSE 0 END), 4)
+           AS recall_strong
+FROM j
+"""
+
+
+register_sql(
+    "lsh_quality_report",
+    _lsh_quality_report,
+    doc="LSH self-evaluation: verified-pair recall vs exact Jaccard ground "
+    "truth, overall and above the banding knee — the approximation "
+    "contract as a measured row.",
+)

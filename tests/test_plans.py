@@ -89,6 +89,7 @@ _GLOBAL_AGG_QUERIES = {
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "corpus_report",  # the whole report IS corpus-grain scalars
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
+    "lsh_quality_report",  # recall scalars over the bounded pair set
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
