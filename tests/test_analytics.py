@@ -254,3 +254,50 @@ def test_asof_join_equals_bruteforce(spark):
             assert got[i] == want, (left_offs, sorted(right_offs), i, got[i], want)
 
     check()
+
+
+def test_range_join_equals_bruteforce(spark):
+    """Property: the interval-bucketed range join must return exactly the
+    pairs with l.ts <= r.ts <= l.ts + W — inclusive on BOTH ends, and
+    robust to sub-second timestamps (bucket math truncates to seconds;
+    a fractional right row near the window edge must neither leak in nor
+    fall out)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from squirtle_spark.operators.rangejoin import range_join_window
+
+    W = 10
+    tenth = st.integers(min_value=0, max_value=400)  # tenths of a second
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(tenth, min_size=1, max_size=10),
+        st.lists(tenth, min_size=1, max_size=10),
+    )
+    def check(left_t, right_t):
+        base = datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i, base + timedelta(milliseconds=100 * t)) for i, t in enumerate(left_t)],
+            "l_id BIGINT, l_ts TIMESTAMP_NTZ",
+        ).withColumn("k", F.lit(1))
+        right = spark.createDataFrame(
+            [(i, base + timedelta(milliseconds=100 * t)) for i, t in enumerate(right_t)],
+            "r_id BIGINT, r_ts TIMESTAMP_NTZ",
+        ).withColumn("k", F.lit(1))
+
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in range_join_window(
+                left, right, key="k", left_ts="l_ts", right_ts="r_ts", window_s=W
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, lt in enumerate(left_t)
+            for j, rt in enumerate(right_t)
+            if lt <= rt <= lt + 10 * W
+        )
+        assert got == want, (left_t, right_t, got, want)
+
+    check()
