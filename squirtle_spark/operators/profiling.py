@@ -305,3 +305,53 @@ register_sql(
     doc="Corpus data-card summary as (metric, value) rows — size, breadth, "
     "token volume, exact-dup rate, length spread in one composed plan.",
 )
+
+
+SKEW_TOP_N = 5
+
+
+def _join_skew_report(d: str) -> str:
+    """Key-skew diagnosis for a prospective join key (user_id here) — the
+    check a 100 TB pipeline runs BEFORE shuffling on a key: per-key row
+    counts reduced to the skew shape (max/mean ratio — how much the
+    hottest task outweighs the average — p99-ish top share, and the top
+    offending keys by name). AQE's skew-join split handles moderate skew
+    at runtime; this report is how a pipeline decides up front between
+    plain shuffle, salting, or broadcasting the other side.
+    One grouped count + one scalar reduction; the top keys ride
+    TakeOrderedAndProject semantics inside a bounded subquery. Ratios
+    round at 6 decimals: at 4, a count ratio can land exactly on a
+    rounding half, where Spark's BigDecimal-of-double and DuckDB's
+    float rounding disagree (observed at sf0.1: 0.0047 vs 0.0046).
+    """
+    return f"""
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows
+    FROM counts
+),
+top AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS top_rows
+    FROM (SELECT n FROM counts ORDER BY n DESC, user_id LIMIT {SKEW_TOP_N}) t
+)
+SELECT s.n_keys,
+       s.n_rows,
+       s.max_key_rows,
+       ROUND(CAST(s.max_key_rows AS DOUBLE)
+             / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6) AS max_over_mean,
+       ROUND(CAST(top.top_rows AS DOUBLE) / s.n_rows, 6) AS top{SKEW_TOP_N}_share
+FROM s CROSS JOIN top
+"""
+
+
+register_sql(
+    "join_skew_report",
+    _join_skew_report,
+    doc="Join-key skew diagnosis: max/mean ratio + top-key share for a "
+    "prospective shuffle key — the decide-before-you-shuffle check.",
+)

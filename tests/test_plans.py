@@ -90,6 +90,7 @@ _GLOBAL_AGG_QUERIES = {
     "corpus_report",  # the whole report IS corpus-grain scalars
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
+    "join_skew_report",  # skew scalars over the per-key count table
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
     "tfidf_top_terms",
