@@ -640,3 +640,145 @@ register_sql(
     "the benched row exists to keep that tradeoff measured, not hidden.",
     bench=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ, Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): the high-compression scale path. Each
+# vector is split into PQ_M subspaces; each subspace gets a K-codeword
+# codebook; a vector's code is its per-subspace nearest codeword, so
+# storage is PQ_M*log2(K) bits instead of dim*32. Query-time ranking is
+# ADC: one |query|×M×K lookup table of subspace distances, then each
+# candidate's approximate distance is a SUM over its M table entries — the
+# candidate scan never touches a float vector.
+#
+# Everything is deterministic and integer-exact so the DuckDB oracle
+# REPLAYS the whole index build: vectors quantize to a fixed 1e4 grid
+# (BIGINT), codebooks init from the K lowest-md5(vec_id||m) subvectors
+# (seeded sample, different per subspace), and ONE Lloyd refinement step is
+# unrolled in SQL (assign → per-dimension mean). All distances are
+# integer-valued (computed as dot(a,a)-2dot(a,b)+dot(b,b) over BIGINTs, far
+# below 2^53), so argmin and ranking have no float-fold ambiguity; the only
+# rounding is the centroid mean, shared by both engines.
+#
+# Fixture recall@5 vs brute force is ~0.48 — near-orthogonal random
+# vectors are PQ's worst case (subspace distances carry little signal);
+# recall climbs with K (0.80 at K=256 here) and is far higher on real
+# clustered embeddings. The pytest floor pins the fixture number.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 64  # codewords per subspace → 16 x 6 bits = 12 bytes/vector (21x)
+
+
+def _ann_pq(d: str) -> str:
+    if d == dl.SPARK:
+        quant = (
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(ROUND(x * 10000) AS BIGINT))"
+        )
+        sub = f"slice(w, m * {PQ_SUB} + 1, {PQ_SUB})"
+        ms = f"(SELECT explode(sequence(0, {PQ_M - 1})) AS m)"
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+
+        unpack = (
+            f"SELECT m, k, pos + 1 AS dim, v FROM asn "
+            f"LATERAL VIEW posexplode(sv) pe AS pos, v"
+        )
+        repack = "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+    else:
+        quant = (
+            "list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> CAST(ROUND(x * 10000) AS BIGINT))"
+        )
+        sub = f"list_slice(w, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB})"
+        ms = f"(SELECT UNNEST(range({PQ_M})) AS m)"
+
+        def dot(a: str, b: str) -> str:
+            return f"list_dot_product({a}, {b})"
+
+        unpack = (
+            f"SELECT m, k, UNNEST(range(1, {PQ_SUB} + 1)) AS dim, UNNEST(sv) AS v "
+            f"FROM asn"
+        )
+        repack = "list(cv ORDER BY dim)"
+
+    def l2(a: str, b: str) -> str:
+        return f"{dot(a, a)} - 2 * {dot(a, b)} + {dot(b, b)}"
+
+    seed = "md5(CAST(vec_id AS STRING) || '-' || CAST(m AS STRING))"
+    return f"""
+WITH emb AS (SELECT vec_id, {quant} AS w FROM embeddings),
+subs AS (
+    SELECT vec_id, m, {sub} AS sv
+    FROM emb CROSS JOIN {ms}
+),
+cb0 AS (
+    SELECT m, cw, k FROM (
+        SELECT m, sv AS cw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY {seed}, vec_id)
+                    AS BIGINT) AS k
+        FROM subs) t
+    WHERE k <= {PQ_K}
+),
+asn AS (
+    SELECT vec_id, m, sv, k FROM (
+        SELECT s.vec_id, s.m, s.sv, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb0 c ON s.m = c.m) t
+    WHERE rn = 1
+),
+cbm AS (
+    SELECT m, k, dim, CAST(ROUND(AVG(v)) AS BIGINT) AS cv
+    FROM ({unpack}) u
+    GROUP BY m, k, dim
+),
+cb AS (SELECT m, k, {repack} AS cw FROM cbm GROUP BY m, k),
+codes AS (
+    SELECT vec_id AS c_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb c ON s.m = c.m) t
+    WHERE rn = 1
+),
+lut AS (
+    SELECT s.vec_id AS q_id, s.m, c.k,
+           CAST({l2('s.sv', 'c.cw')} AS BIGINT) AS d
+    FROM subs s JOIN cb c ON s.m = c.m
+    WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT lut.q_id, codes.c_id, CAST(SUM(lut.d) AS BIGINT) AS approx_dist
+    FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
+    WHERE lut.q_id <> codes.c_id
+    GROUP BY lut.q_id, codes.c_id
+)
+SELECT q_id, c_id, approx_dist, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT q_id, c_id, approx_dist,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY approx_dist ASC, c_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+register_sql(
+    "ann_pq_topk",
+    _ann_pq,
+    doc="Product-quantized ANN top-k (ADC scoring): 16 subspaces x 64 "
+    "codewords, md5-seeded codebook init + one unrolled Lloyd step, all "
+    "integer-exact so the oracle replays the index build bit-identically. "
+    "The candidate scan reads 12-byte codes, never float vectors — the "
+    "~21x-compression scale path that pairs with IVF cells at 100 TB.",
+    bench=True,
+)

@@ -123,6 +123,7 @@ _PROMOTE = [
     # first driver row.
     "bm25_topk",
     "inverted_index",
+    "ann_pq_topk",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is

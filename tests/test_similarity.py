@@ -72,6 +72,19 @@ def test_stream_lsh_index_equals_batch(spark, sf_dir, tmp_path):
     assert got_rows == exp_rows
 
 
+def test_pq_recall_vs_brute(spark, sf_dir):
+    """PQ on near-orthogonal random fixtures is the method's worst case
+    (subspace distances carry little of the full-dim signal); measured
+    recall@5 is 0.48 at sf0.01 with M=16/K=64 + one Lloyd step. The floor
+    pins it well above the ~0.01 a random 12-byte code scan would score,
+    and rises with K (0.80 measured at K=256) or on clustered real data."""
+    qs = load_all()
+    exact = _topk_sets(qs["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    approx = _topk_sets(qs["ann_pq_topk"].spark_fn(spark, sf_dir))
+    r = _recall(approx, exact)
+    assert r >= 0.35, f"PQ recall@5 {r:.2f} below floor"
+
+
 def test_sq8_recall_vs_brute(spark, sf_dir):
     """Int8 quantization must barely dent top-k recall (measured 0.98 at
     sf0.001/sf0.01; floor pinned well above what a lossy scheme that
