@@ -123,6 +123,35 @@ register_sql(
 )
 
 
+def _agg_grouping_sets(d: str) -> str:
+    """Arbitrary (non-hierarchical) grouping-set lattice in ONE pass —
+    widens agg_rollup, whose ROLLUP can only emit prefix sets: the lone
+    (cohort) set here is unreachable by ROLLUP. Spark's Expand operator
+    fans each input row to one row per set before the shuffle, so all four
+    levels share a single scan + aggregate; GROUPING() flags distinguish
+    "NULL because rolled up" from a genuine NULL key. The fan-out is 4x
+    before partial aggregation — at 100 TB prefer restricting to the sets
+    a dashboard needs over a full CUBE's 2^k."""
+    return f"""
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS type_lvl,
+       CASE WHEN GROUPING(cohort) = 1 THEN -1 ELSE cohort END AS cohort_lvl,
+       CAST(GROUPING(event_type) * 2 + GROUPING(cohort) AS BIGINT) AS lattice_lvl,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dl.dsum('value', d)} AS sum_value
+FROM (SELECT event_type, user_id % 4 AS cohort, user_id, value FROM events) e
+GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort), ())
+"""
+
+
+register_sql(
+    "agg_grouping_sets",
+    _agg_grouping_sets,
+    doc="GROUPING SETS rollup lattice: 4 aggregation levels in one "
+    "Expand+aggregate pass, GROUPING() flags disambiguating rolled-up NULLs.",
+)
+
+
 def _agg_global(d: str) -> str:
     return f"""
 SELECT COUNT(*) AS n_events,

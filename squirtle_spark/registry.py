@@ -124,6 +124,7 @@ _PROMOTE = [
     "bm25_topk",
     "inverted_index",
     "ann_pq_topk",
+    "agg_grouping_sets",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
