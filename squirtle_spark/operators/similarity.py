@@ -672,6 +672,18 @@ PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_K = 64  # codewords per subspace → 16 x 6 bits = 12 bytes/vector (21x)
 
 
+def _pq_dist(dot_pair, q: str = "s", c: str = "c") -> str:
+    """Exact integer squared-L2 via precomputed norms: n2 - 2*dot + cn2.
+
+    One dot product per candidate pair instead of three folds — the norms
+    are computed once per subvector/codeword, not once per pair. The pair
+    dot is dialect-tuned: Spark higher-order functions (aggregate/
+    zip_with) are CodegenFallback — interpreted per row — so the hot
+    N*M*K loop unrolls the {PQ_SUB}-element product into plain codegen
+    arithmetic; DuckDB keeps its native list_dot_product."""
+    return f"{q}.n2 - 2 * ({dot_pair(f'{q}.sv', f'{c}.cw')}) + {c}.cn2"
+
+
 def _ann_pq(d: str) -> str:
     if d == dl.SPARK:
         quant = (
@@ -692,6 +704,34 @@ def _ann_pq(d: str) -> str:
             f"LATERAL VIEW posexplode(sv) pe AS pos, v"
         )
         repack = "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+
+        def dot_pair(a: str, b: str) -> str:
+            # Spark array indexing is 0-based; stays inside WholeStageCodegen.
+            return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(PQ_SUB))
+
+        def argmin(src: str, out: str, keep_sv: bool) -> str:
+            # Partial-aggregable argmin over the N*M*K pair set. A
+            # min(struct(dist, k)) would express the same (dist ASC, k
+            # ASC) tie-break but structs have no mutable agg buffer —
+            # Spark plans a SortAggregate that sorts all pairs. Packing
+            # the pair into ONE BIGINT (dist * K + (k-1); exact: dist <=
+            # 4*(1e5)^2 and k-1 < K) is order-isomorphic to (dist, k) and
+            # keeps the argmin a codegen HashAggregate with a map-side
+            # partial before the (vec_id, m) shuffle.
+            g = (
+                f"SELECT s.vec_id, s.m, "
+                f"min(({_pq_dist(dot_pair)}) * {PQ_K} + (c.k - 1)) % {PQ_K} + 1 AS k "
+                f"FROM subs s JOIN {src} c ON s.m = c.m "
+                f"GROUP BY s.vec_id, s.m"
+            )
+            if not keep_sv:
+                return f"{out} AS (SELECT vec_id AS c_id, m, k AS code FROM ({g}) t)"
+            return (
+                f"{out} AS (SELECT t.vec_id, t.m, s2.sv, t.k "
+                f"FROM ({g}) t JOIN subs s2 "
+                f"ON t.vec_id = s2.vec_id AND t.m = s2.m)"
+            )
+
     else:
         quant = (
             "list_transform(CAST(embedding AS DOUBLE[]), "
@@ -703,56 +743,59 @@ def _ann_pq(d: str) -> str:
         def dot(a: str, b: str) -> str:
             return f"list_dot_product({a}, {b})"
 
+        dot_pair = dot
+
         unpack = (
             f"SELECT m, k, UNNEST(range(1, {PQ_SUB} + 1)) AS dim, UNNEST(sv) AS v "
             f"FROM asn"
         )
         repack = "list(cv ORDER BY dim)"
 
-    def l2(a: str, b: str) -> str:
-        return f"{dot(a, a)} - 2 * {dot(a, b)} + {dot(b, b)}"
+        def argmin(src: str, out: str, keep_sv: bool) -> str:
+            cols = "s.vec_id, s.m, s.sv, c.k" if keep_sv else "s.vec_id, s.m, c.k"
+            sel = "vec_id, m, sv, k" if keep_sv else "vec_id AS c_id, m, k AS code"
+            return f"""{out} AS (
+    SELECT {sel} FROM (
+        SELECT {cols},
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_pq_dist(dot_pair)}, c.k) AS rn
+        FROM subs s JOIN {src} c ON s.m = c.m) t
+    WHERE rn = 1
+)"""
 
     seed = "md5(CAST(vec_id AS STRING) || '-' || CAST(m AS STRING))"
-    return f"""
+    base = f"""
 WITH emb AS (SELECT vec_id, {quant} AS w FROM embeddings),
-subs AS (
+subs0 AS (
     SELECT vec_id, m, {sub} AS sv
     FROM emb CROSS JOIN {ms}
 ),
+subs AS (SELECT vec_id, m, sv, {dot('sv', 'sv')} AS n2 FROM subs0)"""
+    train = f"""{base},
 cb0 AS (
-    SELECT m, cw, k FROM (
+    SELECT m, cw, {dot('cw', 'cw')} AS cn2, k FROM (
         SELECT m, sv AS cw,
                CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY {seed}, vec_id)
                     AS BIGINT) AS k
-        FROM subs) t
+        FROM subs0) t
     WHERE k <= {PQ_K}
 ),
-asn AS (
-    SELECT vec_id, m, sv, k FROM (
-        SELECT s.vec_id, s.m, s.sv, c.k,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY {l2('s.sv', 'c.cw')}, c.k) AS rn
-        FROM subs s JOIN cb0 c ON s.m = c.m) t
-    WHERE rn = 1
-),
+{argmin('cb0', 'asn', keep_sv=True)},
 cbm AS (
     SELECT m, k, dim, CAST(ROUND(AVG(v)) AS BIGINT) AS cv
     FROM ({unpack}) u
     GROUP BY m, k, dim
 ),
-cb AS (SELECT m, k, {repack} AS cw FROM cbm GROUP BY m, k),
-codes AS (
-    SELECT vec_id AS c_id, m, k AS code FROM (
-        SELECT s.vec_id, s.m, c.k,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY {l2('s.sv', 'c.cw')}, c.k) AS rn
-        FROM subs s JOIN cb c ON s.m = c.m) t
-    WHERE rn = 1
-),
+cbw AS (SELECT m, k, {repack} AS cw FROM cbm GROUP BY m, k),
+cb AS (SELECT m, k, cw, {dot('cw', 'cw')} AS cn2 FROM cbw)"""
+
+    def query(prefix: str, cb_src: str) -> str:
+        return f"""{prefix},
+{argmin(cb_src, 'codes', keep_sv=False)},
 lut AS (
     SELECT s.vec_id AS q_id, s.m, c.k,
-           CAST({l2('s.sv', 'c.cw')} AS BIGINT) AS d
-    FROM subs s JOIN cb c ON s.m = c.m
+           CAST({_pq_dist(dot_pair, q='s', c='c')} AS BIGINT) AS d
+    FROM subs s JOIN {cb_src} c ON s.m = c.m
     WHERE s.vec_id < {N_QUERIES}
 ),
 scored AS (
@@ -771,10 +814,28 @@ FROM (
 WHERE rank <= {TOP_K}
 """
 
+    if d == dl.SPARK:
+        # Two stages: Spark inlines CTEs, so a single statement would
+        # recompute the expensive training assign once per `cb` reference
+        # (codes + lut). Materializing the K*M-row codebook is the same
+        # bounded index-training collect the IVF path documents.
+        return train + "\nSELECT m, k, cw, cn2 FROM cb", query(base, "pq_cb")
+    return query(train, "cb")
 
-register_sql(
+
+def _ann_pq_spark(spark, sf_dir) -> DataFrame:
+    train_sql, query_sql = _ann_pq(dl.SPARK)
+    cb = spark.sql(train_sql)
+    # K*M = 1024 rows — index training, not data-scale; broadcast-joined
+    # into the encode and LUT stages below.
+    spark.createDataFrame(cb.collect(), cb.schema).createOrReplaceTempView("pq_cb")
+    return spark.sql(query_sql)
+
+
+register_df(
     "ann_pq_topk",
-    _ann_pq,
+    _ann_pq_spark,
+    oracle_body=_ann_pq(dl.DUCK),
     doc="Product-quantized ANN top-k (ADC scoring): 16 subspaces x 64 "
     "codewords, md5-seeded codebook init + one unrolled Lloyd step, all "
     "integer-exact so the oracle replays the index build bit-identically. "
