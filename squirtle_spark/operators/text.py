@@ -687,3 +687,51 @@ register_sql(
     doc="Zipf slope of the token frequency distribution (log-log OLS, "
     "DECIMAL-exact sums) — the one-number language-health drift alarm.",
 )
+
+
+def _bpe_merge_step(d: str) -> str:
+    """The unit step of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs inside word tokens across the corpus and
+    surface the top merge candidates. Full training iterates — apply the
+    winning merge, recount — with each round this same one-pass job; at
+    100 TB the pair fan-out is ~|corpus chars| but collapses map-side
+    into a <=26^2-key partial aggregate, and the top-k is a
+    TakeOrderedAndProject, so the driver loop moves only K rows/round
+    (the kmeans_lloyd pattern applied to tokenizer training)."""
+    if d == dl.SPARK:
+        words = (
+            "SELECT w FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
+            "WHERE length(w) >= 2"
+        )
+        pairs = (
+            "SELECT pair FROM words LATERAL VIEW explode("
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            ") p AS pair"
+        )
+    else:
+        words = (
+            "SELECT w FROM (SELECT UNNEST(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2"
+        )
+        pairs = (
+            "SELECT UNNEST(list_transform(range(1, length(w)), "
+            "i -> substr(w, CAST(i AS INT), 2))) AS pair FROM words"
+        )
+    return f"""
+WITH words AS ({words}),
+pairs AS ({pairs})
+SELECT pair, COUNT(*) AS n_pair
+FROM pairs
+GROUP BY pair
+ORDER BY n_pair DESC, pair ASC
+LIMIT 20
+"""
+
+
+register_sql(
+    "bpe_merge_step",
+    _bpe_merge_step,
+    doc="BPE tokenizer-training merge step: corpus-wide adjacent char-pair "
+    "counts inside words, top-20 merge candidates (deterministic ties).",
+)

@@ -125,6 +125,7 @@ _PROMOTE = [
     "inverted_index",
     "ann_pq_topk",
     "agg_grouping_sets",
+    "bpe_merge_step",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
