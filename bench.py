@@ -76,13 +76,25 @@ class Canary:
         self.samples.append(dt)
         return dt
 
+    def _effective_cal(self) -> float:
+        """Startup calibration, tightened by the running median.
+
+        If the 5 calibration runs landed in a busy window (seen in
+        practice: calibration 0.19 s vs whole-run p50 0.08 s), a static
+        calibration loosens the stall gate by the same factor. The
+        running median of all samples so far can only tighten it —
+        stalls inflate the max, not the median."""
+        s = sorted(self.samples)
+        return min(self.calibration, _pctl(s, 0.50)) if s else self.calibration
+
     def clean(self, window_samples: list[float]) -> bool:
-        return max(window_samples) <= CANARY_FACTOR * self.calibration
+        return max(window_samples) <= CANARY_FACTOR * self._effective_cal()
 
     def stats(self, reruns: int) -> dict:
         s = sorted(self.samples)
         return {
             "calibration_sec": round(self.calibration, 4),
+            "effective_calibration_sec": round(self._effective_cal(), 4),
             "n_samples": len(s),
             "p50_sec": round(_pctl(s, 0.50), 4),
             "max_sec": round(s[-1], 4) if s else 0.0,

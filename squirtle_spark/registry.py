@@ -126,6 +126,18 @@ _PROMOTE = [
     "ann_pq_topk",
     "agg_grouping_sets",
     "bpe_merge_step",
+    # Remaining round-5 additions that had never had a driver row; ten
+    # r2–r4-green entries rotate into _DEFER to fund these slots.
+    "lm_score_new_batch",
+    "zipf_slope",
+    "curation_pipeline",
+    "embedding_profile",
+    "corpus_report",
+    "join_skew_report",
+    "ann_sq8_topk",
+    "session_paths",
+    "event_transitions",
+    "ts_anomaly",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -164,6 +176,22 @@ _DEFER = [
     # r4-green; dq_profile (in-budget) evidences the same single-wide-agg
     # profiling class.
     "value_histogram",
+    # r4-green rotations funding first driver rows for round-5 additions
+    # (each keeps its pytest oracle and an in-budget family sibling:
+    # rangejoin for asof, kmeans_lloyd for assign, sample_weighted for
+    # stratified, chunk_documents for pack_sequences, dedup_exact +
+    # survivor joins elsewhere for survivorship/incremental, text_quality
+    # family for length-quantiles).
+    "asof_join_events",
+    "kmeans_assign",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental",
+    "shard_corpus",
+    "sample_stratified",
+    "mixture_weights",
+    "dedup_survivorship",
+    "pack_sequences",
+    "text_length_quantiles",
     # r4-green; the pure-projection text class keeps three in-budget
     # representatives (text_quality, quality_classifier, and the promoted
     # token_count) — stats' row is redundant with them.
