@@ -138,6 +138,10 @@ _PROMOTE = [
     "session_paths",
     "event_transitions",
     "ts_anomaly",
+    # Session-2 round-5 additions (never driver-checked; funded by rotating
+    # r4-green re-check slots into _DEFER).
+    "textrank_keywords",
+    "collocation_pmi",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -196,6 +200,13 @@ _DEFER = [
     # representatives (text_quality, quality_classifier, and the promoted
     # token_count) — stats' row is redundant with them.
     "text_stats",
+    # r4-green rotations funding the session-2 round-5 additions above
+    # (sample_weighted's A-ES top-K shape stays evidenced by
+    # sample_stratified's pytest oracle + the r4 row; chunk_documents'
+    # lateral fan-out is the same shape the promoted token/shingle
+    # operators re-evidence).
+    "sample_weighted",
+    "chunk_documents",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
@@ -225,6 +236,7 @@ def load_all() -> dict[str, Query]:
         curation,
         dedup,
         e2e,
+        graphrank,
         multimodal,
         pipeline,
         profiling,

@@ -85,6 +85,7 @@ _GLOBAL_AGG_QUERIES = {
     "subq_scalar_in",  # uncorrelated scalar subquery = global agg, then broadcast
     "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
+    "collocation_pmi",  # corpus n_tok/n_pairs scalar: partial sums over the vocab table
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "corpus_report",  # the whole report IS corpus-grain scalars
