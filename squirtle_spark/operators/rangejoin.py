@@ -100,3 +100,99 @@ register_df(
     doc="Bounded time-range join via interval bucketing (no nested loop).",
     bench=True,
 )
+
+
+#: Interval lengths for the overlap-join query (seconds). The bucket width
+#: is the larger of the two.
+_VIEW_LEN = 900
+_PURCH_LEN = 1800
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    max_len_s: int,
+) -> DataFrame:
+    """All (l, r) pairs with the same key whose intervals OVERLAP
+    (``l.start <= r.end AND r.start <= l.end``) — the two-interval
+    generalization of :func:`range_join_window`'s point-in-interval shape.
+
+    ``max_len_s`` must bound BOTH interval lengths; it becomes the bucket
+    width. Every overlapping right interval starts within
+    ``[l.start - max_len, l.end]``, so the left side explodes to that
+    bucket span (at most 3 buckets when lengths <= max_len) while the
+    right side keeps its single start bucket — each qualifying pair meets
+    in EXACTLY one bucket (no dedup pass), and the join stays a plain
+    shuffled hash join on (key, bucket): partitionable, skew/AQE eligible,
+    never a nested loop.
+    """
+    us = "unix_timestamp(CAST({c} AS TIMESTAMP))"
+    lo = F.expr(f"({us.format(c=left_start)} - {max_len_s}) DIV {max_len_s}")
+    hi = F.expr(f"{us.format(c=left_end)} DIV {max_len_s}")
+    l2 = left.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+    r2 = right.withColumn("_bucket", F.expr(f"{us.format(c=right_start)} DIV {max_len_s}"))
+    joined = l2.join(r2, on=[key, "_bucket"]).where(
+        (F.col(left_start) <= F.col(right_end)) & (F.col(right_start) <= F.col(left_end))
+    )
+    return joined.drop("_bucket")
+
+
+def _interval_overlap_events(spark, sf_dir) -> DataFrame:
+    """Per-user attention overlap: view windows [ts, ts+15m) overlapping
+    purchase windows [ts, ts+30m) — counts aggregated per user."""
+    ev = spark.table("events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_start"),
+        F.expr(f"ts + INTERVAL {_VIEW_LEN} SECOND").alias("v_end"),
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        F.expr(f"ts + INTERVAL {_PURCH_LEN} SECOND").alias("p_end"),
+    )
+    pairs = interval_overlap_join(
+        views,
+        purchases,
+        key="user_id",
+        left_start="v_start",
+        left_end="v_end",
+        right_start="p_start",
+        right_end="p_end",
+        max_len_s=_PURCH_LEN,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_views"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )
+
+
+_OVERLAP_ORACLE = f"""
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT v.event_id) AS BIGINT) AS n_views,
+       CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts + INTERVAL {_PURCH_LEN} SECOND
+ AND p.ts <= v.ts + INTERVAL {_VIEW_LEN} SECOND
+GROUP BY v.user_id
+"""
+
+
+register_df(
+    "interval_overlap_join",
+    _interval_overlap_events,
+    oracle_body=_OVERLAP_ORACLE,
+    doc="Interval-overlap join (two interval sets, overlap predicate) via "
+    "single-meeting-bucket quantization; per-user overlap counts.",
+)

@@ -1,0 +1,74 @@
+"""Warehouse-style dimension maintenance over the ``events`` change log.
+
+Beyond-parity: the reference engine's surface stops at DataFusion's
+relational operators (SURVEY §2.10); a training-data platform additionally
+maintains slowly-changing metadata tables (source catalogs, license
+states, domain labels) that downstream joins must see AS OF a given time.
+
+``scd2_dimension`` builds a Type-2 slowly-changing dimension from an
+append-only change log: collapse consecutive runs of the same attribute
+value (gaps-and-islands), emit one row per run with a
+``[valid_from, valid_to)`` validity interval, a per-key version number,
+and an ``is_current`` flag on the open-ended run.
+
+100 TB shape: two window passes over the SAME (user_id × time) ordering —
+Catalyst plans ONE keyed shuffle + sort and reuses it for LAG, LEAD and
+ROW_NUMBER (no second exchange); the change-collapse filter runs between
+them, so the second pass only sorts the (usually far smaller) change rows.
+Nothing is corpus-global: every partition key is the dimension's natural
+key, so the build scales with the busiest key's history, not the log size.
+The output joins against facts with the as-of pattern
+(``operators/asof.py``) or a plain BETWEEN on the validity interval
+(``operators/rangejoin.py``).
+
+The SQL is engine-shared (no dialect splits): window functions, ordered
+by the (ts, event_id) total order so ties can't flip versions between
+engines.
+"""
+
+from __future__ import annotations
+
+from ..registry import register_sql
+
+
+def _scd2_dimension(d: str) -> str:
+    # ``d`` unused: the body is identical in Spark SQL and DuckDB.
+    return """
+WITH log AS (
+    SELECT user_id, ts, event_type, event_id,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+changes AS (
+    -- keep only rows where the tracked attribute actually changed
+    SELECT user_id, ts, event_type, event_id
+    FROM log
+    WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id,
+       event_type AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS valid_to,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS version,
+       CAST(CASE WHEN LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM changes
+"""
+
+
+register_sql(
+    "scd2_dimension",
+    _scd2_dimension,
+    doc="Type-2 slowly-changing dimension from an append-only change log: "
+    "run-collapse (gaps-and-islands) + [valid_from, valid_to) validity "
+    "intervals, version numbers and is_current flags; one reused keyed "
+    "shuffle for all three window functions.",
+    bench=False,
+)

@@ -142,6 +142,8 @@ _PROMOTE = [
     # r4-green re-check slots into _DEFER).
     "textrank_keywords",
     "collocation_pmi",
+    "scd2_dimension",
+    "interval_overlap_join",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -207,6 +209,11 @@ _DEFER = [
     # operators re-evidence).
     "sample_weighted",
     "chunk_documents",
+    # r4-green; corpus-grain scalar/agg shape stays in-budget via
+    # zipf_slope + corpus_report, regex-projection shape via text_quality
+    # + quality_classifier.
+    "tfidf_top_terms",
+    "pii_scrub",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
@@ -246,6 +253,7 @@ def load_all() -> dict[str, Query]:
         sketches,
         text,
         timeseries,
+        warehouse,
     )
     from .queries import analytics, windows, ysb  # noqa: F401
 
