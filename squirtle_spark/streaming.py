@@ -349,6 +349,80 @@ def run_nexmark_q8_stream(
     ).distinct()
 
 
+def run_nexmark_q8_outer_stream(
+    spark: SparkSession,
+    persons_path: str,
+    auctions_path: str,
+    *,
+    checkpoint: str,
+    size_s: int = 10,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """q8's LEFT OUTER variant: EVERY new person emits, flagged
+    ``opened_auction`` 1/0 by whether they opened an auction in their
+    window — the stream-stream outer join, a capability class the
+    reference does not have at all (its DataFusion vintage executes only
+    the inner q8 per collected window, queries/q8.rs:33-44; no outer
+    joins appear anywhere in its query set).
+
+    Mechanics: matched pairs emit incrementally like the inner join;
+    UNMATCHED person rows are held in the join state until the watermark
+    passes their window, then emit with a NULL auction side — which is
+    why both sides MUST be watermarked and why a finite replay needs the
+    flush sentinel (write_flush_epoch) to push the frontier past the tail
+    windows; without it the last windows' unmatched persons would sit in
+    state forever. Sentinel rows carry negative keys: the person sentinel
+    emits as an unmatched row and is dropped by the ``p_id >= 0`` filter,
+    the auction sentinel can never match and the left-outer join discards
+    it. State is bounded to ~one window per side past the frontier, the
+    same profile as the inner form.
+    """
+    for path, ts, keys in (
+        (persons_path, "p_date_time", ["p_id"]),
+        (auctions_path, "a_date_time", ["a_id", "seller"]),
+    ):
+        write_flush_epoch(spark, path, ts, flush_advance_s, keys)
+    size = f"{size_s} seconds"
+    ps = replay_stream(spark, persons_path, files_per_trigger=files_per_trigger)
+    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
+    if "epoch" in ps.columns:
+        ps = ps.drop("epoch")
+    if "epoch" in au.columns:
+        au = au.drop("epoch")
+    ps = (
+        _with_event_time(ps, "p_date_time")
+        .withWatermark("p_date_time", delay)
+        .withColumn("w", F.window("p_date_time", size))
+    )
+    au = (
+        _with_event_time(au, "a_date_time")
+        .withWatermark("a_date_time", delay)
+        .withColumn("w", F.window("a_date_time", size))
+    )
+    joined = ps.join(
+        au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"]), "left_outer"
+    ).select(
+        "p_id",
+        "name",
+        ps["w"]["start"].alias("starttime"),
+        F.when(au["seller"].isNull(), F.lit(0)).otherwise(F.lit(1)).alias("opened"),
+    )
+    rows = run_available_now(
+        joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    return (
+        spark.createDataFrame(
+            rows, "p_id BIGINT, name STRING, starttime TIMESTAMP, opened INT"
+        )
+        .where(F.col("p_id") >= 0)
+        .groupBy("p_id", "name", "starttime")
+        .agg(F.max("opened").alias("opened_auction"))
+    )
+
+
 def run_nexmark_q13_stream(
     spark: SparkSession,
     bids_path: str,

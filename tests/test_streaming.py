@@ -569,6 +569,62 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q8_outer_stream_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: every person emits exactly once per
+    window with a 1/0 opened-auction flag; unmatched rows flush via the
+    sentinel-advanced watermark and must equal the batch left join."""
+    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(persons, str(tmp_path / "p"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+
+    got = streaming.run_nexmark_q8_outer_stream(
+        spark,
+        str(tmp_path / "p"),
+        str(tmp_path / "a"),
+        checkpoint=str(tmp_path / "ckpt-q8outer"),
+        size_s=10,
+        files_per_trigger=3,
+    ).collect()
+
+    bp = (
+        persons.drop("epoch")
+        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
+        .select(
+            "p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime")
+        )
+        .distinct()
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
+        .distinct()
+    )
+    expected = (
+        bp.join(
+            ba,
+            (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"]),
+            "left_outer",
+        )
+        .select(
+            "p_id",
+            "name",
+            bp["starttime"],
+            F.when(ba["seller"].isNull(), F.lit(0)).otherwise(F.lit(1)).alias("opened_auction"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    assert any(r["opened_auction"] == 0 for r in got)  # outer rows actually flushed
+    assert any(r["opened_auction"] == 1 for r in got)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
 def test_nexmark_q13_full_stream_equals_batch(spark, tmp_path):
     """q13 end-to-end as a stream-static broadcast join: every replayed bid
     joins the static side-input table; drained output must equal the batch
