@@ -65,3 +65,59 @@ def test_bucketed_range_join_equals_naive_on_boundaries(spark):
     assert len(got_rows) == len(set(got_rows)), "duplicate pairs from bucketing"
     assert got_rows == naive_rows
     assert len(got_rows) > 0
+
+
+def test_interval_overlap_join_equals_naive_on_boundaries(spark):
+    """Overlap join: adversarial interval sets — endpoints ON bucket edges,
+    intervals exactly touching (closed-endpoint overlap), 1µs apart, and
+    zero-length intervals — must match the naive theta join pair-for-pair,
+    with no pair produced twice (single-meeting-bucket property)."""
+    from squirtle_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 3, 1)
+    max_len = 1800
+
+    def mk(n_edge, n_rand, len_choices):
+        out = []
+        for k in range(n_edge):
+            edge = base + dt.timedelta(seconds=k * max_len)
+            ln = len_choices[k % len(len_choices)]
+            # start on the edge, just before, and ending exactly on an edge
+            out += [
+                (edge, edge + dt.timedelta(seconds=ln)),
+                (edge - dt.timedelta(microseconds=1), edge + dt.timedelta(seconds=ln)),
+                (edge - dt.timedelta(seconds=ln), edge),  # touches the edge
+                (edge, edge),  # zero-length
+            ]
+        for _ in range(n_rand):
+            s = base + dt.timedelta(
+                seconds=rng.randrange(0, 30 * max_len), microseconds=rng.randrange(10**6)
+            )
+            out.append((s, s + dt.timedelta(seconds=rng.choice(len_choices))))
+        return out
+
+    def frame(intervals, pre):
+        return spark.createDataFrame(
+            [(i, s, e, i % 5) for i, (s, e) in enumerate(intervals)],
+            f"{pre}_id LONG, {pre}_start TIMESTAMP_NTZ, {pre}_end TIMESTAMP_NTZ, key LONG",
+        )
+
+    left = frame(mk(20, 50, [900, 1800]), "l")
+    right = frame(mk(20, 50, [450, 1800]), "r")
+
+    got = interval_overlap_join(
+        left, right, "key", "l_start", "l_end", "r_start", "r_end", max_len
+    ).select("l_id", "r_id")
+    naive = left.join(
+        right,
+        (left["key"] == right["key"])
+        & (left["l_start"] <= right["r_end"])
+        & (right["r_start"] <= left["l_end"]),
+    ).select("l_id", "r_id")
+
+    got_rows = sorted(map(tuple, got.collect()))
+    naive_rows = sorted(map(tuple, naive.collect()))
+    assert len(got_rows) == len(set(got_rows)), "duplicate pairs from bucketing"
+    assert got_rows == naive_rows
+    assert len(got_rows) > 0
