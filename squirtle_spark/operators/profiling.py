@@ -355,3 +355,50 @@ register_sql(
     doc="Join-key skew diagnosis: max/mean ratio + top-key share for a "
     "prospective shuffle key — the decide-before-you-shuffle check.",
 )
+
+
+def _benford_digits(d: str) -> str:
+    """First-significant-digit distribution of ``events.value`` vs
+    Benford's law — the digit-level drift/fabrication check (natural
+    multi-scale measurements follow P(d)=log10(1+1/d); synthetic or
+    tampered columns usually don't, and the per-digit chi-square
+    contributions say WHERE they deviate).
+
+    Cross-engine determinism: the first digit is taken from the STRING of
+    an exact BIGINT (floor(|value|*1e6)) — never from log10 of a double,
+    whose edge behavior at exact powers of ten differs between engines.
+    One scan + one 9-group aggregate; the expected-frequency and
+    chi-square expressions are fixed-shape doubles over integer counts.
+    """
+    # ``d`` unused: the body is identical in Spark SQL and DuckDB.
+    return """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(ABS(value) * 1000000) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit
+    FROM events
+    WHERE value IS NOT NULL AND ABS(value) * 1000000 >= 1
+),
+obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM digits GROUP BY digit
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs
+)
+SELECT o.digit,
+       o.n,
+       ROUND(CAST(o.n AS DOUBLE) / t.n_total, 6) AS observed_freq,
+       ROUND(LOG10(1.0 + 1.0 / o.digit), 6) AS benford_freq,
+       ROUND(POWER(CAST(o.n AS DOUBLE) - t.n_total * LOG10(1.0 + 1.0 / o.digit), 2)
+             / (t.n_total * LOG10(1.0 + 1.0 / o.digit)), 6) AS chi2_term
+FROM obs o CROSS JOIN tot t
+ORDER BY o.digit
+"""
+
+
+register_sql(
+    "benford_digits",
+    _benford_digits,
+    doc="Benford first-digit audit: observed vs log10(1+1/d) expected "
+    "frequencies + per-digit chi-square contributions; exact-integer "
+    "digit extraction so both engines bin identically.",
+)

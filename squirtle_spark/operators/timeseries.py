@@ -16,7 +16,7 @@ LOCF. Everything keyed on user_id — partitions like any keyed agg.
 from __future__ import annotations
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 _STEP_S = 3600
 
@@ -165,4 +165,82 @@ register_sql(
     doc="Hypertable-style continuous aggregate: hour grain + day grain "
     "re-aggregated from hour partials (shared shuffle, exact DECIMAL sums).",
     bench=True,
+)
+
+
+#: Incremental merge: everything before the cutoff is the "already
+#: materialized" base table; everything at/after it is the late batch.
+MERGE_CUTOFF = "2024-01-25 00:00:00"
+
+
+def _incremental_agg_merge(d: str) -> str:
+    """Incremental materialized-aggregate maintenance: a daily metrics
+    table built from the pre-cutoff history MERGES with partials from a
+    late batch — re-aggregating mergeable state (count-sum / sum-sum /
+    min-min / max-max) instead of rescanning history. The query output is
+    the merged table; the ORACLE is the from-scratch recompute over all
+    of ``events``, so a green row proves the merge identity itself
+    (merge(partials) == recompute), not just cross-engine agreement.
+
+    100 TB shape: the nightly pattern — history partials are read back
+    from the materialized table (a bounded day × type grain), only the
+    new batch is scanned; the merge shuffles the day-grain partials, not
+    the event grain. Exact-distinct is deliberately absent (not
+    mergeable); the HLL path for it is sketch_merge_distinct.
+    """
+    day = dl.tumble_start("ts", 86_400, d)
+    cut = dl.ts_lit(MERGE_CUTOFF, d)
+
+    def partial(pred: str) -> str:
+        return f"""
+    SELECT {day} AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(value AS DECIMAL(20,4))) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events WHERE {pred}
+    GROUP BY {day}, event_type"""
+
+    return f"""
+WITH base AS ({partial(f"ts < {cut}")}),
+late AS ({partial(f"ts >= {cut}")}),
+merged AS (
+    SELECT day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           SUM(sum_value) AS sum_value,
+           MIN(min_value) AS min_value,
+           MAX(max_value) AS max_value
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM late) p
+    GROUP BY day, event_type
+)
+SELECT day, event_type, n,
+       CAST(CAST(sum_value AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
+       min_value, max_value
+FROM merged
+"""
+
+
+def _recompute_oracle() -> str:
+    """From-scratch daily recompute (DuckDB dialect) — the merge's ground truth."""
+    day = dl.tumble_start("ts", 86_400, dl.DUCK)
+    return f"""
+SELECT {day} AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY {day}, event_type
+"""
+
+
+register_df(
+    "incremental_agg_merge",
+    lambda spark, sf_dir: spark.sql(_incremental_agg_merge(dl.SPARK)),
+    oracle_body=_recompute_oracle(),
+    doc="Incremental materialized-aggregate maintenance: day-grain "
+    "partials + late batch merged by re-aggregation; oracle is the "
+    "from-scratch recompute, proving merge(partials) == recompute.",
 )

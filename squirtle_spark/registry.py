@@ -144,6 +144,8 @@ _PROMOTE = [
     "collocation_pmi",
     "scd2_dimension",
     "interval_overlap_join",
+    "benford_digits",
+    "incremental_agg_merge",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -214,6 +216,11 @@ _DEFER = [
     # + quality_classifier.
     "tfidf_top_terms",
     "pii_scrub",
+    "text_repetition",
+    # r4-green; the hash-group dedup shape stays evidenced in-budget by
+    # dedup_minhash_lsh's verify stage and curation_pipeline's exact-dedup
+    # stage.
+    "dedup_exact",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

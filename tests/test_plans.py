@@ -86,6 +86,7 @@ _GLOBAL_AGG_QUERIES = {
     "lm_perplexity",  # corpus-token-total: partial sums over the vocab-sized LM
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
     "collocation_pmi",  # corpus n_tok/n_pairs scalar: partial sums over the vocab table
+    "benford_digits",  # corpus digit-total scalar: partial sums over 9 digit rows
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "corpus_report",  # the whole report IS corpus-grain scalars
