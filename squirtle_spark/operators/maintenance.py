@@ -83,6 +83,59 @@ def clustered_write(
     )
 
 
+def _morton2(a: str, b: str, bits: int) -> str:
+    """SQL expression interleaving the low ``bits`` bits of two BIGINT
+    bucket columns into one Morton (Z-curve) value. The summed terms
+    occupy disjoint bit positions, so ``+`` is exactly bitwise OR."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame, path: str, dim_cols: list[str], n_files: int, bits: int = 8
+) -> None:
+    """Write ``df`` clustered on a Z-order (Morton) curve over TWO numeric
+    dimensions — the multi-dim upgrade clustered_write's docstring points
+    at. Each dimension is quantized to 2^bits buckets against its global
+    min/max (ONE 4-scalar agg — index-training-class driver state, not
+    data), the buckets bit-interleave into a Morton value, and the write
+    range-partitions + sorts on it. Because contiguous Morton ranges are
+    axis-aligned boxes, every file's parquet footer carries a TIGHT
+    min/max box in BOTH dimensions — so a predicate on EITHER column
+    alone prunes files, which no single-column range clustering can give
+    (its files each span the full range of the other column).
+
+    At 100 TB this is a layout job like compact_parquet: a full shuffle
+    write, amortized across every subsequent scan of either dimension.
+    """
+    assert len(dim_cols) == 2, "zorder_write interleaves exactly 2 dims"
+    a, b = dim_cols
+    lo_a, hi_a, lo_b, hi_b = (
+        float(x)
+        for x in df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+    )
+    top = (1 << bits) - 1
+
+    def bucket(c: str, lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (1 << bits)
+        return F.least(F.lit(top).cast("long"), F.floor(scaled).cast("long"))
+
+    (
+        df.withColumn("_za", bucket(a, lo_a, hi_a))
+        .withColumn("_zb", bucket(b, lo_b, hi_b))
+        .withColumn("_z", F.expr(_morton2("_za", "_zb", bits)))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_za", "_zb", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Reprocess a slice of a partitioned table IDEMPOTENTLY: dynamic
     partition overwrite replaces exactly the partitions present in ``df``

@@ -61,6 +61,69 @@ def test_clustered_write_has_disjoint_prunable_spans(spark, sf_dir, tmp_path):
     assert len(holding) == 1
 
 
+def _file_boxes(df, cols):
+    """Per-file (min, max) footer stats for each of ``cols``."""
+    boxes = []
+    for f in df.inputFiles():
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        box = {}
+        for c in cols:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == c
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            box[c] = (min(mins), max(maxs))
+        boxes.append(box)
+    return boxes
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: a predicate on EITHER dimension alone must prune
+    files (tight per-file boxes in both dims), where single-column range
+    clustering prunes only its own column — checked against real parquet
+    footer stats, the same stats the scan's file skipping reads."""
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    n_files = 16
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "ranged")
+    maintenance.zorder_write(ev, zpath, ["user_id", "value"], n_files=n_files)
+    maintenance.clustered_write(ev, rpath, ["user_id"], n_files=n_files)
+
+    zout = spark.read.parquet(zpath)
+    assert zout.count() == ev.count()
+    assert zout.exceptAll(ev).count() == 0 and ev.exceptAll(zout).count() == 0
+
+    zboxes = _file_boxes(zout, ["user_id", "value"])
+    rboxes = _file_boxes(spark.read.parquet(rpath), ["user_id", "value"])
+
+    lo_v, hi_v = (
+        ev.agg(F.min("value"), F.max("value")).first()[0],
+        ev.agg(F.min("value"), F.max("value")).first()[1],
+    )
+    width = (hi_v - lo_v) / 16
+    q_lo, q_hi = lo_v + 5 * width, lo_v + 6 * width  # a 1/16 value slice
+
+    def hits(boxes, col):
+        return sum(1 for b in boxes if b[col][0] <= q_hi and q_lo <= b[col][1])
+
+    z_hits, r_hits = hits(zboxes, "value"), hits(rboxes, "value")
+    # value-only predicate: z-order prunes, user_id-range layout cannot
+    assert z_hits <= len(zboxes) // 2, (z_hits, len(zboxes))
+    assert r_hits >= int(0.9 * len(rboxes)), (r_hits, len(rboxes))
+
+    # and user_id-only predicates still prune the z-order layout too
+    lo_u, hi_u = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    uw = (hi_u - lo_u) / 16
+    u_lo, u_hi = lo_u + 3 * uw, lo_u + 4 * uw
+    u_hits = sum(1 for b in zboxes if b["user_id"][0] <= u_hi and u_lo <= b["user_id"][1])
+    assert u_hits <= len(zboxes) // 2, (u_hits, len(zboxes))
+
+
 def test_backfill_overwrites_only_touched_partitions(spark, sf_dir, tmp_path):
     catalog.register_all(spark, sf_dir)
     ev = spark.table("events").selectExpr(
