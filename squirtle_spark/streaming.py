@@ -1430,3 +1430,106 @@ def stateful_anomaly(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_proc_window_count(
+    stream: DataFrame, key_col: str, window_s: int = 1
+) -> DataFrame:
+    """NEXMark q12 — per-key PROCESSING-time tumbling counts — on the
+    MODERN stateful API (``transformWithStateInPandas``, Spark 4) with
+    real processing-time TIMERS: the exact semantic twin of flock's
+    global window handler (flock-function/src/aws/window/global.rs:161-307
+    buckets per-key state by processing time and a wall-clock sweep
+    closes windows; here the state store holds one (win_start, n) pair
+    per key and a registered timer replaces the sweep — Spark runs
+    no-data micro-batches so timers fire even when the source idles).
+
+    Append-mode semantics: a (key, win_start_ms, n) row emits ONLY when
+    its window finalizes — via its timer, or eagerly when a later-window
+    row for the same key arrives first (same finalized content either
+    way, like flock emitting a window the moment the next one opens).
+    The q12 invariant (windows PARTITION each key's rows:
+    sum(n) == rows seen) holds regardless of where boundaries land,
+    which is what the test pins — boundary placement is inherently
+    nondeterministic, exactly as in the reference.
+
+    Requires the RocksDB state-store provider
+    (``session.configure_state_store(spark, "rocksdb")``) — the
+    transformWithState state layout is only implemented there, which at
+    cluster scale is the provider large state wants anyway (SCALING.md).
+    Also requires the ``protobuf`` package (pyspark 4.1's
+    transformWithState Python runner speaks a protobuf state protocol);
+    environments without it keep the applyInPandasWithState operators
+    above, which cover the same semantics minus timers.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("win_start_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    win_ms = window_s * 1000
+
+    class ProcWindowCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.win = handle.getValueState(
+                "win",
+                StructType(
+                    [
+                        StructField("win_start_ms", LongType()),
+                        StructField("n", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = sum(len(pdf) for pdf in rows)
+            now_ms = timerValues.getCurrentProcessingTimeInMs()
+            cur_win = (now_ms // win_ms) * win_ms
+            if self.win.exists():
+                prev_win, prev_n = self.win.get()
+                if prev_win == cur_win:
+                    self.win.update((cur_win, prev_n + n_new))
+                    return iter(())
+                # later window arrived before the old timer fired: finalize
+                # the old window now and drop its (stale) timer.
+                self.handle.deleteTimer(prev_win + win_ms)
+                self.win.update((cur_win, n_new))
+                self.handle.registerTimer(cur_win + win_ms)
+                return iter(
+                    [pd.DataFrame({"key": [key[0]], "win_start_ms": [prev_win], "n": [prev_n]})]
+                )
+            self.win.update((cur_win, n_new))
+            self.handle.registerTimer(cur_win + win_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self.win.exists():
+                return iter(())
+            win_start, n = self.win.get()
+            if expiredTimerInfo.getExpiryTimeInMs() < win_start + win_ms:
+                return iter(())  # stale timer for an already-finalized window
+            self.win.clear()
+            return iter(
+                [pd.DataFrame({"key": [key[0]], "win_start_ms": [win_start], "n": [n]})]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            ProcWindowCount(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -1195,3 +1195,106 @@ def test_stateful_anomaly_equals_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(expected) > 0
     assert got == expected
+
+
+def test_transform_with_state_proc_window_count(spark, tmp_path):
+    """q12's per-key processing-time tumble on the MODERN stateful API
+    (transformWithStateInPandas + processing-time timers, RocksDB-backed).
+    Boundary placement is nondeterministic by definition, so the pinned
+    property is the q12 invariant: emitted windows PARTITION each key's
+    rows — per-key sum(n) equals exactly what was pushed, no loss, no
+    double count. Two bursts 2.5 s apart (windows are 1 s) force at
+    least one timer-finalized window mid-stream.
+
+    Gated on protobuf: transformWithState's Python runner imports
+    google.protobuf at query start (pyspark 4.1 ships a generated
+    StateMessage_pb2 for its state-server protocol); this sandbox has no
+    protobuf wheel and installs are off-limits, so the test skips here
+    and runs wherever the standard pyspark[connect] deps exist."""
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+
+    from squirtle_spark import sources
+    from squirtle_spark.session import (
+        _STATE_STORE_KEY,
+        STATE_STORE_PROVIDERS,
+        configure_state_store,
+    )
+
+    burst1 = [{"bidder": k, "price": i} for k in (1, 2, 3) for i in range(k * 4)]
+    burst2 = [{"bidder": k, "price": 100 + i} for k in (2, 3, 4) for i in range(k * 2)]
+    pushed: dict[int, int] = {}
+    for e in burst1 + burst2:
+        pushed[e["bidder"]] = pushed.get(e["bidder"], 0) + 1
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall("".join(json.dumps(e) + "\n" for e in burst1).encode())
+            _time.sleep(2.5)
+            conn.sendall("".join(json.dumps(e) + "\n" for e in burst2).encode())
+            stop.wait(90)  # hold the connection while timers drain windows
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_KEY)
+    except Exception:
+        prev = None
+    assert configure_state_store(spark, "rocksdb") == STATE_STORE_PROVIDERS["rocksdb"]
+    stream = sources.socket_json_stream(
+        spark, "127.0.0.1", port, "bidder BIGINT, price BIGINT"
+    )
+    result = streaming.stateful_proc_window_count(stream, "bidder", window_s=1)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("proc_win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-tws"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            got = {
+                r["key"]: r["total"]
+                for r in spark.sql(
+                    "SELECT key, CAST(SUM(n) AS BIGINT) AS total FROM proc_win_counts GROUP BY key"
+                ).collect()
+            }
+            if got == pushed:
+                break
+            _time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM proc_win_counts").collect()
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
+        if prev is not None:
+            spark.conf.set(_STATE_STORE_KEY, prev)
+        else:
+            spark.conf.unset(_STATE_STORE_KEY)
+
+    totals: dict[int, int] = {}
+    for r in rows:
+        totals[r["key"]] = totals.get(r["key"], 0) + r["n"]
+    assert totals == pushed  # windows partition each key's rows exactly
+    # the 2.5 s gap guarantees burst-1 keys finalized at least one window
+    # before their burst-2 rows arrived (timer or new-window eager flush)
+    assert len({(r["key"], r["win_start_ms"]) for r in rows}) == len(rows), "dup windows"
+    assert len({r["win_start_ms"] for r in rows}) >= 2
