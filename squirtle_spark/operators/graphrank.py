@@ -29,7 +29,7 @@ Why this shape survives 100 TB:
 from __future__ import annotations
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: Damping factor from the PageRank/TextRank literature.
 DAMPING = "CAST(0.85 AS DOUBLE)"
@@ -61,26 +61,10 @@ def _pair_fanout(d: str) -> tuple[str, str, str]:
     )
 
 
-def _textrank_keywords(d: str) -> str:
+def _edges_sql(d: str) -> str:
+    """The ONE corpus-scale pass: symmetrized adjacent-pair counts."""
     toks = dl.split_tokens("lower(text)", d)
     lateral, src, dst = _pair_fanout(d)
-    # One unrolled iteration: s_{k+1}(v) = 0.15 + 0.85 * Σ_u w(u,v)/W(u)·s_k(u).
-    # The symmetrized graph has no dangling nodes (every edge endpoint has
-    # outgoing weight), so the plain TextRank recurrence needs no teleport
-    # correction.
-    contrib = "s.score * CAST(e.w AS DOUBLE) / deg.wdeg"
-
-    def step(prev: str, cur: str) -> str:
-        return f"""{cur} AS (
-    SELECT e.dst AS tok,
-           {BASE} + {DAMPING} * {dl.dsum(contrib, d, "DECIMAL(28,12)")} AS score
-    FROM edges e
-    JOIN {prev} s ON e.src = s.tok
-    JOIN wdeg deg ON e.src = deg.src
-    GROUP BY e.dst
-)"""
-
-    steps = ",\n".join(step(f"s{i}", f"s{i + 1}") for i in range(ITERATIONS))
     return f"""
 WITH tk AS (
     SELECT doc_id, {toks} AS tk FROM documents
@@ -93,16 +77,73 @@ dir_w AS (
     SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
     FROM pairs WHERE src != dst
     GROUP BY src, dst
-),
-edges AS (
-    SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
-    FROM (
-        SELECT src, dst, w FROM dir_w
-        UNION ALL
-        SELECT dst AS src, src AS dst, w FROM dir_w
-    ) sym
-    GROUP BY src, dst
-),
+)
+SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+FROM (
+    SELECT src, dst, w FROM dir_w
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM dir_w
+) sym
+GROUP BY src, dst"""
+
+
+#: One unrolled iteration: s_{k+1}(v) = 0.15 + 0.85 · Σ_u w(u,v)/W(u)·s_k(u).
+#: The symmetrized graph has no dangling nodes (every edge endpoint has
+#: outgoing weight), so the plain TextRank recurrence needs no teleport
+#: correction. Shared VERBATIM between the Spark iteration (selectExpr over
+#: the materialized edge table) and the DuckDB oracle CTEs, so both engines
+#: evaluate identical double arithmetic (the per-node reduction runs
+#: through DECIMAL — dialect.py:dsum — making it order-independent).
+_CONTRIB = "score * CAST(w AS DOUBLE) / wdeg"
+
+
+def _textrank_spark(spark, sf_dir):
+    """Spark side: materialize the aggregated co-occurrence graph ONCE
+    (localCheckpoint — the corpus pass runs one time; the checkpointed
+    result is vocab²-bounded, the dedup_clusters iteration pattern), then
+    run the unrolled iterations as vocab-sized joins over it. Without the
+    materialization Catalyst inlines the edges CTE into every iteration
+    and re-scans the corpus 14 times (measured) — the exact plan shape
+    this rewrite forbids.
+    """
+    from pyspark.sql import functions as F
+
+    edges = spark.sql(_edges_sql(dl.SPARK)).localCheckpoint()
+    wdeg = edges.groupBy("src").agg(F.expr("CAST(SUM(w) AS DOUBLE)").alias("wdeg"))
+    ew = edges.join(wdeg, "src").select("src", "dst", "w", "wdeg").localCheckpoint()
+    scores = wdeg.select(F.col("src").alias("tok"), F.expr("CAST(1.0 AS DOUBLE)").alias("score"))
+    agg = f"{BASE} + {DAMPING} * " + dl.dsum(_CONTRIB, dl.SPARK, "DECIMAL(28,12)")
+    for _ in range(ITERATIONS):
+        scores = (
+            ew.join(scores, ew["src"] == scores["tok"])
+            .groupBy("dst")
+            .agg(F.expr(agg).alias("score"))
+            .select(F.col("dst").alias("tok"), "score")
+        )
+    return (
+        scores.select("tok", F.expr("ROUND(score, 6)").alias("textrank"))
+        .orderBy(F.desc("textrank"), "tok")
+        .limit(TOPK)
+    )
+
+
+def _textrank_oracle() -> str:
+    d = dl.DUCK
+
+    def step(prev: str, cur: str) -> str:
+        contrib = "s.score * CAST(e.w AS DOUBLE) / deg.wdeg"
+        return f"""{cur} AS (
+    SELECT e.dst AS tok,
+           {BASE} + {DAMPING} * {dl.dsum(contrib, d, "DECIMAL(28,12)")} AS score
+    FROM edges e
+    JOIN {prev} s ON e.src = s.tok
+    JOIN wdeg deg ON e.src = deg.src
+    GROUP BY e.dst
+)"""
+
+    steps = ",\n".join(step(f"s{i}", f"s{i + 1}") for i in range(ITERATIONS))
+    return f"""
+WITH edges AS ({_edges_sql(d)}),
 wdeg AS (
     SELECT src, CAST(SUM(w) AS DOUBLE) AS wdeg FROM edges GROUP BY src
 ),
@@ -117,12 +158,13 @@ LIMIT {TOPK}
 """
 
 
-register_sql(
+register_df(
     "textrank_keywords",
-    _textrank_keywords,
+    _textrank_spark,
+    oracle_body=_textrank_oracle(),
     doc="TextRank keyword extraction: weighted PageRank over the adjacent-"
-    "token co-occurrence graph, 3 iterations unrolled into one plan; "
-    "one corpus-scale pair-count pass, then vocab-sized joins.",
+    "token co-occurrence graph, 3 unrolled iterations; ONE corpus-scale "
+    "pair-count pass materialized, then vocab-sized joins.",
     bench=True,
 )
 
