@@ -170,6 +170,13 @@ register_df(
 
 
 def _collocation_pmi(d: str) -> str:
+    """Top bigrams by PMI. The inlined ``tk`` CTE re-derives the token
+    arrays for the pair and unigram passes (~4 corpus scans total here);
+    that is the repo's documented local-scale trade (SCALING.md: recompute
+    beats materializing for cheap relations) — at 100 TB the two
+    aggregated tables (big, uni) get checkpointed exactly like TextRank's
+    edge table and the corpus is scanned twice (pairs + unigrams, the
+    semantic minimum)."""
     toks = dl.split_tokens("lower(text)", d)
     lateral, src, dst = _pair_fanout(d)
     # PMI = ln(P(a,b) / (P(a)P(b))). The log argument is assembled as ONE
