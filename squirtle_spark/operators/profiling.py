@@ -402,3 +402,76 @@ register_sql(
     "frequencies + per-digit chi-square contributions; exact-integer "
     "digit extraction so both engines bin identically.",
 )
+
+
+#: PSI drift: compare value distributions before/after this split point.
+PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+def _psi_drift(d: str) -> str:
+    """Population Stability Index of ``value`` per event_type between the
+    first and second half of the stream — THE standard ML-ops drift gate
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 retrain). Reuses
+    value_histogram's fixed bins; both halves' bin frequencies are
+    Laplace-smoothed (+0.5 per bin over the FULL fixed bin set, so empty
+    bins never produce ln(0) and both engines smooth identically), and the
+    per-bin terms (p-q)·ln(p/q) — fixed-shape doubles over exact integer
+    counts — reduce through DECIMAL per type.
+
+    One scan + one (type, bin, half) aggregate + one vocab-sized reduce;
+    the bin grid fan-out is a constant {n_bins}-row relation per type.
+    """
+    split = dl.ts_lit(PSI_SPLIT, d)
+    bucket = f"LEAST({HIST_N_BINS - 1}, CAST(FLOOR(value / {HIST_BIN_W}) AS INT))"
+    grid = dl.series_0_to(HIST_N_BINS, "bucket", d)
+    term = (
+        "(CAST(n_a + 0.5 AS DOUBLE) / CAST(tot_a + {sm} AS DOUBLE)"
+        " - CAST(n_b + 0.5 AS DOUBLE) / CAST(tot_b + {sm} AS DOUBLE))"
+        " * LN((CAST(n_a + 0.5 AS DOUBLE) / CAST(tot_a + {sm} AS DOUBLE))"
+        " / (CAST(n_b + 0.5 AS DOUBLE) / CAST(tot_b + {sm} AS DOUBLE)))"
+    ).format(sm=f"{0.5 * HIST_N_BINS}")
+    return f"""
+WITH binned AS (
+    SELECT event_type,
+           {bucket} AS bucket,
+           CAST(COUNT(*) FILTER (WHERE ts <  {split}) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE ts >= {split}) AS BIGINT) AS n_b
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, {bucket}
+),
+grid AS (
+    SELECT t.event_type, g.bucket
+    FROM (SELECT DISTINCT event_type FROM binned) t
+    CROSS JOIN {grid} g
+),
+full_bins AS (
+    SELECT g.event_type, g.bucket,
+           COALESCE(b.n_a, 0) AS n_a,
+           COALESCE(b.n_b, 0) AS n_b
+    FROM grid g
+    LEFT JOIN binned b ON g.event_type = b.event_type AND g.bucket = b.bucket
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(n_a) AS BIGINT) AS tot_a,
+           CAST(SUM(n_b) AS BIGINT) AS tot_b
+    FROM full_bins GROUP BY event_type
+)
+SELECT f.event_type,
+       ROUND({dl.dsum(term, d, "DECIMAL(28,12)")}, 6) AS psi,
+       CAST(MAX(t.tot_a) AS BIGINT) AS n_before,
+       CAST(MAX(t.tot_b) AS BIGINT) AS n_after
+FROM full_bins f
+JOIN tot t ON f.event_type = t.event_type
+GROUP BY f.event_type
+"""
+
+
+register_sql(
+    "psi_drift",
+    _psi_drift,
+    doc="PSI distribution-drift gate: per-type Population Stability Index "
+    "between stream halves over the fixed histogram bins, Laplace-"
+    "smoothed so both engines handle empty bins identically.",
+)

@@ -148,6 +148,62 @@ register_sql(
 )
 
 
+#: Calibration floor: keep the top (1 - floor) fraction of each source.
+_CAL_KEEP_FLOOR = 0.8
+
+
+def _quality_calibration(d: str) -> str:
+    """Per-source percentile calibration of the quality margin: a single
+    global score threshold keeps different fractions of heterogeneous
+    sources (a clean-encyclopedia source would pass wholesale, a noisy
+    crawl barely at all); selecting by PERCENT_RANK *within* source keeps
+    a comparable top slice of each — the per-domain quantile thresholding
+    step real curation pipelines run between scoring and sampling
+    (sample_domain_cap then bounds absolute volume).
+
+    Distribution: the rank is a window partitioned by source — the same
+    keyed shuffle any per-source agg pays, no global ordering anywhere.
+    Determinism: ORDER BY (z, doc_id) is a total order, so PERCENT_RANK
+    is identical across engines and partitionings.
+    """
+    toks = dl.split_tokens("text", d)
+    n_tok = dl.array_len(toks, d)
+    w = _QC_W
+    z = (
+        f"{w['bias']} + {w['stopword_ratio']} * stopword_ratio"
+        f" + {w['punct_ratio']} * punct_ratio"
+        f" + {w['log_n_tok']} * LN(1 + n_tok)"
+        f" + {w['mean_token_span']} * mean_token_span"
+    )
+    return f"""
+WITH f AS (
+    SELECT q.doc_id, s.source, q.stopword_ratio, q.punct_ratio, q.mean_token_span, t.n_tok
+    FROM ({_quality(d)}) q
+    JOIN (SELECT doc_id, {n_tok} AS n_tok FROM documents) t ON q.doc_id = t.doc_id
+    JOIN (SELECT doc_id, source FROM documents) s ON q.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT doc_id, source, z,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY z, doc_id) AS pr
+    FROM (SELECT doc_id, source, {z} AS z FROM f) scored
+)
+SELECT doc_id, source,
+       ROUND(z, 6) AS margin,
+       ROUND(pr, 6) AS source_pct_rank,
+       CAST(pr >= {_CAL_KEEP_FLOOR} AS INT) AS keep_top
+FROM ranked
+"""
+
+
+register_sql(
+    "quality_calibration",
+    _quality_calibration,
+    doc="Per-source percentile calibration: PERCENT_RANK of the quality "
+    "margin within each source keeps a comparable top slice of "
+    "heterogeneous sources (total-order ties, partitioned window only).",
+)
+
+
 def _lang_guess(d: str) -> str:
     scores = {
         lang: dl.regex_count("text", _word_alt(words, d), d)

@@ -146,6 +146,8 @@ _PROMOTE = [
     "interval_overlap_join",
     "benford_digits",
     "incremental_agg_merge",
+    "quality_calibration",
+    "psi_drift",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -221,6 +223,11 @@ _DEFER = [
     # dedup_minhash_lsh's verify stage and curation_pipeline's exact-dedup
     # stage.
     "dedup_exact",
+    # r4-green; minhash stays in-budget as the stronger banded-LSH
+    # representative, and the quality family keeps quality_classifier +
+    # quality_calibration + token_count in-budget.
+    "dedup_simhash",
+    "text_quality",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
