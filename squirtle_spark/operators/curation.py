@@ -428,3 +428,85 @@ def stream_curation(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream_curation still running after {timeout_s}s")
+
+
+def _shard_manifest(d: str) -> str:
+    """Per-shard integrity manifest for shard_corpus's assignment: doc
+    count, token volume, id bounds, and an ORDER-INDEPENDENT content
+    checksum (bit_xor of a per-doc 60-bit content hash — XOR commutes, so
+    any partitioning/replay order yields the same value). This is the
+    reproducibility artifact a training run records next to its shards:
+    re-exporting must reproduce every row bit-for-bit, and a single
+    flipped document flips its shard's checksum.
+
+    One scan + one 16-group aggregate; at 100 TB it rides the same
+    hash-assignment expression as shard_corpus so manifest and shards can
+    never disagree on membership.
+    """
+    h = "md5('shard:' || CAST(doc_id AS STRING))"
+    shard = f"CAST(position(substring({h}, 1, 1) IN '0123456789abcdef') - 1 AS INT)"
+    toks = dl.split_tokens("text", d)
+    ck = dl.md5_i64("'ck:' || CAST(doc_id AS STRING) || ':' || text", d)
+    return textwrap.dedent(f"""
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({dl.array_len(toks, d)}) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(bit_xor({ck}) AS BIGINT) AS content_xor
+        FROM (SELECT doc_id, text, {shard} AS shard_id FROM documents) t
+        GROUP BY shard_id
+    """)
+
+
+register_sql(
+    "shard_manifest",
+    _shard_manifest,
+    doc="Per-shard integrity manifest: counts, token volume, id bounds + "
+    "order-independent XOR content checksum (bit-identical on re-export; "
+    "one flipped doc flips its shard's checksum).",
+)
+
+
+#: Negatives per anchor document.
+_NEG_K = 4
+
+
+def _contrastive_pairs(d: str) -> str:
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws _NEG_K pseudo-random negatives via the md5
+    universal hash over (doc_id, k) mod corpus size — reproducible across
+    runs/engines, uniform over the corpus, no RNG state anywhere. Pairs
+    whose draw lands on the anchor itself are dropped (the standard
+    rejection; K is a target, not a guarantee, as in word2vec-style
+    samplers).
+
+    Shape: a constant K-row lateral fan-out, one corpus-size scalar
+    (whitelisted global agg), and an equi-join back to ``documents`` to
+    resolve the drawn id — fully partitioned, no global ordering. Relies
+    on the fixtures' dense doc_id space (0..N-1, asserted by the join
+    resolving every draw); production corpora index docs the same way or
+    join through a rank table.
+    """
+    fan = dl.lateral_series(_NEG_K, "k", d)
+    draw = dl.md5_i64("'neg:' || CAST(a.doc_id AS STRING) || ':' || CAST(k AS STRING)", d)
+    return textwrap.dedent(f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        draws AS (
+            SELECT a.doc_id AS anchor_id, k,
+                   ({draw} % n.n_docs) AS neg_id
+            FROM documents a CROSS JOIN n {fan}
+        )
+        SELECT d2.anchor_id, d2.k, d2.neg_id, neg.source AS neg_source
+        FROM (SELECT * FROM draws WHERE neg_id != anchor_id) d2
+        JOIN documents neg ON d2.neg_id = neg.doc_id
+    """)
+
+
+register_sql(
+    "contrastive_pairs",
+    _contrastive_pairs,
+    doc=f"Deterministic negative sampling ({_NEG_K} negatives/doc via the "
+    "md5 universal hash mod corpus size): reproducible contrastive "
+    "training pairs, K-row fan-out + equi-join, no RNG state.",
+)

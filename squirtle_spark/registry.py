@@ -148,6 +148,8 @@ _PROMOTE = [
     "incremental_agg_merge",
     "quality_calibration",
     "psi_drift",
+    "shard_manifest",
+    "contrastive_pairs",
 ]
 
 #: Entries deferred past the budget: each was driver-green in r2–r4 or is
@@ -228,6 +230,12 @@ _DEFER = [
     # quality_calibration + token_count in-budget.
     "dedup_simhash",
     "text_quality",
+    # r4-green; the banded-LSH pipeline stays in-budget through
+    # lsh_quality_report (which embeds the identical signature/bucket
+    # stages plus the recall contract) and the clusters' component logic
+    # through neardup_transitive_pairs.
+    "dedup_minhash_lsh",
+    "dedup_clusters",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

@@ -87,6 +87,7 @@ _GLOBAL_AGG_QUERIES = {
     "bm25_topk",  # corpus n_docs/avgdl scalar: partial sums over per-doc lengths
     "collocation_pmi",  # corpus n_tok/n_pairs scalar: partial sums over the vocab table
     "benford_digits",  # corpus digit-total scalar: partial sums over 9 digit rows
+    "contrastive_pairs",  # corpus-size scalar (the mod base), then broadcast
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "corpus_report",  # the whole report IS corpus-grain scalars
