@@ -158,3 +158,58 @@ def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> 
     # shared InMemoryFileIndex cache — without the refresh they fail on the
     # replaced files (FAILED_READ_FILE), exactly what a backfill must not do.
     df.sparkSession.catalog.refreshByPath(path)
+
+
+def forget_keys(
+    spark: SparkSession, path: str, key_col: str, keys: list
+) -> tuple[int, int]:
+    """Targeted deletion (right-to-be-forgotten): remove every row whose
+    ``key_col`` is in ``keys`` by rewriting ONLY the files whose footer
+    min/max span can contain a target key — on a clustered table
+    (clustered_write/zorder_write) that is a handful of files, not the
+    table. Returns (files_rewritten, files_total).
+
+    This is the layout dividend in action: the same footer stats that
+    prune scans bound the DELETE's write amplification. Mechanics are
+    append-then-delete (replacement files land first, then the touched
+    originals are removed and the file-listing cache refreshed), so a
+    crash mid-operation leaves extra copies of untouched rows rather than
+    data loss; production wraps the swap in a transactional table format
+    (Delta/Iceberg DELETE does exactly this file-granular rewrite under a
+    log), and the deletion itself is what GDPR pipelines schedule.
+
+    The footer sweep reads per-file metadata only (the metastore/file
+    index role at cluster scale); target keys are a driver-side list —
+    bounded, like every deletion request queue.
+    """
+    files = [f.replace("file:", "") for f in spark.read.parquet(path).inputFiles()]
+    touched = []
+    import pyarrow.parquet as pq
+
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == key_col
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        lo, hi = min(mins), max(maxs)
+        if any(lo <= k <= hi for k in keys):
+            touched.append(f)
+    if not touched:
+        return 0, len(files)
+
+    replacement = spark.read.parquet(*touched).where(~F.col(key_col).isin(keys))
+    replacement.write.mode("append").parquet(path)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for f in touched:
+        hpath = jvm.org.apache.hadoop.fs.Path(f)
+        hpath.getFileSystem(conf).delete(hpath, False)
+    spark.catalog.refreshByPath(path)
+    return len(touched), len(files)

@@ -162,3 +162,49 @@ def test_backfill_overwrites_only_touched_partitions(spark, sf_dir, tmp_path):
     again = spark.read.parquet(path)
     assert again.count() == n_total
     assert sorted(map(tuple, again.collect())) == after_rows
+
+
+def test_forget_keys_rewrites_only_spanning_files(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten on a clustered table: the delete must rewrite
+    only the files whose footer span holds a target key, leave every other
+    file byte-identical on disk, and produce exactly original-minus-target
+    data."""
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "gdpr")
+    maintenance.clustered_write(ev, path, ["user_id"], n_files=16)
+
+    import os
+
+    before_files = {
+        f.replace("file:", ""): os.stat(f.replace("file:", "")).st_mtime_ns
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    # two targets from the same narrow span + one from elsewhere
+    users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
+    targets = [users[1], users[2], users[-2]]
+
+    rewritten, total = maintenance.forget_keys(spark, path, "user_id", targets)
+    assert total == 16
+    assert 1 <= rewritten <= 4, rewritten  # span-bounded write amplification
+
+    out = spark.read.parquet(path)
+    expected = ev.where(~F.col("user_id").isin(targets))
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0 and expected.exceptAll(out).count() == 0
+    assert out.where(F.col("user_id").isin(targets)).count() == 0
+
+    after_files = {
+        f.replace("file:", ""): os.stat(f.replace("file:", "")).st_mtime_ns
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    untouched_then = {f: m for f, m in before_files.items() if f in after_files}
+    assert len(untouched_then) == total - rewritten
+    for f, m in untouched_then.items():
+        assert after_files[f] == m, f"untouched file rewritten: {f}"
+
+    # idempotent: forgetting the same keys again touches the replacement
+    # files' spans at most, and changes nothing
+    n2 = spark.read.parquet(path).count()
+    maintenance.forget_keys(spark, path, "user_id", targets)
+    assert spark.read.parquet(path).count() == n2
