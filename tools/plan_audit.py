@@ -27,9 +27,23 @@ EXPECT_BROADCAST = {
     "ysb_campaign_views",
     "nexmark_q13",
 }
-#: broadcast crossJoin by design: the broadcast side is tiny and fixed
-#: (10 query vectors / K=8 centroids), not data-scale.
-CROSS_BY_DESIGN = {"ann_cosine_topk", "kmeans_assign"}
+#: broadcast crossJoin by design: the broadcast side is tiny and FIXED —
+#: 10 query vectors (ann_*/knn), K=8 centroids (kmeans), a K×M-row
+#: codebook lookup table (ann_pq), or a 1-row corpus-scalar aggregate
+#: (bm25's n_docs/avgdl, dq_profile's single wide stats row). A
+#: BroadcastNestedLoopJoin against a constant-size side is the correct
+#: plan for these; what the audit must catch is a DATA×DATA nested loop,
+#: which none of them is (the registry-wide pytest gate separately
+#: forbids CartesianProduct everywhere, tests/test_plans.py).
+CROSS_BY_DESIGN = {
+    "ann_cosine_topk",
+    "ann_sq8_topk",
+    "ann_pq_topk",
+    "knn_classify",
+    "kmeans_assign",
+    "bm25_topk",
+    "dq_profile",
+}
 
 
 def main() -> None:
