@@ -72,11 +72,19 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def update_centroids(assigned: DataFrame) -> DataFrame:
     """Element-wise mean per cluster via posexplode (bounded shuffles on
-    (cluster, dim); no wide agg, no driver-side data)."""
+    (cluster, dim); no wide agg, no driver-side data). The mean routes
+    through DECIMAL (exact, order-independent — dialect.py's dsum
+    pattern), which is what lets DuckDB replay the WHOLE Lloyd loop for
+    kmeans_lloyd's value oracle: identical centroids each iteration →
+    identical assignments."""
     return (
         assigned.select(F.col("cluster"), F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.avg("x").alias("mx"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+            ).alias("mx")
+        )
         .groupBy("cluster")
         .agg(
             F.expr(
@@ -159,11 +167,65 @@ def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def _lloyd_oracle() -> str:
+    """DuckDB replay of the FULL Lloyd loop, unrolled: N_ITERS assignment
+    steps with N_ITERS-1 centroid updates between them. Possible because
+    every cross-engine-fragile quantity is pinned — distances round to 4
+    decimals before the (dist, cell) argmin, and centroid means are
+    DECIMAL-exact (update_centroids), so both engines walk identical
+    centroid sequences. Empty clusters drop out of the update on both
+    sides identically."""
+
+    def assign_cte(cents: str, out: str) -> str:
+        return f"""{out} AS (
+    SELECT vec_id, v, cell AS cluster, dist FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               round(list_distance(e.v, c.cv), 4) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c.cv), 4) ASC, c.cell ASC
+               ) AS rn
+        FROM e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+)"""
+
+    def update_cte(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+    SELECT cluster AS cell, list(mx ORDER BY pos) AS cv FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mx
+        FROM (SELECT cluster, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS pos FROM {assigned}) u
+        GROUP BY cluster, pos
+    ) m GROUP BY cluster
+)"""
+
+    ctes = []
+    for i in range(1, N_ITERS + 1):
+        ctes.append(assign_cte(f"c{i - 1}", f"a{i}"))
+        if i < N_ITERS:
+            ctes.append(update_cte(f"a{i}", f"c{i}"))
+    body = ",\n".join(ctes)
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+    SELECT vec_id - {SEED_LO} AS cell, v AS cv
+    FROM e WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_LO + K_CLUSTERS}
+),
+{body}
+SELECT vec_id, cluster, dist FROM a{N_ITERS}
+"""
+
+
 register_df(
     "kmeans_lloyd",
     _kmeans_lloyd,
-    doc=f"{N_ITERS} full Lloyd iterations (broadcast assign + posexplode update); "
-    "inertia contract pytest-asserted.",
+    oracle_body=_lloyd_oracle(),
+    doc=f"{N_ITERS} full Lloyd iterations (broadcast assign + posexplode "
+    "update); DuckDB replays the whole unrolled loop (DECIMAL-exact "
+    "centroid means), plus the pytest inertia contract.",
 )
 
 
