@@ -208,3 +208,31 @@ def test_forget_keys_rewrites_only_spanning_files(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(path).count()
     maintenance.forget_keys(spark, path, "user_id", targets)
     assert spark.read.parquet(path).count() == n2
+
+
+def test_morton_interleave_is_a_bijection(spark):
+    """_morton2 must place each bucket pair at a unique curve position and
+    decode back exactly (bit-interleave correctness on the engine side,
+    checked against a pure-Python reference over the full 8-bit corners
+    and a random sample)."""
+    import random
+
+    bits = 8
+    rng = random.Random(7)
+    pairs = [(a, b) for a in (0, 1, 127, 128, 255) for b in (0, 1, 127, 128, 255)]
+    pairs += [(rng.randrange(256), rng.randrange(256)) for _ in range(50)]
+    df = spark.createDataFrame(pairs, "a LONG, b LONG").selectExpr(
+        "a", "b", f"({maintenance._morton2('a', 'b', bits)}) AS z"
+    )
+
+    def py_morton(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = df.collect()
+    assert len({r["z"] for r in rows}) == len(set(pairs))
+    for r in rows:
+        assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"], r["z"])
