@@ -510,3 +510,50 @@ register_sql(
     "md5 universal hash mod corpus size): reproducible contrastive "
     "training pairs, K-row fan-out + equi-join, no RNG state.",
 )
+
+
+def _dataset_diff(d: str) -> str:
+    """Snapshot diff — the regression check between two pipeline runs:
+    full outer join of two corpus versions on doc_id, comparing a content
+    fingerprint, emitting only added / removed / changed rows (unchanged
+    docs — the overwhelming majority — are filtered before anything
+    leaves the join). The two snapshots here are deterministic slices of
+    the fixture corpus (run A drops doc_id % 10 == 0, run B drops
+    doc_id % 13 == 0 and re-processes doc_id % 7 == 0 docs), so both
+    engines derive identical inputs; production diffs two real manifest
+    paths with the same plan.
+
+    Scale shape: one equi-join on the id key + a fingerprint comparison —
+    the cheapest possible diff; fingerprints mean the wide text column
+    never crosses the shuffle.
+    """
+    fp = dl.md5_i64("text", d)
+    fp_b = dl.md5_i64("upper(text)", d)
+    return textwrap.dedent(f"""
+        WITH snap_a AS (
+            SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 != 0
+        ),
+        snap_b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN {fp_b} ELSE {fp} END AS fp
+            FROM documents WHERE doc_id % 13 != 0
+        )
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE
+                 WHEN a.doc_id IS NULL THEN 'added'
+                 WHEN b.doc_id IS NULL THEN 'removed'
+                 ELSE 'changed'
+               END AS status
+        FROM snap_a a
+        FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+        WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp != b.fp
+    """)
+
+
+register_sql(
+    "dataset_diff",
+    _dataset_diff,
+    doc="Snapshot diff between two corpus versions: full outer join on id "
+    "+ fingerprint compare, emitting only added/removed/changed rows "
+    "(the run-over-run regression check).",
+)

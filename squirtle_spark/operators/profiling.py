@@ -475,3 +475,45 @@ register_sql(
     "between stream halves over the fixed histogram bins, Laplace-"
     "smoothed so both engines handle empty bins identically.",
 )
+
+
+#: k-anonymity threshold: quasi-identifier combinations seen fewer than
+#: K times are re-identification risks.
+K_ANON = 5
+
+
+def _k_anonymity(d: str) -> str:
+    """k-anonymity audit over the events stream: group by the
+    quasi-identifier tuple a release would expose (event_type, event day,
+    coarse value band) and report every combination with fewer than
+    K_ANON members — the rows whose subjects a joiner could single out.
+    The companion to pii_scrub (column-level redaction) and forget_keys
+    (row-level erasure): this one measures the RELEASE's group sizes,
+    which is what privacy review actually signs off on.
+
+    One grouped count + a filter; the quasi-id grain bounds the group
+    count, so the report scales like any keyed agg. Day extraction goes
+    through the epoch-aligned bucket (identical in both engines).
+    """
+    day = dl.tumble_start("ts", 86_400, d)
+    band = f"CAST(FLOOR(value / 100) AS INT)"
+    return f"""
+SELECT event_type,
+       {day} AS day,
+       {band} AS value_band,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(*) < {K_ANON} AS INT) AS at_risk
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, {day}, {band}
+HAVING COUNT(*) < {K_ANON}
+"""
+
+
+register_sql(
+    "k_anonymity",
+    _k_anonymity,
+    doc=f"k-anonymity audit (k={K_ANON}): quasi-identifier combinations "
+    "small enough to re-identify — the group-size check privacy review "
+    "runs before a release; one keyed aggregate.",
+)
