@@ -360,25 +360,27 @@ def run_nexmark_q8_outer_stream(
     flush_advance_s: int = 3_600,
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    how: str = "left_outer",
 ) -> DataFrame:
-    """q8's LEFT OUTER variant: EVERY new person emits, flagged
-    ``opened_auction`` 1/0 by whether they opened an auction in their
-    window — the stream-stream outer join, a capability class the
-    reference does not have at all (its DataFusion vintage executes only
-    the inner q8 per collected window, queries/q8.rs:33-44; no outer
-    joins appear anywhere in its query set).
+    """q8's OUTER variants (``how`` = "left_outer" | "full_outer"): every
+    new person emits once per window with the matching seller or a NULL
+    auction side; full-outer additionally emits sellers who opened an
+    auction with no matching person row (NULL person side). Stream-stream
+    outer joins are a capability class the reference does not have at all
+    (its DataFusion vintage executes only the inner q8 per collected
+    window, queries/q8.rs:33-44; no outer joins appear anywhere in its
+    query set). Output: DISTINCT (p_id, name, seller, starttime) rows —
+    NULL side marks the unmatched direction.
 
     Mechanics: matched pairs emit incrementally like the inner join;
-    UNMATCHED person rows are held in the join state until the watermark
-    passes their window, then emit with a NULL auction side — which is
-    why both sides MUST be watermarked and why a finite replay needs the
-    flush sentinel (write_flush_epoch) to push the frontier past the tail
-    windows; without it the last windows' unmatched persons would sit in
-    state forever. Sentinel rows carry negative keys: the person sentinel
-    emits as an unmatched row and is dropped by the ``p_id >= 0`` filter,
-    the auction sentinel can never match and the left-outer join discards
-    it. State is bounded to ~one window per side past the frontier, the
-    same profile as the inner form.
+    UNMATCHED rows are held in the join state until the watermark passes
+    their window, then emit with the other side NULL — which is why both
+    sides MUST be watermarked and why a finite replay needs the flush
+    sentinel (write_flush_epoch) to push the frontier past the tail
+    windows; without it the last windows' unmatched rows would sit in
+    state forever. Sentinel rows carry negative keys and are dropped
+    after the drain. State is bounded to ~one window per side past the
+    frontier, the same profile as the inner form.
     """
     for path, ts, keys in (
         (persons_path, "p_date_time", ["p_id"]),
@@ -403,24 +405,23 @@ def run_nexmark_q8_outer_stream(
         .withColumn("w", F.window("a_date_time", size))
     )
     joined = ps.join(
-        au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"]), "left_outer"
+        au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"]), how
     ).select(
         "p_id",
         "name",
-        ps["w"]["start"].alias("starttime"),
-        F.when(au["seller"].isNull(), F.lit(0)).otherwise(F.lit(1)).alias("opened"),
+        au["seller"].alias("seller"),
+        F.coalesce(ps["w"]["start"], au["w"]["start"]).alias("starttime"),
     )
     rows = run_available_now(
         joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
     )
-    return (
-        spark.createDataFrame(
-            rows, "p_id BIGINT, name STRING, starttime TIMESTAMP, opened INT"
-        )
-        .where(F.col("p_id") >= 0)
-        .groupBy("p_id", "name", "starttime")
-        .agg(F.max("opened").alias("opened_auction"))
+    df = spark.createDataFrame(
+        rows, "p_id BIGINT, name STRING, seller BIGINT, starttime TIMESTAMP"
+    ).where(
+        (F.col("p_id").isNull() | (F.col("p_id") >= 0))
+        & (F.col("seller").isNull() | (F.col("seller") >= 0))
     )
+    return df.distinct()
 
 
 def run_nexmark_q13_stream(

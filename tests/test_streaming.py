@@ -570,9 +570,10 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
 
 
 def test_nexmark_q8_outer_stream_equals_batch(spark, tmp_path):
-    """LEFT OUTER stream-stream join: every person emits exactly once per
-    window with a 1/0 opened-auction flag; unmatched rows flush via the
-    sentinel-advanced watermark and must equal the batch left join."""
+    """Stream-stream OUTER joins (left and full): unmatched rows flush via
+    the sentinel-advanced watermark and the drained DISTINCT rows must
+    equal the batch outer join of the deduped sides — including NULL-side
+    rows in both directions for full outer."""
     persons = sources.nexmark_persons(spark, 200, 6).withColumn(
         "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
     )
@@ -582,47 +583,45 @@ def test_nexmark_q8_outer_stream_equals_batch(spark, tmp_path):
     streaming.write_epoch_files(persons, str(tmp_path / "p"))
     streaming.write_epoch_files(auctions, str(tmp_path / "a"))
 
-    got = streaming.run_nexmark_q8_outer_stream(
-        spark,
-        str(tmp_path / "p"),
-        str(tmp_path / "a"),
-        checkpoint=str(tmp_path / "ckpt-q8outer"),
-        size_s=10,
-        files_per_trigger=3,
-    ).collect()
-
     bp = (
         persons.drop("epoch")
         .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
         .select(
-            "p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime")
+            "p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("w")
         )
         .distinct()
     )
     ba = (
         auctions.drop("epoch")
         .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
-        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
+        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("w"))
         .distinct()
     )
-    expected = (
-        bp.join(
-            ba,
-            (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"]),
-            "left_outer",
+
+    for how in ("left_outer", "full_outer"):
+        got = streaming.run_nexmark_q8_outer_stream(
+            spark,
+            str(tmp_path / "p"),
+            str(tmp_path / "a"),
+            checkpoint=str(tmp_path / f"ckpt-q8-{how}"),
+            size_s=10,
+            files_per_trigger=3,
+            how=how,
+        ).collect()
+        expected = (
+            bp.join(ba, (bp["p_id"] == ba["seller"]) & (bp["w"] == ba["w"]), how)
+            .select(
+                "p_id", "name", "seller", F.coalesce(bp["w"], ba["w"]).alias("starttime")
+            )
+            .distinct()
+            .collect()
         )
-        .select(
-            "p_id",
-            "name",
-            bp["starttime"],
-            F.when(ba["seller"].isNull(), F.lit(0)).otherwise(F.lit(1)).alias("opened_auction"),
-        )
-        .collect()
-    )
-    assert len(got) > 0
-    assert any(r["opened_auction"] == 0 for r in got)  # outer rows actually flushed
-    assert any(r["opened_auction"] == 1 for r in got)
-    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+        key = lambda r: tuple((x is None, x) for x in r)
+        assert len(got) > 0, how
+        assert any(r["seller"] is None for r in got), how  # person-side outer rows
+        if how == "full_outer":
+            assert any(r["p_id"] is None for r in got)  # auction-side outer rows
+        assert sorted(map(key, got)) == sorted(map(key, expected)), how
 
 
 def test_nexmark_q13_full_stream_equals_batch(spark, tmp_path):
