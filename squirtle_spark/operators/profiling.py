@@ -517,3 +517,42 @@ register_sql(
     "small enough to re-identify — the group-size check privacy review "
     "runs before a release; one keyed aggregate.",
 )
+
+
+def _winsorize(d: str) -> str:
+    """Winsorization per event_type: clip ``value`` to its type's exact
+    [p05, p95] band — the robust pre-normalization step feature pipelines
+    run where outlier_mad only FLAGS (clipping keeps the row, caps its
+    leverage). One grouped percentile pass (bitwise-identical exact
+    interpolation, the text_length_quantiles precedent) broadcast-joined
+    back onto the stream; the clip itself is codegen CASE arithmetic.
+    At 100 TB the percentile pass swaps to approx_percentile exactly as
+    dq_profile documents.
+    """
+    lo = _pctl("value", "0.05", d)
+    hi = _pctl("value", "0.95", d)
+    return f"""
+WITH bands AS (
+    SELECT event_type, {lo} AS p05, {hi} AS p95
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+)
+SELECT e.event_id,
+       e.event_type,
+       e.value,
+       CASE WHEN e.value < b.p05 THEN b.p05
+            WHEN e.value > b.p95 THEN b.p95
+            ELSE e.value END AS value_winsorized,
+       CAST(e.value < b.p05 OR e.value > b.p95 AS INT) AS clipped
+FROM events e
+JOIN bands b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
+"""
+
+
+register_sql(
+    "winsorize_values",
+    _winsorize,
+    doc="Per-type winsorization: clip to the exact [p05, p95] band "
+    "(one grouped percentile pass broadcast back; codegen clip).",
+)
