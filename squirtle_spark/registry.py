@@ -97,10 +97,13 @@ def register_df(
     )
 
 
-#: Round-5 budget spend: the 16 registry entries that have NEVER had a
-#: driver row in any round (every other oracle-bearing entry went green
-#: in r2–r4 and keeps its pytest oracle). Once CORRECTNESS_r05 lands,
-#: all 121 entries have cumulative driver evidence.
+#: Round-5 budget spend: every slot of the 50-entry driver budget goes to
+#: registry entries that have NEVER had a driver row in any round — the
+#: 16 never-checked entries VERDICT r4 listed, plus every round-5
+#: addition (each r2–r4-green entry rotated out keeps its pytest oracle
+#: and an in-budget family sibling, see _DEFER). Entries registered after
+#: the budget filled (k_anonymity, dataset_diff, winsorize_values) take
+#: their first driver row next round.
 _PROMOTE = [
     "tpch_q2",  # partsupp-view unlock (min-cost supplier correlated subq)
     "tpch_q9",  # partsupp product-profit 6-way join
