@@ -213,3 +213,61 @@ def forget_keys(
         hpath.getFileSystem(conf).delete(hpath, False)
     spark.catalog.refreshByPath(path)
     return len(touched), len(files)
+
+
+def versioned_write(spark: SparkSession, df: DataFrame, table_path: str) -> int:
+    """Append-only snapshot versioning — the minimal transactional-table
+    pattern (what Delta/Iceberg formalize with logs): each write lands in
+    a fresh ``v=N`` directory, then a ``_LATEST`` pointer file is swapped
+    ATOMICALLY (write-temp + rename, the classic HDFS/POSIX commit
+    primitive). Readers resolve the pointer first, so they only ever see
+    fully-written snapshots — a crash mid-write leaves an orphan
+    directory, never a torn table. Returns the new version number.
+
+    Pair with read_version/dataset_diff: pipelines keep the last K
+    snapshots for run-over-run regression diffs and instant rollback
+    (flip the pointer back), then vacuum older versions.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(conf)
+    version = latest_version(spark, table_path) + 1
+    df.write.mode("errorifexists").parquet(f"{table_path}/v={version}")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(version).encode()))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST")
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return version
+
+
+def latest_version(spark: SparkSession, table_path: str) -> int:
+    """Current committed version per the ``_LATEST`` pointer (0 = none)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST")
+    fs = ptr.getFileSystem(conf)
+    if not fs.exists(ptr):
+        return 0
+    stream = fs.open(ptr)
+    try:
+        data = []
+        b = stream.read()
+        while b != -1:
+            data.append(b)
+            b = stream.read()
+        return int(bytes(data).decode())
+    finally:
+        stream.close()
+
+
+def read_version(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+    """Read a specific snapshot (or the committed latest): time travel for
+    the run-over-run workflows dataset_diff serves."""
+    v = version if version is not None else latest_version(spark, table_path)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    return spark.read.parquet(f"{table_path}/v={v}")

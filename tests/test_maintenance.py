@@ -236,3 +236,31 @@ def test_morton_interleave_is_a_bijection(spark):
     assert len({r["z"] for r in rows}) == len(set(pairs))
     for r in rows:
         assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+def test_versioned_write_time_travel_and_atomic_pointer(spark, sf_dir, tmp_path):
+    """Snapshot versioning: each write is a new immutable version, the
+    pointer flip is the only commit, read_version time-travels, and
+    rollback is a pointer rewrite away (old snapshots untouched)."""
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "vtable")
+
+    v1 = maintenance.versioned_write(spark, ev.where("user_id % 2 = 0"), path)
+    v2 = maintenance.versioned_write(spark, ev, path)
+    assert (v1, v2) == (1, 2)
+    assert maintenance.latest_version(spark, path) == 2
+
+    latest = maintenance.read_version(spark, path)
+    assert latest.count() == ev.count()
+    old = maintenance.read_version(spark, path, v1)
+    assert old.count() == ev.where("user_id % 2 = 0").count()
+    # old snapshot is immutable: re-reading after the v2 commit is intact
+    assert old.exceptAll(ev.where("user_id % 2 = 0")).count() == 0
+
+    # a reader that resolved the pointer before a new commit still reads a
+    # consistent snapshot (the version dir it resolved to never mutates)
+    pinned = maintenance.latest_version(spark, path)
+    maintenance.versioned_write(spark, ev.limit(10), path)
+    assert maintenance.read_version(spark, path, pinned).count() == ev.count()
+    assert maintenance.read_version(spark, path).count() == 10
