@@ -474,6 +474,7 @@ register_sql(
     doc="PSI distribution-drift gate: per-type Population Stability Index "
     "between stream halves over the fixed histogram bins, Laplace-"
     "smoothed so both engines handle empty bins identically.",
+    bench=True,
 )
 
 

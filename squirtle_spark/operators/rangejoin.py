@@ -195,4 +195,5 @@ register_df(
     oracle_body=_OVERLAP_ORACLE,
     doc="Interval-overlap join (two interval sets, overlap predicate) via "
     "single-meeting-bucket quantization; per-user overlap counts.",
+    bench=True,
 )

@@ -70,5 +70,5 @@ register_sql(
     "run-collapse (gaps-and-islands) + [valid_from, valid_to) validity "
     "intervals, version numbers and is_current flags; one reused keyed "
     "shuffle for all three window functions.",
-    bench=False,
+    bench=True,
 )
