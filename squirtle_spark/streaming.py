@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StatefulProcessor, StreamingQuery
 
 
 def write_epoch_files(df: DataFrame, path: str, epoch_col: str = "epoch") -> None:
@@ -1433,6 +1433,78 @@ def stateful_anomaly(
     )
 
 
+class ProcWindowCount(StatefulProcessor):
+    """The transformWithState processor behind stateful_proc_window_count,
+    at module scope so its state-machine logic is unit-testable with a
+    fake handle even where the Spark-side runner can't start (the
+    protobuf gate).
+
+    Invariant the logic maintains (and tests/test_streaming.py drives
+    directly): per key, at most ONE open window + its timer at any time;
+    every input row lands in exactly one emitted window (timer-finalized,
+    or eagerly flushed when a later window's rows arrive first)."""
+
+    def __init__(self, win_ms: int) -> None:
+        self.win_ms = win_ms
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self.handle = handle
+        self.win = handle.getValueState(
+            "win",
+            StructType(
+                [
+                    StructField("win_start_ms", LongType()),
+                    StructField("n", LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        win_ms = self.win_ms
+        n_new = sum(len(pdf) for pdf in rows)
+        now_ms = timerValues.getCurrentProcessingTimeInMs()
+        cur_win = (now_ms // win_ms) * win_ms
+        if self.win.exists():
+            prev_win, prev_n = self.win.get()
+            if prev_win == cur_win:
+                self.win.update((cur_win, prev_n + n_new))
+                return iter(())
+            # later window arrived before the old timer fired: finalize
+            # the old window now and drop its (stale) timer.
+            self.handle.deleteTimer(prev_win + win_ms)
+            self.win.update((cur_win, n_new))
+            self.handle.registerTimer(cur_win + win_ms)
+            return iter(
+                [pd.DataFrame({"key": [key[0]], "win_start_ms": [prev_win], "n": [prev_n]})]
+            )
+        self.win.update((cur_win, n_new))
+        self.handle.registerTimer(cur_win + win_ms)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self.win.exists():
+            return iter(())
+        win_start, n = self.win.get()
+        if expiredTimerInfo.getExpiryTimeInMs() < win_start + self.win_ms:
+            return iter(())  # stale timer for an already-finalized window
+        self.win.clear()
+        return iter(
+            [pd.DataFrame({"key": [key[0]], "win_start_ms": [win_start], "n": [n]})]
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def stateful_proc_window_count(
     stream: DataFrame, key_col: str, window_s: int = 1
 ) -> DataFrame:
@@ -1451,8 +1523,9 @@ def stateful_proc_window_count(
     way, like flock emitting a window the moment the next one opens).
     The q12 invariant (windows PARTITION each key's rows:
     sum(n) == rows seen) holds regardless of where boundaries land,
-    which is what the test pins — boundary placement is inherently
-    nondeterministic, exactly as in the reference.
+    which is what the integration test pins; the state-machine logic is
+    additionally unit-tested directly (ProcWindowCount) so the gated
+    integration path isn't the only evidence.
 
     Requires the RocksDB state-store provider
     (``session.configure_state_store(spark, "rocksdb")``) — the
@@ -1463,8 +1536,6 @@ def stateful_proc_window_count(
     environments without it keep the applyInPandasWithState operators
     above, which cover the same semantics minus timers.
     """
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -1474,61 +1545,11 @@ def stateful_proc_window_count(
             StructField("n", LongType()),
         ]
     )
-    win_ms = window_s * 1000
-
-    class ProcWindowCount(StatefulProcessor):
-        def init(self, handle) -> None:
-            self.handle = handle
-            self.win = handle.getValueState(
-                "win",
-                StructType(
-                    [
-                        StructField("win_start_ms", LongType()),
-                        StructField("n", LongType()),
-                    ]
-                ),
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n_new = sum(len(pdf) for pdf in rows)
-            now_ms = timerValues.getCurrentProcessingTimeInMs()
-            cur_win = (now_ms // win_ms) * win_ms
-            if self.win.exists():
-                prev_win, prev_n = self.win.get()
-                if prev_win == cur_win:
-                    self.win.update((cur_win, prev_n + n_new))
-                    return iter(())
-                # later window arrived before the old timer fired: finalize
-                # the old window now and drop its (stale) timer.
-                self.handle.deleteTimer(prev_win + win_ms)
-                self.win.update((cur_win, n_new))
-                self.handle.registerTimer(cur_win + win_ms)
-                return iter(
-                    [pd.DataFrame({"key": [key[0]], "win_start_ms": [prev_win], "n": [prev_n]})]
-                )
-            self.win.update((cur_win, n_new))
-            self.handle.registerTimer(cur_win + win_ms)
-            return iter(())
-
-        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if not self.win.exists():
-                return iter(())
-            win_start, n = self.win.get()
-            if expiredTimerInfo.getExpiryTimeInMs() < win_start + win_ms:
-                return iter(())  # stale timer for an already-finalized window
-            self.win.clear()
-            return iter(
-                [pd.DataFrame({"key": [key[0]], "win_start_ms": [win_start], "n": [n]})]
-            )
-
-        def close(self) -> None:
-            pass
-
     return (
         stream.withColumn("key", F.col(key_col))
         .groupBy("key")
         .transformWithStateInPandas(
-            ProcWindowCount(),
+            ProcWindowCount(window_s * 1000),
             outputStructType=out_schema,
             outputMode="append",
             timeMode="ProcessingTime",

@@ -1297,3 +1297,103 @@ def test_transform_with_state_proc_window_count(spark, tmp_path):
     # before their burst-2 rows arrived (timer or new-window eager flush)
     assert len({(r["key"], r["win_start_ms"]) for r in rows}) == len(rows), "dup windows"
     assert len({r["win_start_ms"] for r in rows}) >= 2
+
+
+def test_proc_window_count_state_machine_unit():
+    """Drive ProcWindowCount's logic directly with a fake handle — the
+    protobuf-gated integration path is not the only evidence. Scenarios:
+    same-window accumulation, timer finalization, eager flush when a
+    later window's rows arrive before the old timer, and stale-timer
+    suppression. Invariant: emitted windows partition the input rows."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = set()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def registerTimer(self, t):
+            self.timers.add(t)
+
+        def deleteTimer(self, t):
+            self.timers.discard(t)
+
+    class TV:
+        def __init__(self, now_ms):
+            self._now = now_ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    class ExpInfo:
+        def __init__(self, t):
+            self._t = t
+
+        def getExpiryTimeInMs(self):
+            return self._t
+
+    p = streaming.ProcWindowCount(win_ms=1000)
+    h = FakeHandle()
+    p.init(h)
+    key = (7,)
+    emitted = []
+
+    def feed(n_rows, now_ms):
+        out = list(p.handleInputRows(key, iter([pd.DataFrame({"x": range(n_rows)})]), TV(now_ms)))
+        emitted.extend(out)
+
+    def fire(expiry_ms):
+        # the engine removes an expired timer before invoking the handler
+        h.timers.discard(expiry_ms)
+        emitted.extend(p.handleExpiredTimer(key, TV(expiry_ms), ExpInfo(expiry_ms)))
+
+    # two batches inside window [0, 1000): accumulate, one timer at 1000
+    feed(3, now_ms=100)
+    feed(2, now_ms=900)
+    assert h.state.get() == (0, 5) and h.timers == {1000}
+    assert emitted == []
+
+    # the timer fires: window [0,1000) finalizes with 5 rows, state clears
+    fire(1000)
+    assert h.state.exists() is False
+    assert [tuple(e.iloc[0]) for e in emitted] == [(7, 0, 5)]
+
+    # stale-timer after finalize: no double emission
+    fire(1000)
+    assert len(emitted) == 1
+
+    # rows in window [2000,3000), then rows in [4000,5000) BEFORE the 3000
+    # timer fires -> eager flush of the old window, old timer deleted
+    feed(4, now_ms=2500)
+    assert h.timers == {3000}
+    feed(6, now_ms=4200)
+    assert h.timers == {5000}, h.timers
+    assert [tuple(e.iloc[0]) for e in emitted] == [(7, 0, 5), (7, 2000, 4)]
+
+    # a belatedly-delivered stale expiry for 3000 must not re-emit
+    fire(3000)
+    assert len(emitted) == 2
+    # the live window finalizes normally
+    fire(5000)
+    rows = [tuple(e.iloc[0]) for e in emitted]
+    assert rows == [(7, 0, 5), (7, 2000, 4), (7, 4000, 6)]
+    assert sum(r[2] for r in rows) == 3 + 2 + 4 + 6  # partition invariant
