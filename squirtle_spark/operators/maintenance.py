@@ -215,6 +215,24 @@ def forget_keys(
     return len(touched), len(files)
 
 
+def _next_free_version(spark: SparkSession, table_path: str) -> int:
+    """Next unused v=N: max(committed, any staged-but-unpublished dir) + 1."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(conf)
+    version = latest_version(spark, table_path) + 1
+    if fs.exists(root):
+        staged = [
+            int(st.getPath().getName()[2:])
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("v=")
+        ]
+        if staged:
+            version = max(version, max(staged) + 1)
+    return version
+
+
 def versioned_write(spark: SparkSession, df: DataFrame, table_path: str) -> int:
     """Append-only snapshot versioning — the minimal transactional-table
     pattern (what Delta/Iceberg formalize with logs): each write lands in
@@ -232,7 +250,7 @@ def versioned_write(spark: SparkSession, df: DataFrame, table_path: str) -> int:
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(conf)
-    version = latest_version(spark, table_path) + 1
+    version = _next_free_version(spark, table_path)
     df.write.mode("errorifexists").parquet(f"{table_path}/v={version}")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
     out = fs.create(tmp, True)
@@ -271,3 +289,41 @@ def read_version(spark: SparkSession, table_path: str, version: int | None = Non
     if v <= 0:
         raise FileNotFoundError(f"no committed version at {table_path}")
     return spark.read.parquet(f"{table_path}/v={v}")
+
+
+def publish_if(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    checks: list,
+) -> tuple[int | None, list[str]]:
+    """Write-audit-publish: stage the snapshot as an UNCOMMITTED version
+    directory, run every check against the staged data (each check is
+    ``fn(staged_df) -> bool``), and flip the ``_LATEST`` pointer ONLY if
+    all pass — the Iceberg-WAP pattern on the versioned_write primitive.
+    Returns (published_version | None, failed_check_names). A failed
+    audit leaves the staged directory for inspection and the pointer on
+    the previous good snapshot, so downstream readers never see
+    unaudited data.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(conf)
+    version = _next_free_version(spark, table_path)
+    staged_path = f"{table_path}/v={version}"
+    df.write.mode("errorifexists").parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    failed = [
+        getattr(c, "__name__", repr(c)) for c in checks if not c(staged)
+    ]
+    if failed:
+        return None, failed
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(version).encode()))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST")
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return version, []

@@ -1555,3 +1555,32 @@ def stateful_proc_window_count(
             timeMode="ProcessingTime",
         )
     )
+
+
+def stream_dimension_enrich(
+    stream: DataFrame,
+    dimension: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Enrich a fact stream against a slowly-changing dimension AS OF each
+    event's time: stream-static join on (key, validity interval) — the
+    standard streaming-warehouse lookup (facts arrive as a stream, the
+    SCD2 table from operators/warehouse.py is storage). Stream-static
+    joins re-resolve the static side every micro-batch, so dimension
+    updates between batches are picked up without restarting the query —
+    the state-free enrichment pattern; no watermark needed because the
+    static side is not a stream.
+
+    The interval predicate (from <= ts < to, open-ended current rows) is
+    a non-equi residual on top of the key equi-join: per micro-batch
+    Catalyst plans the same broadcast/hash join a batch enrichment gets.
+    """
+    cond = (
+        (stream[key_col] == dimension[key_col])
+        & (stream[ts_col] >= dimension[valid_from])
+        & (dimension[valid_to].isNull() | (stream[ts_col] < dimension[valid_to]))
+    )
+    return stream.join(dimension, cond).drop(dimension[key_col])

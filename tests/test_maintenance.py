@@ -264,3 +264,37 @@ def test_versioned_write_time_travel_and_atomic_pointer(spark, sf_dir, tmp_path)
     maintenance.versioned_write(spark, ev.limit(10), path)
     assert maintenance.read_version(spark, path, pinned).count() == ev.count()
     assert maintenance.read_version(spark, path).count() == 10
+
+
+def test_publish_if_gates_the_pointer_on_audits(spark, sf_dir, tmp_path):
+    """Write-audit-publish: a failing audit stages the snapshot but leaves
+    the committed pointer untouched; a passing audit publishes."""
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "wap")
+
+    def has_rows(df):
+        return df.count() > 0
+
+    def no_null_ids(df):
+        return df.where(F.col("event_id").isNull()).count() == 0
+
+    def impossible(df):
+        return df.count() > 10**12
+
+    v, failed = maintenance.publish_if(spark, ev, path, [has_rows, no_null_ids])
+    assert v == 1 and failed == []
+    assert maintenance.read_version(spark, path).count() == ev.count()
+
+    v2, failed2 = maintenance.publish_if(
+        spark, ev.limit(5), path, [has_rows, impossible]
+    )
+    assert v2 is None and failed2 == ["impossible"]
+    # pointer still on the good snapshot; staged dir exists for inspection
+    assert maintenance.latest_version(spark, path) == 1
+    assert maintenance.read_version(spark, path).count() == ev.count()
+    assert spark.read.parquet(f"{path}/v=2").count() == 5
+
+    # a later good publish skips past the failed staged version
+    v3, _ = maintenance.publish_if(spark, ev.limit(7), path, [has_rows])
+    assert v3 == 3 and maintenance.read_version(spark, path).count() == 7

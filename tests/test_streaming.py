@@ -1397,3 +1397,38 @@ def test_proc_window_count_state_machine_unit():
     rows = [tuple(e.iloc[0]) for e in emitted]
     assert rows == [(7, 0, 5), (7, 2000, 4), (7, 4000, 6)]
     assert sum(r[2] for r in rows) == 3 + 2 + 4 + 6  # partition invariant
+
+
+def test_stream_dimension_enrich_equals_batch_asof(spark, tmp_path):
+    """Stream-static SCD2 enrichment: every replayed event picks up the
+    dimension row valid AT its event time; the drained stream must equal
+    the identical batch interval join."""
+    from squirtle_spark import catalog
+
+    catalog.register_all(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"))
+    dim = spark.sql(
+        __import__("squirtle_spark.operators.warehouse", fromlist=["_scd2_dimension"])
+        ._scd2_dimension("spark")
+    ).cache()
+    events = spark.table("events").select("event_id", "user_id", "ts").limit(4000)
+    staged = events.withColumn(
+        "epoch", F.unix_timestamp(F.col("ts").cast("timestamp")) % 7
+    )
+    streaming.write_epoch_files(staged, str(tmp_path / "ev"))
+    stream = streaming.replay_stream(spark, str(tmp_path / "ev"), 3).drop("epoch")
+
+    enriched = streaming.stream_dimension_enrich(stream, dim, "user_id", "ts")
+    rows = streaming.run_available_now(
+        enriched.select("event_id", "attr_value", "version"),
+        checkpoint=str(tmp_path / "ckpt-enrich"),
+        mode="append",
+    )
+
+    cond = (
+        (events["user_id"] == dim["user_id"])
+        & (events["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (events["ts"] < dim["valid_to"]))
+    )
+    expected = events.join(dim, cond).select("event_id", "attr_value", "version").collect()
+    assert len(rows) > 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
