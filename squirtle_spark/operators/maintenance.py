@@ -327,3 +327,34 @@ def publish_if(
     fs.delete(final, False)
     fs.rename(tmp, final)
     return version, []
+
+
+def vacuum_versions(spark: SparkSession, table_path: str, keep: int = 3) -> list[int]:
+    """Delete snapshot directories older than the last ``keep`` versions,
+    never touching the committed version or anything newer — the storage
+    bound that makes versioned_write sustainable (without it a daily
+    publish retains the table's whole history forever). Returns the
+    removed version numbers. The committed version is always retained
+    even if it falls outside the keep window (a stale pointer must keep
+    resolving).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    versions = sorted(
+        int(st.getPath().getName()[2:])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    )
+    committed = latest_version(spark, table_path)
+    keep_set = set(versions[-keep:]) | {committed}
+    removed = []
+    for v in versions:
+        if v not in keep_set:
+            p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/v={v}")
+            fs.delete(p, True)
+            removed.append(v)
+    return removed

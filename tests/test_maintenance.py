@@ -298,3 +298,28 @@ def test_publish_if_gates_the_pointer_on_audits(spark, sf_dir, tmp_path):
     # a later good publish skips past the failed staged version
     v3, _ = maintenance.publish_if(spark, ev.limit(7), path, [has_rows])
     assert v3 == 3 and maintenance.read_version(spark, path).count() == 7
+
+
+def test_vacuum_keeps_recent_and_committed_versions(spark, sf_dir, tmp_path):
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id")
+    path = str(tmp_path / "vac")
+    for n in (10, 20, 30, 40, 50):
+        maintenance.versioned_write(spark, ev.limit(n), path)
+    removed = maintenance.vacuum_versions(spark, path, keep=2)
+    assert removed == [1, 2, 3]
+    assert maintenance.read_version(spark, path).count() == 50
+    assert maintenance.read_version(spark, path, 4).count() == 40
+
+    # the committed version survives vacuum even outside the keep window:
+    # roll the pointer back to v4, publish two more, vacuum keep=1
+    for n in (5, 6):
+        maintenance.versioned_write(spark, ev.limit(n), path)
+    # pointer now on v7; rewrite it to v4 (rollback), then vacuum
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_LATEST"), True)
+    out.write(bytearray(b"4")); out.close()
+    removed2 = maintenance.vacuum_versions(spark, path, keep=1)
+    assert 4 not in removed2 and 7 not in removed2
+    assert maintenance.read_version(spark, path).count() == 40
