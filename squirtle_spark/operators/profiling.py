@@ -557,3 +557,36 @@ register_sql(
     doc="Per-type winsorization: clip to the exact [p05, p95] band "
     "(one grouped percentile pass broadcast back; codegen clip).",
 )
+
+
+def _equidepth_histogram(d: str) -> str:
+    """Equi-depth (decile) histogram of ``value`` per event_type — the
+    complement of value_histogram's fixed-width bins: every bucket holds
+    the same row count and the BOUNDARIES carry the information (where
+    fixed bins starve in the tails). NTILE over a per-type total order
+    ((value, event_id) — ties deterministic) is a PARTITIONED window:
+    the shuffle key is event_type, no global sort anywhere.
+    """
+    return """
+SELECT event_type,
+       decile,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type, value,
+           NTILE(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS decile
+    FROM events WHERE value IS NOT NULL
+) t
+GROUP BY event_type, decile
+"""
+
+
+register_sql(
+    "equidepth_histogram",
+    _equidepth_histogram,
+    doc="Per-type equi-depth decile histogram: NTILE over a deterministic "
+    "per-type total order (partitioned window, no global sort).",
+)
