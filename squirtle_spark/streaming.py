@@ -292,6 +292,38 @@ def run_nexmark_q11_stream(
     )
 
 
+def _q8_windowed_sides(
+    spark: SparkSession,
+    persons_path: str,
+    auctions_path: str,
+    *,
+    size: str,
+    watermark: str,
+    files_per_trigger: int,
+):
+    """Shared q8 scaffolding: person/auction replays with event time,
+    watermark and the tumbling-window column — the inner and outer q8
+    variants differ only in join type and output projection, so the
+    stream setup lives once."""
+    ps = replay_stream(spark, persons_path, files_per_trigger=files_per_trigger)
+    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
+    if "epoch" in ps.columns:
+        ps = ps.drop("epoch")
+    if "epoch" in au.columns:
+        au = au.drop("epoch")
+    ps = (
+        _with_event_time(ps, "p_date_time")
+        .withWatermark("p_date_time", watermark)
+        .withColumn("w", F.window("p_date_time", size))
+    )
+    au = (
+        _with_event_time(au, "a_date_time")
+        .withWatermark("a_date_time", watermark)
+        .withColumn("w", F.window("a_date_time", size))
+    )
+    return ps, au
+
+
 def run_nexmark_q8_stream(
     spark: SparkSession,
     persons_path: str,
@@ -321,22 +353,13 @@ def run_nexmark_q8_stream(
     default is generous because the fixture replay spans ~30 days of
     event time in a handful of micro-batches.
     """
-    size = f"{size_s} seconds"
-    ps = replay_stream(spark, persons_path, files_per_trigger=files_per_trigger)
-    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
-    if "epoch" in ps.columns:
-        ps = ps.drop("epoch")
-    if "epoch" in au.columns:
-        au = au.drop("epoch")
-    ps = (
-        _with_event_time(ps, "p_date_time")
-        .withWatermark("p_date_time", watermark)
-        .withColumn("w", F.window("p_date_time", size))
-    )
-    au = (
-        _with_event_time(au, "a_date_time")
-        .withWatermark("a_date_time", watermark)
-        .withColumn("w", F.window("a_date_time", size))
+    ps, au = _q8_windowed_sides(
+        spark,
+        persons_path,
+        auctions_path,
+        size=f"{size_s} seconds",
+        watermark=watermark,
+        files_per_trigger=files_per_trigger,
     )
     joined = ps.join(
         au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"])
@@ -387,22 +410,13 @@ def run_nexmark_q8_outer_stream(
         (auctions_path, "a_date_time", ["a_id", "seller"]),
     ):
         write_flush_epoch(spark, path, ts, flush_advance_s, keys)
-    size = f"{size_s} seconds"
-    ps = replay_stream(spark, persons_path, files_per_trigger=files_per_trigger)
-    au = replay_stream(spark, auctions_path, files_per_trigger=files_per_trigger)
-    if "epoch" in ps.columns:
-        ps = ps.drop("epoch")
-    if "epoch" in au.columns:
-        au = au.drop("epoch")
-    ps = (
-        _with_event_time(ps, "p_date_time")
-        .withWatermark("p_date_time", delay)
-        .withColumn("w", F.window("p_date_time", size))
-    )
-    au = (
-        _with_event_time(au, "a_date_time")
-        .withWatermark("a_date_time", delay)
-        .withColumn("w", F.window("a_date_time", size))
+    ps, au = _q8_windowed_sides(
+        spark,
+        persons_path,
+        auctions_path,
+        size=f"{size_s} seconds",
+        watermark=delay,
+        files_per_trigger=files_per_trigger,
     )
     joined = ps.join(
         au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"]), how

@@ -184,6 +184,17 @@ def test_forget_keys_rewrites_only_spanning_files(spark, sf_dir, tmp_path):
     users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
     targets = [users[1], users[2], users[-2]]
 
+    # NULL-key rows must survive a targeted delete (the ~isin() NULL trap)
+    withnull = ev.unionByName(
+        ev.limit(3).withColumn("user_id", F.lit(None).cast("long"))
+    )
+    npath = str(tmp_path / "gdpr-null")
+    maintenance.clustered_write(withnull, npath, ["user_id"], n_files=4)
+    maintenance.forget_keys(spark, npath, "user_id", targets)
+    kept = spark.read.parquet(npath)
+    assert kept.where(F.col("user_id").isNull()).count() == 3
+    assert kept.where(F.col("user_id").isin(targets)).count() == 0
+
     rewritten, total = maintenance.forget_keys(spark, path, "user_id", targets)
     assert total == 16
     assert 1 <= rewritten <= 4, rewritten  # span-bounded write amplification
@@ -236,6 +247,14 @@ def test_morton_interleave_is_a_bijection(spark):
     assert len({r["z"] for r in rows}) == len(set(pairs))
     for r in rows:
         assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+def test_zorder_write_empty_input_writes_plainly(spark, sf_dir, tmp_path):
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value").where("1=0")
+    path = str(tmp_path / "zempty")
+    maintenance.zorder_write(ev, path, ["user_id", "value"], n_files=4)
+    assert spark.read.parquet(path).count() == 0
 
 
 def test_versioned_write_time_travel_and_atomic_pointer(spark, sf_dir, tmp_path):
@@ -315,11 +334,12 @@ def test_vacuum_keeps_recent_and_committed_versions(spark, sf_dir, tmp_path):
     # roll the pointer back to v4, publish two more, vacuum keep=1
     for n in (5, 6):
         maintenance.versioned_write(spark, ev.limit(n), path)
-    # pointer now on v7; rewrite it to v4 (rollback), then vacuum
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_LATEST"), True)
-    out.write(bytearray(b"4")); out.close()
+    # pointer now on v7; roll back to v4, then vacuum
+    maintenance.rollback(spark, path, 4)
     removed2 = maintenance.vacuum_versions(spark, path, keep=1)
-    assert 4 not in removed2 and 7 not in removed2
+    # nothing at-or-after the committed v4 may be deleted: the newer
+    # snapshots are the roll-forward targets of the rollback
+    assert removed2 == []
+    for v in (4, 5, 6, 7):
+        assert maintenance.read_version(spark, path, v) is not None
     assert maintenance.read_version(spark, path).count() == 40
