@@ -72,3 +72,63 @@ register_sql(
     "shuffle for all three window functions.",
     bench=True,
 )
+
+
+def _cdc_merge_apply(d: str) -> str:
+    # ``d`` unused: the body is identical in Spark SQL and DuckDB.
+    return """
+WITH ranked AS (
+    SELECT o_custkey, o_orderstatus, o_totalprice, o_orderkey,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS rn
+    FROM orders
+),
+-- changelog compaction: the NET effect per key is its latest change
+net AS (
+    SELECT o_custkey AS key,
+           CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+           o_totalprice AS new_balance
+    FROM ranked WHERE rn = 1
+),
+-- insert stream: keys absent from the base dimension (offset far past
+-- any real custkey so the demo insert path can't collide with updates)
+inserts AS (
+    SELECT o_custkey + 100000000 AS key, 'I' AS op,
+           o_totalprice AS new_balance
+    FROM ranked WHERE rn = 1 AND o_orderkey % 97 = 0
+),
+changelog AS (
+    SELECT * FROM net UNION ALL SELECT * FROM inserts
+),
+merged AS (
+    SELECT COALESCE(c.c_custkey, g.key) AS key,
+           c.c_name AS name,
+           COALESCE(g.new_balance, c.c_acctbal) AS balance,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN g.key IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           g.op AS op
+    FROM customer c
+    FULL OUTER JOIN changelog g ON c.c_custkey = g.key
+)
+SELECT key, name, balance, action
+FROM merged
+WHERE op IS NULL OR op != 'D'
+"""
+
+
+register_sql(
+    "cdc_merge_apply",
+    _cdc_merge_apply,
+    doc="MERGE INTO semantics (Delta/Iceberg-style CDC apply) as pure "
+    "relational ops: compact the changelog to its net effect per key "
+    "(one keyed window — latest change wins), then ONE full-outer "
+    "shuffle join against the base dimension routes every key to "
+    "insert/update/delete/keep. At 100 TB the merge pairs with "
+    "maintenance.forget_keys' footer-span pruning so only files that "
+    "can hold a changed key are rewritten; the join itself shuffles "
+    "changelog + base once on the natural key, no driver state.",
+    bench=True,
+)

@@ -248,6 +248,7 @@ _DEFER = [
     "dataset_diff",
     "winsorize_values",
     "equidepth_histogram",
+    "cdc_merge_apply",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
