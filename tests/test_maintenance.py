@@ -343,3 +343,35 @@ def test_vacuum_keeps_recent_and_committed_versions(spark, sf_dir, tmp_path):
     for v in (4, 5, 6, 7):
         assert maintenance.read_version(spark, path, v) is not None
     assert maintenance.read_version(spark, path).count() == 40
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    """Data-skipping read on a clustered table: a narrow key range must
+    open only the files whose footer span intersects it, return exactly
+    the full-scan filter's rows, and skip all-NULL-key (no-stats) files."""
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    withnull = ev.unionByName(
+        ev.limit(5).withColumn("user_id", F.lit(None).cast("long"))
+    )
+    path = str(tmp_path / "skip")
+    maintenance.clustered_write(withnull, path, ["user_id"], n_files=16)
+
+    users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
+    lo, hi = users[1], users[3]  # a narrow range inside one or two spans
+
+    df, files_read, files_total = maintenance.pruned_read(
+        spark, path, "user_id", lo, hi
+    )
+    assert files_total == 16 or files_total == 17  # null rows may add a file
+    assert 1 <= files_read <= 4, files_read  # span-bounded scan
+    full = spark.read.parquet(path).where(F.col("user_id").between(lo, hi))
+    assert df.count() == full.count() > 0
+    assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
+
+    # a range past every span reads zero files and returns typed-empty
+    empty, n_read, _ = maintenance.pruned_read(
+        spark, path, "user_id", users[-1] + 10**6, users[-1] + 10**6 + 1
+    )
+    assert n_read == 0 and empty.count() == 0
+    assert empty.schema == spark.read.parquet(path).schema
