@@ -43,6 +43,10 @@ CROSS_BY_DESIGN = {
     "kmeans_assign",
     "bm25_topk",
     "dq_profile",
+    # constant bin-grid fan-out: DISTINCT event_type × a fixed 20-row
+    # bucket series (profiling.py _psi_drift) — the nested-loop side is
+    # a literal VALUES relation, never data-sized.
+    "psi_drift",
 }
 
 
