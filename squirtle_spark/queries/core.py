@@ -328,6 +328,68 @@ register_df(
 )
 
 
+def _salted_join_agg(spark, sf_dir):
+    """Two-sided salted SHUFFLE join — the manual skew mitigation
+    ``join_skew_report`` diagnoses toward: spread a hot probe-side key
+    over N_SALT reducers by salting the probe rows deterministically and
+    replicating each build row once per salt value, joining on
+    (key, salt). Build-side growth is N_SALT× but only on the BUILD rows
+    of hot keys' partitions (here all, for a checkable demo); at 100 TB
+    salt only the diagnosed hot keys and union with a plain join of the
+    rest — AQE's skew-split does this automatically for sort-merge
+    plans, this operator is the fallback when the skew lives in a
+    single key that AQE can't subdivide further. Results are
+    salt-invariant; the oracle is the UNSALTED join+aggregate.
+
+    shuffle_hash hint pins a shuffled hash join (no broadcast, no sort):
+    the plan shape the mitigation targets."""
+    from pyspark.sql import functions as F
+
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    n_salt = 8
+    probe = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    build = orders.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = probe.hint("shuffle_hash").join(
+        build,
+        (probe.l_orderkey == build.o_orderkey) & (probe._salt == build._salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("n_items", F.col("n_items").cast("bigint"))
+    )
+
+
+register_df(
+    "salted_join_agg",
+    _salted_join_agg,
+    oracle_body=(
+        "SELECT o_orderpriority, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) "
+        "AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+    doc="Two-sided salted shuffle join for skewed join keys: deterministic "
+    "probe-side salt + build-side replication, joined on (key, salt); "
+    "salt-invariant results checked against the unsalted join.",
+)
+
+
 def _set_ops(d: str) -> str:
     """UNION / INTERSECT / EXCEPT in one result (SURVEY §2.7: available,
     no reference query uses them). Identical syntax in both dialects;

@@ -249,6 +249,7 @@ _DEFER = [
     "winsorize_values",
     "equidepth_histogram",
     "cdc_merge_apply",
+    "salted_join_agg",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
@@ -292,14 +293,17 @@ def load_all() -> dict[str, Query]:
     )
     from .queries import analytics, windows, ysb  # noqa: F401
 
-    missing = [n for n in _DEFER if n not in QUERIES]
-    assert not missing, f"_DEFER names unknown queries: {missing}"
     novel = [n for n in QUERIES if n not in _DEFER and n not in _PROMOTE]
 
     from .queries import nexmark  # noqa: F401  (declared queries before basics)
     from .queries import core  # noqa: F401  (nexmark already evidences §2.2-2.6)
     from .queries import generators, tpch  # noqa: F401
 
+    # Validate AFTER every module has registered: _DEFER may name entries
+    # from any import block (late-block names order past the head anyway;
+    # listing them still documents the explicit deferral).
+    missing = [n for n in _DEFER if n not in QUERIES]
+    assert not missing, f"_DEFER names unknown queries: {missing}"
     missing = [n for n in _PROMOTE if n not in QUERIES]
     assert not missing, f"_PROMOTE names unknown queries: {missing}"
     # Pin the promoted headliners at the END of the 50-entry check budget
