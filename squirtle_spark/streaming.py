@@ -1190,6 +1190,89 @@ def upsert_sink(
     )
 
 
+def cdc_sink(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    *,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming CDC apply into a versioned snapshot table: the streaming
+    form of the ``cdc_merge_apply`` batch plan. Each micro-batch is
+    compacted to its net effect per key (highest ``seq_col`` wins),
+    merged against the LATEST committed snapshot by the SAME max-seq
+    rule, and published as a NEW snapshot behind maintenance's atomic
+    pointer commit. Deletes (``op_col = 'D'``) are kept as TOMBSTONES —
+    a per-key winner row like any other — so the merge is
+    order-insensitive: batches may arrive in any order (the file source
+    does not promise epoch order) and the table still converges to the
+    per-key global-max-seq row. ``read_cdc_snapshot`` filters tombstones
+    for readers; time travel is ``read_version``, recovery ``rollback``:
+    a streaming materialized view with history.
+
+    Per-commit cost is a full-snapshot write (this layout's publication
+    unit); at 100 TB the same merge runs file-granular — a bucketed/
+    clustered layout bounds the rewrite to changed-key files (the
+    ``forget_keys`` footer-span bound) under a metadata log
+    (Delta/Iceberg) — and tombstones compact away once older than the
+    max replay lag (here they are retained: bounded by key cardinality).
+    Content converges under at-least-once replay; a replayed batch can
+    allocate an extra version with identical content, and the pointer
+    still lands on a correct snapshot.
+
+    ``seq_col`` must totally order each key's changes (ties would make
+    the winner arrival-dependent) — CDC feeds guarantee exactly this
+    (log offset / LSN).
+    """
+
+    def _winner(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "_rn",
+                F.expr(
+                    f"ROW_NUMBER() OVER (PARTITION BY {', '.join(keys)} "
+                    f"ORDER BY {seq_col} DESC)"
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from .operators import maintenance
+
+        spark = batch_df.sparkSession
+        net = _winner(batch_df)
+        if not net.take(1):
+            return
+        if maintenance.latest_version(spark, table_path) == 0:
+            merged = net
+        else:
+            base = maintenance.read_version(spark, table_path)
+            merged = _winner(base.unionByName(net))
+        maintenance.versioned_write(spark, merged, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_snapshot(
+    spark: SparkSession, table_path: str, op_col: str, version: int | None = None
+) -> DataFrame:
+    """Read a ``cdc_sink`` table as its live rows: the committed (or
+    pinned) snapshot minus delete tombstones, minus the op column."""
+    from .operators import maintenance
+
+    snap = maintenance.read_version(spark, table_path, version)
+    return snap.where(F.col(op_col) != F.lit("D")).drop(op_col)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

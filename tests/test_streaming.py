@@ -1432,3 +1432,66 @@ def test_stream_dimension_enrich_equals_batch_asof(spark, tmp_path):
     expected = events.join(dim, cond).select("event_id", "attr_value", "version").collect()
     assert len(rows) > 0
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+
+
+def test_cdc_sink_converges_to_global_net_effect(spark, tmp_path):
+    """Streaming CDC apply: replaying a changelog of upserts and deletes
+    in micro-batches must converge the versioned table to the per-key
+    global-max-seq row (tombstones included), read_cdc_snapshot must hide
+    deleted keys, every batch must have committed a snapshot, and
+    rollback must restore an earlier table state."""
+    changes = (
+        spark.range(1000)
+        .selectExpr(
+            "id % 40 AS key",
+            "id AS seq",
+            "CASE WHEN id % 10 = 7 THEN 'D' ELSE 'U' END AS op",
+            "CAST(id AS DOUBLE) * 1.5 AS val",
+            "CAST(id DIV 50 AS INT) AS epoch",
+        )
+    )
+    data_dir = str(tmp_path / "cdc-log")
+    streaming.write_epoch_files(changes, data_dir)
+    stream = streaming.replay_stream(spark, data_dir, files_per_trigger=1).drop(
+        "epoch"
+    )
+
+    table = str(tmp_path / "cdc-table")
+    q = streaming.cdc_sink(
+        stream,
+        table,
+        keys=["key"],
+        seq_col="seq",
+        op_col="op",
+        checkpoint=str(tmp_path / "ckpt-cdc"),
+    )
+    assert q.awaitTermination(300)
+
+    from squirtle_spark.operators import maintenance
+
+    n_versions = maintenance.latest_version(spark, table)
+    assert n_versions == 20  # one committed snapshot per non-empty batch
+
+    # expected: per-key winner = max seq (ids 960..999); keys whose winner
+    # is a delete (ids 967/977/987/997 -> keys 7,17,27,37) are hidden
+    live = streaming.read_cdc_snapshot(spark, table, "op")
+    got = {r["key"]: (r["seq"], r["val"]) for r in live.collect()}
+    expected = {
+        k: (960 + k, (960 + k) * 1.5)
+        for k in range(40)
+        if (960 + k) % 10 != 7
+    }
+    assert got == expected
+    # tombstones are IN the snapshot (order-insensitivity depends on them)
+    snap = maintenance.read_version(spark, table)
+    assert snap.count() == 40 and snap.where("op = 'D'").count() == 4
+
+    # time travel: version 1 is the first batch's net effect alone
+    v1 = maintenance.read_version(spark, table, 1)
+    assert v1.count() == 40  # ids 0..49 cover all 40 keys
+    assert {r["seq"] for r in v1.collect()} == set(range(10, 50))
+
+    # rollback is a pointer rewrite: the committed read becomes v1
+    maintenance.rollback(spark, table, 1)
+    assert maintenance.latest_version(spark, table) == 1
+    assert streaming.read_cdc_snapshot(spark, table, "op").count() == 36
