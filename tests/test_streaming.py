@@ -1495,3 +1495,19 @@ def test_cdc_sink_converges_to_global_net_effect(spark, tmp_path):
     maintenance.rollback(spark, table, 1)
     assert maintenance.latest_version(spark, table) == 1
     assert streaming.read_cdc_snapshot(spark, table, "op").count() == 36
+
+    # batching invariance: a replay with coarser micro-batches (7 files
+    # per trigger, so changes group differently) must converge to the
+    # SAME live table — the max-seq tombstone merge is order-free
+    table2 = str(tmp_path / "cdc-table-2")
+    q2 = streaming.cdc_sink(
+        streaming.replay_stream(spark, data_dir, files_per_trigger=7).drop("epoch"),
+        table2,
+        keys=["key"],
+        seq_col="seq",
+        op_col="op",
+        checkpoint=str(tmp_path / "ckpt-cdc-2"),
+    )
+    assert q2.awaitTermination(300)
+    live2 = streaming.read_cdc_snapshot(spark, table2, "op")
+    assert {r["key"]: (r["seq"], r["val"]) for r in live2.collect()} == expected
