@@ -11,6 +11,8 @@ Spark-native equivalents:
     python -m squirtle_spark.cli ysb [--sf-dir D]
     python -m squirtle_spark.cli tpch -q N [--sf-dir D]
     python -m squirtle_spark.cli sql "SELECT ..." [--sf-dir D]
+    python -m squirtle_spark.cli table versions|rollback|vacuum|compact
+                                     --path P [-v N] [--keep K] [--dst D]
 
 ``run --oracle`` executes the query on Spark AND its DuckDB oracle and
 prints the comparison — the same gate the driver applies. ``sql`` runs
@@ -49,6 +51,18 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--explain", action="store_true")
+
+    sp = sub.add_parser(
+        "table", help="versioned-table lifecycle (maintenance operators)"
+    )
+    sp.add_argument(
+        "action", choices=["versions", "rollback", "vacuum", "compact"]
+    )
+    sp.add_argument("--path", required=True, help="table path")
+    sp.add_argument("-v", "--version", type=int, help="rollback target")
+    sp.add_argument("--keep", type=int, default=3, help="vacuum keep window")
+    sp.add_argument("--dst", help="compact destination path")
+    sp.add_argument("--target-mb", type=int, default=128)
     return p
 
 
@@ -88,6 +102,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "table":
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark(app_name="squirtle-cli-table")
+        from .operators import maintenance
+
+        if args.action == "versions":
+            latest = maintenance.latest_version(spark, args.path)
+            print(f"committed version: {latest}")
+            return 0
+        if args.action == "rollback":
+            if args.version is None:
+                print("rollback needs -v/--version", file=sys.stderr)
+                return 2
+            maintenance.rollback(spark, args.path, args.version)
+            print(f"pointer -> v={args.version}")
+            return 0
+        if args.action == "vacuum":
+            removed = maintenance.vacuum_versions(spark, args.path, keep=args.keep)
+            print(f"removed versions: {removed}")
+            return 0
+        if args.dst is None:
+            print("compact needs --dst", file=sys.stderr)
+            return 2
+        n = maintenance.compact_parquet(
+            spark, args.path, args.dst, target_file_bytes=args.target_mb * 1024 * 1024
+        )
+        print(f"compacted to {n} files")
         return 0
 
     name = _resolve(args.cmd, getattr(args, "q", None))

@@ -228,3 +228,44 @@ def test_cli_oracle_gate(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "OK" in out
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """The table subcommand drives the versioned lifecycle end-to-end:
+    versions -> rollback -> vacuum -> compact, against a real table."""
+    from squirtle_spark.operators import maintenance
+
+    path = str(tmp_path / "t")
+    for n in (10, 20, 30):
+        maintenance.versioned_write(spark, spark.range(n), path)
+
+    assert cli.main(["table", "versions", "--path", path], spark=spark) == 0
+    assert "committed version: 3" in capsys.readouterr().out
+
+    assert (
+        cli.main(["table", "rollback", "--path", path, "-v", "2"], spark=spark) == 0
+    )
+    capsys.readouterr()
+    assert maintenance.read_version(spark, path).count() == 20
+    # missing -v is a usage error, not a crash
+    assert cli.main(["table", "rollback", "--path", path], spark=spark) == 2
+    capsys.readouterr()
+
+    assert (
+        cli.main(["table", "vacuum", "--path", path, "--keep", "1"], spark=spark)
+        == 0
+    )
+    assert "removed versions: [1]" in capsys.readouterr().out
+
+    src = str(tmp_path / "frag")
+    spark.range(1000).repartition(16).write.parquet(src)
+    dst = str(tmp_path / "packed")
+    assert (
+        cli.main(
+            ["table", "compact", "--path", src, "--dst", dst, "--target-mb", "64"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "compacted to" in capsys.readouterr().out
+    assert spark.read.parquet(dst).count() == 1000
