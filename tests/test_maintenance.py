@@ -375,3 +375,66 @@ def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
     )
     assert n_read == 0 and empty.count() == 0
     assert empty.schema == spark.read.parquet(path).schema
+
+
+def test_warehouse_lifecycle_end_to_end(spark, tmp_path):
+    """The composed lifecycle a production table lives through: a CDC
+    stream materializes a versioned snapshot, live rows are compacted
+    into a clustered layout, a key-range read skips files, a targeted
+    delete rewrites only spanning files, and vacuum bounds history —
+    each stage consuming the previous stage's real output."""
+    from squirtle_spark import streaming
+
+    # 1. CDC stream -> versioned snapshot table
+    changes = spark.range(2000).selectExpr(
+        "id % 100 AS key",
+        "id AS seq",
+        "CASE WHEN id % 13 = 5 THEN 'D' ELSE 'U' END AS op",
+        "CAST(id AS DOUBLE) / 7 AS val",
+        "CAST(id DIV 250 AS INT) AS epoch",
+    )
+    log_dir = str(tmp_path / "log")
+    streaming.write_epoch_files(changes, log_dir)
+    table = str(tmp_path / "table")
+    q = streaming.cdc_sink(
+        streaming.replay_stream(spark, log_dir, 1).drop("epoch"),
+        table,
+        keys=["key"],
+        seq_col="seq",
+        op_col="op",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    live = streaming.read_cdc_snapshot(spark, table, "op")
+    n_live = live.count()
+    assert 0 < n_live <= 100
+
+    # 2. compact live rows into a clustered, prunable layout
+    serving = str(tmp_path / "serving")
+    maintenance.clustered_write(live, serving, ["key"], n_files=8)
+
+    # 3. a narrow key range must skip most files and match a full scan
+    df, n_read, n_total = maintenance.pruned_read(spark, serving, "key", 10, 20)
+    assert n_read < n_total
+    full = spark.read.parquet(serving).where(F.col("key").between(10, 20))
+    assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
+
+    # 4. targeted delete rewrites only spanning files
+    rewritten, total = maintenance.forget_keys(spark, serving, "key", [15])
+    assert 1 <= rewritten < total
+    assert spark.read.parquet(serving).where("key = 15").count() == 0
+
+    # 5. vacuum bounds snapshot history; the committed version survives
+    from squirtle_spark.operators.maintenance import (
+        latest_version,
+        read_version,
+        vacuum_versions,
+    )
+
+    n_versions = latest_version(spark, table)
+    assert n_versions == 8
+    removed = vacuum_versions(spark, table, keep=2)
+    assert removed == list(range(1, n_versions - 1))
+    assert read_version(spark, table).count() == live.count() + (
+        spark.read.parquet(f"{table}/v={n_versions}").where("op = 'D'").count()
+    )
