@@ -591,3 +591,31 @@ register_sql(
     doc="Per-type equi-depth decile histogram: NTILE over a deterministic "
     "per-type total order (partitioned window, no global sort).",
 )
+
+
+def observed_write(df, path: str, value_col: str, *, fmt: str = "parquet") -> dict:
+    """Write ``df`` while collecting audit metrics IN THE SAME JOB via
+    Spark's Observation API — row count, null count and min/max/sum of
+    ``value_col`` ride the write's single pass, so a 100 TB export gets
+    its quality counters without a second scan (the usual pattern is
+    write-then-re-read-and-aggregate, doubling IO). The returned dict is
+    the write's receipt: pair it with ``maintenance.publish_if`` to gate
+    publication on the metrics, or persist it next to a shard manifest.
+
+    Metrics are exact aggregates computed by the executors during the
+    write; ``Observation.get`` blocks until the job finishes.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("n_null"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+        F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double").alias("sum_val"),
+    )
+    observed.write.mode("overwrite").format(fmt).save(path)
+    return dict(obs.get)

@@ -102,8 +102,9 @@ def register_df(
 #: 16 never-checked entries VERDICT r4 listed, plus every round-5
 #: addition (each r2–r4-green entry rotated out keeps its pytest oracle
 #: and an in-budget family sibling, see _DEFER). Entries registered after
-#: the budget filled (k_anonymity, dataset_diff, winsorize_values) take
-#: their first driver row next round.
+#: the budget filled (k_anonymity, dataset_diff, winsorize_values,
+#: equidepth_histogram, cdc_merge_apply, salted_join_agg) take their
+#: first driver row next round; see the tail of _DEFER.
 _PROMOTE = [
     "tpch_q2",  # partsupp-view unlock (min-cost supplier correlated subq)
     "tpch_q9",  # partsupp product-profit 6-way join

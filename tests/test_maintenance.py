@@ -438,3 +438,27 @@ def test_warehouse_lifecycle_end_to_end(spark, tmp_path):
     assert read_version(spark, table).count() == live.count() + (
         spark.read.parquet(f"{table}/v={n_versions}").where("op = 'D'").count()
     )
+
+
+def test_observed_write_metrics_match_separate_aggregate(spark, sf_dir, tmp_path):
+    """Observation-API write: the metrics collected during the write's own
+    job must equal a separately computed aggregate, and the written data
+    must be intact — quality counters with zero extra scans."""
+    from squirtle_spark.operators.profiling import observed_write
+
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "export")
+    got = observed_write(ev, out, "value")
+
+    exp = ev.selectExpr(
+        "COUNT(*) AS n_rows",
+        "SUM(CAST(value IS NULL AS LONG)) AS n_null",
+        "MIN(value) AS min_val",
+        "MAX(value) AS max_val",
+        "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_val",
+    ).collect()[0]
+    assert got["n_rows"] == exp["n_rows"] == spark.read.parquet(out).count()
+    assert got["n_null"] == exp["n_null"]
+    assert got["min_val"] == exp["min_val"] and got["max_val"] == exp["max_val"]
+    assert abs(got["sum_val"] - exp["sum_val"]) < 1e-6
