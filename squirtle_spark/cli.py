@@ -119,7 +119,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.version is None:
                 print("rollback needs -v/--version", file=sys.stderr)
                 return 2
-            maintenance.rollback(spark, args.path, args.version)
+            try:
+                maintenance.rollback(spark, args.path, args.version)
+            except FileNotFoundError as e:
+                print(str(e), file=sys.stderr)
+                return 2
             print(f"pointer -> v={args.version}")
             return 0
         if args.action == "vacuum":

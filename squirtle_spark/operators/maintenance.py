@@ -184,10 +184,22 @@ def _file_key_spans(
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
             col = next(
-                md.row_group(rg).column(i)
-                for i in range(md.num_columns)
-                if md.row_group(rg).column(i).path_in_schema == key_col
+                (
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == key_col
+                ),
+                None,
             )
+            if col is None:
+                # hive-partition columns live in directory names, not in
+                # any file footer — footer spans cannot prune on them
+                # (Spark's own partition pruning already does, for free)
+                raise ValueError(
+                    f"{key_col!r} is not a data column of {f} — footer-span "
+                    "pruning needs a column with parquet statistics; use a "
+                    "partition filter for partition columns"
+                )
             if col.statistics is not None and col.statistics.min is not None:
                 mins.append(col.statistics.min)
                 maxs.append(col.statistics.max)
@@ -226,7 +238,13 @@ def pruned_read(
             0,
             len(spans),
         )
-    df = spark.read.parquet(*keep).where(F.col(key_col).between(lo, hi))
+    # basePath keeps hive-partition columns (a leaf-file read without it
+    # would silently drop them and diverge from the full-scan schema)
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*keep)
+        .where(F.col(key_col).between(lo, hi))
+    )
     return df, len(keep), len(spans)
 
 

@@ -354,8 +354,10 @@ def _salted_join_agg(spark, sf_dir):
     build = orders.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
-    joined = probe.hint("shuffle_hash").join(
-        build,
+    # hint the BUILD side: the replicated dimension is what each reducer
+    # should hash; hinting the fact side would build on the huge relation
+    joined = probe.join(
+        build.hint("shuffle_hash"),
         (probe.l_orderkey == build.o_orderkey) & (probe._salt == build._salt),
     )
     return (

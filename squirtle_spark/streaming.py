@@ -1122,6 +1122,19 @@ def foreach_batch_sink(result: DataFrame, fn, *, checkpoint: str) -> StreamingQu
     )
 
 
+def _latest_per_key(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    """Max-seq winner per key — the shared merge rule of upsert_sink and
+    cdc_sink (one definition, so the sinks' convergence semantics cannot
+    drift apart). ``seq_col`` must totally order each key's rows; ties
+    fall to arrival order."""
+    w = "(PARTITION BY " + ", ".join(keys) + f" ORDER BY {seq_col} DESC)"
+    return (
+        df.withColumn("_rn", F.expr(f"ROW_NUMBER() OVER {w}"))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def upsert_sink(
     stream: DataFrame,
     path: str,
@@ -1163,16 +1176,7 @@ def upsert_sink(
             merged = existing.unionByName(b)
         else:  # first batch: nothing to merge yet
             merged = b
-        w = (
-            "(PARTITION BY "
-            + ", ".join(keys)
-            + f" ORDER BY {seq_col} DESC)"
-        )
-        latest = (
-            merged.withColumn("_rn", F.expr(f"ROW_NUMBER() OVER {w}"))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        latest = _latest_per_key(merged, keys, seq_col)
         # Truncate lineage before overwriting the files just read.
         latest = latest.localCheckpoint(eager=True)
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -1227,31 +1231,21 @@ def cdc_sink(
     (log offset / LSN).
     """
 
-    def _winner(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn(
-                "_rn",
-                F.expr(
-                    f"ROW_NUMBER() OVER (PARTITION BY {', '.join(keys)} "
-                    f"ORDER BY {seq_col} DESC)"
-                ),
-            )
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         from .operators import maintenance
 
         spark = batch_df.sparkSession
-        net = _winner(batch_df)
-        if not net.take(1):
+        if batch_df.isEmpty():
             return
-        if maintenance.latest_version(spark, table_path) == 0:
-            merged = net
+        # winner(base ∪ batch) == winner(base ∪ winner(batch)): the outer
+        # max-seq selection subsumes the per-batch one, so ONE window pass
+        # merges raw changes straight into the snapshot.
+        committed = maintenance.latest_version(spark, table_path)
+        if committed == 0:
+            merged = _latest_per_key(batch_df, keys, seq_col)
         else:
-            base = maintenance.read_version(spark, table_path)
-            merged = _winner(base.unionByName(net))
+            base = maintenance.read_version(spark, table_path, committed)
+            merged = _latest_per_key(base.unionByName(batch_df), keys, seq_col)
         maintenance.versioned_write(spark, merged, table_path)
 
     return (
@@ -1266,11 +1260,16 @@ def read_cdc_snapshot(
     spark: SparkSession, table_path: str, op_col: str, version: int | None = None
 ) -> DataFrame:
     """Read a ``cdc_sink`` table as its live rows: the committed (or
-    pinned) snapshot minus delete tombstones, minus the op column."""
+    pinned) snapshot minus delete tombstones, minus the op column. Rows
+    with a NULL op survive (a snapshot seeded by ``versioned_write`` from
+    an initial load has no op yet — matching ``cdc_merge_apply``'s
+    ``op IS NULL OR op != 'D'`` guard)."""
     from .operators import maintenance
 
     snap = maintenance.read_version(spark, table_path, version)
-    return snap.where(F.col(op_col) != F.lit("D")).drop(op_col)
+    return snap.where(
+        F.col(op_col).isNull() | (F.col(op_col) != F.lit("D"))
+    ).drop(op_col)
 
 
 # ---------------------------------------------------------------------------

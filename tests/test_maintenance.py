@@ -351,11 +351,18 @@ def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
     the full-scan filter's rows, and skip all-NULL-key (no-stats) files."""
     catalog.register_all(spark, sf_dir)
     ev = spark.table("events").select("event_id", "user_id", "value")
-    withnull = ev.unionByName(
-        ev.limit(5).withColumn("user_id", F.lit(None).cast("long"))
-    )
     path = str(tmp_path / "skip")
-    maintenance.clustered_write(withnull, path, ["user_id"], n_files=16)
+    maintenance.clustered_write(ev, path, ["user_id"], n_files=16)
+    # a genuinely stats-free file: one appended file of all-NULL keys
+    # (repartitionByRange would fold NULLs into the lowest-range file,
+    # so the no-stats skip path needs its own file to be exercised)
+    (
+        ev.limit(5)
+        .withColumn("user_id", F.lit(None).cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
 
     users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
     lo, hi = users[1], users[3]  # a narrow range inside one or two spans
@@ -363,8 +370,8 @@ def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
     df, files_read, files_total = maintenance.pruned_read(
         spark, path, "user_id", lo, hi
     )
-    assert files_total == 16 or files_total == 17  # null rows may add a file
-    assert 1 <= files_read <= 4, files_read  # span-bounded scan
+    assert files_total == 17  # 16 clustered + the all-NULL file
+    assert 1 <= files_read <= 4, files_read  # span-bounded; NULL file skipped
     full = spark.read.parquet(path).where(F.col("user_id").between(lo, hi))
     assert df.count() == full.count() > 0
     assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
@@ -375,6 +382,15 @@ def test_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
     )
     assert n_read == 0 and empty.count() == 0
     assert empty.schema == spark.read.parquet(path).schema
+
+    # partition columns carry no footer stats: explicit error, not a
+    # StopIteration crash (Spark's own partition pruning covers them)
+    import pytest
+
+    ppath = str(tmp_path / "parted")
+    ev.limit(50).write.partitionBy("user_id").parquet(ppath)
+    with pytest.raises(ValueError, match="not a data column"):
+        maintenance.pruned_read(spark, ppath, "user_id", lo, hi)
 
 
 def test_warehouse_lifecycle_end_to_end(spark, tmp_path):

@@ -1511,3 +1511,19 @@ def test_cdc_sink_converges_to_global_net_effect(spark, tmp_path):
     assert q2.awaitTermination(300)
     live2 = streaming.read_cdc_snapshot(spark, table2, "op")
     assert {r["key"]: (r["seq"], r["val"]) for r in live2.collect()} == expected
+
+    # a snapshot seeded from an initial load has NULL op: those rows are
+    # LIVE (op IS NULL OR op != 'D' — the cdc_merge_apply guard), not
+    # silently filtered by a three-valued != comparison
+    seeded = str(tmp_path / "seeded")
+    maintenance.versioned_write(
+        spark,
+        spark.range(3).selectExpr(
+            "id AS key",
+            "CAST(-1 AS BIGINT) AS seq",
+            "CAST(NULL AS STRING) AS op",
+            "CAST(0 AS DOUBLE) AS val",
+        ),
+        seeded,
+    )
+    assert streaming.read_cdc_snapshot(spark, seeded, "op").count() == 3
