@@ -389,6 +389,7 @@ register_df(
     doc="Two-sided salted shuffle join for skewed join keys: deterministic "
     "probe-side salt + build-side replication, joined on (key, salt); "
     "salt-invariant results checked against the unsalted join.",
+    bench=True,
 )
 
 
