@@ -243,7 +243,7 @@ _DEFER = [
     # Registered after the round-5 budget filled (50 never-checked entries
     # already occupy every slot). Deferring them EXPLICITLY — rather than
     # letting import order decide — keeps the 50 head slots on the entries
-    # the round's evidence plan chose; these four take their first driver
+    # the round's evidence plan chose; these six take their first driver
     # row next round. Each keeps its full pytest oracle meanwhile.
     "k_anonymity",
     "dataset_diff",
