@@ -619,3 +619,68 @@ def observed_write(df, path: str, value_col: str, *, fmt: str = "parquet") -> di
     )
     observed.write.mode("overwrite").format(fmt).save(path)
     return dict(obs.get)
+
+
+#: Declarative expectation suite over the events stream: each rule is a
+#: (name, violation-count expression) pair evaluated in one scan, plus
+#: one anti-join rule for referential integrity.
+def _dq_constraints(d: str) -> str:
+    """Constraint/expectation suite (the Great-Expectations/Deequ class
+    of check, relationally): NOT NULL, uniqueness, domain membership,
+    value range — all violation counts from ONE wide aggregate scan —
+    plus an orphaned-FK count from one anti-join, unpivoted to a
+    (rule, violations, passed) report. At 100 TB the scan rules cost a
+    single pass regardless of rule count (they share the aggregate), the
+    FK rule one shuffle; the report is the gate input for
+    ``maintenance.publish_if`` (fail -> snapshot never publishes).
+
+    The uniqueness rule counts COUNT(*) - COUNT(DISTINCT event_id) via
+    exact distinct (Expand at scale; swap approx_count_distinct with a
+    tolerance like dq_profile_approx documents when 100 TB exactness
+    isn't required).
+    """
+    return """
+WITH scan AS (
+    SELECT CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user_id,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS duplicate_event_id,
+           CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_domain,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS negative_value,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ts_before_epoch
+    FROM events
+),
+fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitem
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+),
+report AS (
+    SELECT 'null_user_id' AS rule, null_user_id AS violations FROM scan
+    UNION ALL
+    SELECT 'duplicate_event_id', duplicate_event_id FROM scan
+    UNION ALL
+    SELECT 'event_type_domain', event_type_domain FROM scan
+    UNION ALL
+    SELECT 'negative_value', negative_value FROM scan
+    UNION ALL
+    SELECT 'ts_before_epoch', ts_before_epoch FROM scan
+    UNION ALL
+    SELECT 'orphan_lineitem_fk', orphan_lineitem FROM fk
+)
+SELECT rule, violations,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM report
+"""
+
+
+register_sql(
+    "dq_constraints",
+    _dq_constraints,
+    doc="Declarative constraint suite: NOT NULL / uniqueness / domain / "
+    "range rules from ONE scan-wide aggregate plus an FK anti-join, "
+    "reported as (rule, violations, passed) — the publish_if gate input.",
+)

@@ -251,6 +251,7 @@ _DEFER = [
     "equidepth_histogram",
     "cdc_merge_apply",
     "salted_join_agg",
+    "dq_constraints",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

@@ -115,3 +115,43 @@ def test_dq_profile_approx_tracks_exact_profile(spark, sf_dir):
         assert a["min_num"] == e["min_num"], col
         assert a["max_num"] == e["max_num"], col
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(1, 0.05 * e["n_distinct"]), col
+
+
+def test_dq_constraints_counts_injected_violations(spark, sf_dir):
+    """The constraint suite must be SENSITIVE: a corrupted events view
+    (NULL user, duplicate id, out-of-domain type, negative value, stale
+    ts) yields exactly the injected per-rule violation counts — the
+    all-zero fixture result is not a vacuous pass."""
+    from squirtle_spark import catalog
+    from squirtle_spark.dialect import SPARK
+    from squirtle_spark.operators.profiling import _dq_constraints
+
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events")
+    # 4 rows violating every scan rule at once (fresh ids, so the only
+    # duplicates are the 2 re-appended originals below)
+    bad = ev.limit(4).selectExpr(
+        "event_id + 1000000000 AS event_id",
+        "TIMESTAMP '2023-12-31 00:00:00' AS ts",
+        "CAST(NULL AS BIGINT) AS user_id",
+        "'bogus' AS event_type",
+        "CAST(-1.0 AS DOUBLE) AS value",
+        "props",
+    )
+    dup = ev.limit(2)  # re-appended rows: 2 duplicate event_ids
+    corrupted = ev.unionByName(bad).unionByName(dup)
+    corrupted.createOrReplaceTempView("events")
+    try:
+        got = {
+            r["rule"]: r["violations"]
+            for r in spark.sql(_dq_constraints(SPARK)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+    assert got["null_user_id"] == 4
+    assert got["duplicate_event_id"] == 2
+    assert got["event_type_domain"] == 4
+    assert got["negative_value"] == 4
+    assert got["ts_before_epoch"] == 4
+    assert got["orphan_lineitem_fk"] == 0
