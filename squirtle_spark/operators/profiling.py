@@ -684,3 +684,30 @@ register_sql(
     "range rules from ONE scan-wide aggregate plus an FK anti-join, "
     "reported as (rule, violations, passed) — the publish_if gate input.",
 )
+
+
+def constraints_gate(view: str = "events"):
+    """A ``maintenance.publish_if`` check built from the constraint
+    suite: shadow ``view`` with the STAGED snapshot, evaluate every
+    ``dq_constraints`` rule against it, and pass only if no rule has
+    violations — so a snapshot with a constraint breach is structurally
+    unpublishable (the pointer never flips to it). The catalog's other
+    views (lineitem/orders for the FK rule) must be registered; the
+    shadow is dropped and the catalog invalidated whether the check
+    passes or not."""
+    from pyspark.sql import functions as F
+
+    from .. import catalog as _catalog
+    from ..dialect import SPARK
+
+    def dq_constraints_gate(staged) -> bool:
+        spark = staged.sparkSession
+        staged.createOrReplaceTempView(view)
+        try:
+            report = spark.sql(_dq_constraints(SPARK))
+            return report.where(F.col("passed") == 0).isEmpty()
+        finally:
+            spark.catalog.dropTempView(view)
+            _catalog.invalidate(spark)
+
+    return dq_constraints_gate

@@ -155,3 +155,42 @@ def test_dq_constraints_counts_injected_violations(spark, sf_dir):
     assert got["negative_value"] == 4
     assert got["ts_before_epoch"] == 4
     assert got["orphan_lineitem_fk"] == 0
+
+
+def test_constraints_gate_blocks_publication(spark, sf_dir, tmp_path):
+    """Write-audit-publish x constraint suite: a staged snapshot with a
+    rule breach must never become the committed version; a clean one
+    publishes and the catalog's events view survives the shadow."""
+    from squirtle_spark import catalog
+    from squirtle_spark.operators import maintenance
+    from squirtle_spark.operators.profiling import constraints_gate
+
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events")
+    n_events = ev.count()
+    table = str(tmp_path / "gated")
+
+    v, failed = maintenance.publish_if(spark, ev, table, [constraints_gate()])
+    assert v == 1 and failed == []
+
+    corrupted = ev.unionByName(
+        ev.limit(3).selectExpr(
+            "event_id + 1000000000 AS event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "CAST(-5.0 AS DOUBLE) AS value",
+            "props",
+        )
+    )
+    v2, failed2 = maintenance.publish_if(
+        spark, corrupted, table, [constraints_gate()]
+    )
+    assert v2 is None and failed2 == ["dq_constraints_gate"]
+    # pointer still on the clean snapshot; staged dir kept for inspection
+    assert maintenance.latest_version(spark, table) == 1
+    assert maintenance.read_version(spark, table).count() == n_events
+    # after the shadow, the catalog re-registers cleanly (the gate
+    # invalidated it, so a stale empty shadow can't leak into later runs)
+    catalog.register_all(spark, sf_dir)
+    assert spark.table("events").count() == n_events
