@@ -79,6 +79,7 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
     "dq_profile",  # the whole profile IS one global aggregation pass
+    "dq_constraints",  # scan-rule totals are one global aggregation pass
     "funnel_conversion",  # three global COUNT(*) stage totals (tiny partials)
     "mixture_weights",  # corpus-total scalar agg over 5 per-lang rows
     "nexmark_q12_invariant",
