@@ -400,8 +400,9 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
     """10x-rate streaming stress — SCALING.md's headroom claim as data.
 
     Runs the q5 full pipeline, the q11 session-window store, the q8
-    stream-stream windowed join, and the q4 chained three-stateful
-    pipeline over 10x the bench event rate (~552k bids / 480k entities)
+    stream-stream windowed join, the q4 chained three-stateful
+    pipeline, and the CDC versioned-snapshot apply over 10x the bench
+    event rate (~552k bids / 480k entities / 552k changes)
     and reports sustained ev/s. The expected
     shape: throughput RISES vs the 1x numbers because per-event cost
     amortizes fixed micro-batch overhead — state-store-bound pipelines
@@ -506,6 +507,40 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
 
         run_q4("h")  # chained-stateful path init
         wall_q4 = min(run_q4("i"), run_q4("j"))
+
+        # CDC apply at 10x volume: a 552k-change stream (100k keys, ~10%
+        # deletes) merged into the versioned snapshot table — ~22 atomic
+        # commits of a tombstoned max-seq merge, the warehouse sink's
+        # sustained apply rate.
+        n_keys = 100_000
+        chunk = max(1, n // 22)
+        changes = spark.range(n).selectExpr(
+            f"id % {n_keys} AS key",
+            "id AS seq",
+            "CASE WHEN id % 10 = 7 THEN 'D' ELSE 'U' END AS op",
+            "CAST(id AS DOUBLE) AS val",
+            f"CAST(id DIV {chunk} AS INT) AS epoch",
+        )
+        streaming.write_epoch_files(changes, f"{tmp}/cdc")
+
+        def run_cdc(tag: str) -> float:
+            table = _fresh(tmp, f"cdc-table-{tag}")
+
+            def go():
+                q = streaming.cdc_sink(
+                    streaming.replay_stream(spark, f"{tmp}/cdc", 1).drop("epoch"),
+                    table,
+                    keys=["key"],
+                    seq_col="seq",
+                    op_col="op",
+                    checkpoint=_fresh(tmp, f"cdc-ckpt-{tag}"),
+                )
+                assert q.awaitTermination(600)
+
+            return _timed(go)
+
+        run_cdc("w")  # foreachBatch/versioned-write path init
+        wall_cdc = min(run_cdc("m"), run_cdc("n"))
         return {
             "metric": "stress_events_per_sec",
             "value": round(n / wall_q5, 1),
@@ -522,6 +557,9 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "q4_events": n_q4,
             "q4_chained_wall_sec": round(wall_q4, 3),
             "q4_chained_events_per_sec": round(n_q4 / wall_q4, 1),
+            "cdc_changes": n,
+            "cdc_apply_wall_sec": round(wall_cdc, 3),
+            "cdc_apply_changes_per_sec": round(n / wall_cdc, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
