@@ -155,3 +155,57 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the pruned scan reads only the one partition's rows
     total = spark.table("events").where("event_type = 'view'").count()
     assert df.count() == total
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Semi-join reduction for free: on a selective dim-filtered shuffle
+    join, the session's optimizer must inject a runtime Bloom filter on
+    the fact side (bloom_filter_agg over the filtered dim keys ->
+    might_contain pruning the fact scan). Size thresholds gate it off at
+    fixture scale, so the test lowers them — pinning that the engine
+    config this session inherits still delivers the 100 TB behavior
+    (a 10 GiB fact scan gets Bloom-pruned before the shuffle)."""
+    from squirtle_spark import catalog
+
+    catalog.register_all(spark, sf_dir)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # keep the join a shuffle join: broadcast would preempt the filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None  # no session value: restore by unset
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(
+            "SELECT l_orderkey, o_orderdate FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the filter must land on the FACT side's key
+        assert "might_contain" in plan and "l_orderkey" in plan.split(
+            "might_contain", 1
+        )[1][:120], plan
+        # and values are unaffected by the injected filter
+        n = df.count()
+        exact = spark.sql(
+            "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ).collect()[0][0]
+        assert n == exact > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
