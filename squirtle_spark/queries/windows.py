@@ -190,3 +190,39 @@ register_sql(
     _win_sliding_epoch,
     doc="Per-epoch micro-batch bucketing (ElementWise window parity).",
 )
+
+
+def _win_time_range(d: str) -> str:
+    """Time-based RANGE frame: per ROW, aggregate every event of the same
+    user in the trailing hour — the continuous sliding-window shape that
+    bucketed tumbling/hopping windows approximate (no bucket boundary
+    artifacts; each row gets ITS exact trailing window). Ordering is
+    epoch seconds so the numeric RANGE frame is dialect-shared; rows with
+    equal timestamps are frame PEERS (standard RANGE semantics, identical
+    in both engines, so ties cannot skew values). Exact DECIMAL sums keep
+    the frame accumulation order irrelevant.
+
+    100 TB shape: one keyed shuffle + sort per user (same exchange the
+    ROWS frame uses); the frame is evaluated by a sliding accumulator
+    over the sorted run, never by self-join fan-out.
+    """
+    sec = dl.epoch_s("ts", d)
+    frame = f"""PARTITION BY user_id ORDER BY {sec}
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW"""
+    return f"""
+SELECT event_id,
+       user_id,
+       CAST(COUNT(*) OVER ({frame}) AS BIGINT) AS n_trailing_hour,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER ({frame}) AS DOUBLE)
+           AS sum_trailing_hour
+FROM events
+"""
+
+
+register_sql(
+    "win_time_range",
+    _win_time_range,
+    doc="Per-row trailing-hour RANGE frame (continuous sliding window): "
+    "numeric RANGE on epoch seconds, equal-ts rows as frame peers, "
+    "exact DECIMAL sums.",
+)

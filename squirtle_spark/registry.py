@@ -252,6 +252,7 @@ _DEFER = [
     "cdc_merge_apply",
     "salted_join_agg",
     "dq_constraints",
+    "win_time_range",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later
