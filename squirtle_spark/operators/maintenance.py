@@ -171,17 +171,24 @@ def _file_key_spans(
 
     A file maps to ``None`` when its key column carries no statistics —
     parquet stats cover non-NULL values only, so a no-stats file's keys
-    are entirely NULL and can never match a key predicate. The sweep
-    reads footers only (the metastore/file-index role at cluster scale);
-    it is the shared substrate of targeted deletes (``forget_keys``) and
+    are entirely NULL and can never match a key predicate. A file whose
+    footer lacks the column ENTIRELY (schema evolution: old files written
+    before the column was added) maps to ``None`` the same way — its keys
+    read back as all-NULL. Only a column present in NO file's footer is
+    an error: that is a hive-partition column (lives in directory names)
+    or a typo, and footer spans cannot prune on it. The sweep reads
+    footers only (the metastore/file-index role at cluster scale); it is
+    the shared substrate of targeted deletes (``forget_keys``) and
     skipping reads (``pruned_read``).
     """
     import pyarrow.parquet as pq
 
     spans: dict[str, tuple | None] = {}
+    seen_in_any_footer = False
     for f in (f.replace("file:", "") for f in spark.read.parquet(path).inputFiles()):
         md = pq.ParquetFile(f).metadata
         mins, maxs = [], []
+        in_this_footer = False
         for rg in range(md.num_row_groups):
             col = next(
                 (
@@ -192,18 +199,22 @@ def _file_key_spans(
                 None,
             )
             if col is None:
-                # hive-partition columns live in directory names, not in
-                # any file footer — footer spans cannot prune on them
-                # (Spark's own partition pruning already does, for free)
-                raise ValueError(
-                    f"{key_col!r} is not a data column of {f} — footer-span "
-                    "pruning needs a column with parquet statistics; use a "
-                    "partition filter for partition columns"
-                )
+                continue
+            in_this_footer = True
             if col.statistics is not None and col.statistics.min is not None:
                 mins.append(col.statistics.min)
                 maxs.append(col.statistics.max)
+        seen_in_any_footer = seen_in_any_footer or in_this_footer
         spans[f] = (min(mins), max(maxs)) if mins else None
+    if spans and not seen_in_any_footer:
+        # hive-partition columns live in directory names, not in ANY file
+        # footer — footer spans cannot prune on them (Spark's own
+        # partition pruning already does, for free)
+        raise ValueError(
+            f"{key_col!r} is not a data column of any file under {path} — "
+            "footer-span pruning needs a column with parquet statistics; "
+            "use a partition filter for partition columns"
+        )
     return spans
 
 

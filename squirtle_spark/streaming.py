@@ -1245,7 +1245,13 @@ def cdc_sink(
             merged = _latest_per_key(batch_df, keys, seq_col)
         else:
             base = maintenance.read_version(spark, table_path, committed)
-            merged = _latest_per_key(base.unionByName(batch_df), keys, seq_col)
+            # allowMissingColumns: a snapshot seeded by versioned_write
+            # from an initial load carries no op/seq columns — they union
+            # in as NULL, which the max-seq winner rule (NULLs lose) and
+            # the tombstone guard (op IS NULL survives) already handle.
+            merged = _latest_per_key(
+                base.unionByName(batch_df, allowMissingColumns=True), keys, seq_col
+            )
         maintenance.versioned_write(spark, merged, table_path)
 
     return (

@@ -501,3 +501,29 @@ def test_pruned_read_on_string_keys(spark, sf_dir, tmp_path):
     full = spark.read.parquet(path).where(F.col("lang") == lo)
     assert df.count() == full.count() > 0
     assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
+
+
+def test_file_key_spans_schema_evolved_table(spark, tmp_path):
+    """Schema evolution: files written BEFORE a column was added lack it
+    in their footers entirely. Those files' keys read back as all-NULL,
+    so they must map to a skipped (None) span — same rule as the
+    all-NULL-stats case — not crash with a partition-column error. Only
+    a column absent from EVERY footer (a true partition column) raises."""
+    path = str(tmp_path / "evolved")
+    # v1 files: no 'added' column yet
+    spark.range(10).selectExpr("id", "id * 2 AS old").coalesce(1).write.parquet(path)
+    # v2 files: the evolved schema carries 'added'
+    (
+        spark.range(10, 20)
+        .selectExpr("id", "id * 2 AS old", "id * 10 AS added")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try:
+        df, n_read, n_total = maintenance.pruned_read(spark, path, "added", 100, 150)
+    finally:
+        spark.conf.unset("spark.sql.parquet.mergeSchema")
+    assert n_total == 2 and n_read == 1  # the old file is span-skipped
+    assert sorted(r["added"] for r in df.collect()) == [100, 110, 120, 130, 140, 150]

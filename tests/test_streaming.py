@@ -1527,3 +1527,41 @@ def test_cdc_sink_converges_to_global_net_effect(spark, tmp_path):
         seeded,
     )
     assert streaming.read_cdc_snapshot(spark, seeded, "op").count() == 3
+
+
+def test_cdc_sink_onto_opless_seed(spark, tmp_path):
+    """A snapshot seeded by versioned_write from a plain initial load
+    carries NO op/seq columns at all (read_cdc_snapshot documents the
+    case). cdc_sink's merge must union the seed in with NULL op/seq —
+    seed rows lose to any real change for their key (NULLS LAST under
+    the seq DESC winner rule) and survive as live rows otherwise — not
+    die with an AnalysisException on the first batch."""
+    from squirtle_spark.operators import maintenance
+
+    table = str(tmp_path / "seeded-cdc")
+    maintenance.versioned_write(
+        spark,
+        spark.range(5).selectExpr("id AS key", "CAST(id AS DOUBLE) AS val"),
+        table,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 100, "U", 111.0), (3, 101, "D", 0.0)],
+        "key long, seq long, op string, val double",
+    )
+    data_dir = str(tmp_path / "log")
+    streaming.write_epoch_files(changes.withColumn("epoch", F.lit(0)), data_dir)
+    q = streaming.cdc_sink(
+        streaming.replay_stream(spark, data_dir, files_per_trigger=1).drop("epoch"),
+        table,
+        keys=["key"],
+        seq_col="seq",
+        op_col="op",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    live = streaming.read_cdc_snapshot(spark, table, "op")
+    got = {r["key"]: r["val"] for r in live.collect()}
+    # key 1 updated, key 3 tombstoned, keys 0/2/4 are untouched seed rows
+    assert got == {0: 0.0, 1: 111.0, 2: 2.0, 4: 4.0}
