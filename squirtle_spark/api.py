@@ -23,7 +23,11 @@ Execution notes (Spark-first, not a transport port):
 - Window *assignment* is distributed (native ``window()`` — event-time,
   watermark-compatible); window *data* is buffered as parquet by a
   streaming foreachBatch sink, partitioned by window start, so no row
-  ever passes through the driver.
+  ever passes through the driver. Fired-window *results* likewise go to
+  a per-invocation parquet result sink and come back as a lazily-read
+  DataFrame (flock datasink/mod.rs:118-140 — results reach the sink,
+  never the client), so the union of fired windows is executor-resident
+  end to end; callers .collect() only in tests.
 - Firing runs the user SQL per closed window as an ordinary batch plan
   (Catalyst-optimized, AQE on). A bounded replay fires every window at
   drain; flock fires eagerly per window close — same outputs, same
@@ -85,6 +89,19 @@ class Query:
     ts_col: str = "b_date_time"  #: event-time column for window assignment
 
 
+def _fresh_results_dir(workdir: str) -> str:
+    """Next unused ``results-NNN`` dir under workdir — one per invocation.
+
+    The streaming checkpoint is shared across invocations (that is what
+    makes a restart fire only NEW windows), so the result sink cannot be:
+    a restarted run must return only the windows IT fired, not re-read a
+    predecessor's output. Deterministic counter, no timestamps."""
+    n = 0
+    while os.path.exists(os.path.join(workdir, f"results-{n:03d}")):
+        n += 1
+    return os.path.join(workdir, f"results-{n:03d}")
+
+
 def run_olap(spark: SparkSession, query: Query, sf_dir: str) -> DataFrame:
     """Batch execution over the fixture catalog (QueryType::OLAP)."""
     catalog.register_all(spark, sf_dir)
@@ -127,6 +144,13 @@ def run_streaming(
             "shared micro-batch; use tumbling(1) for per-epoch joint firing"
         )
 
+    # Fired-window results go to a parquet result sink, NEVER through the
+    # driver (flock datasink/mod.rs:118-140 — results go to the sink, not
+    # the client; at 100× the union of fired windows outgrows any driver).
+    # Each invocation gets its OWN results dir (the checkpoint is shared,
+    # so a restart fires only new windows and must return only those).
+    results_dir = _fresh_results_dir(workdir)
+
     if w.kind == "elementwise":
         stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
         if "epoch" in stream.columns:
@@ -134,7 +158,7 @@ def run_streaming(
         checkpoint = os.path.join(workdir, "checkpoint")
         # Each micro-batch IS the window: fire the SQL on it directly
         # (flock elementwise.rs:30-186 — per-epoch independent execution).
-        fired: list = []
+        fired_any: dict = {}
 
         def fire(batch_df: DataFrame, epoch_id: int) -> None:
             # foreachBatch hands a DataFrame bound to an isolated micro-batch
@@ -144,10 +168,9 @@ def run_streaming(
             out = batch_df.sparkSession.sql(query.sql).withColumn(
                 "win_start", F.lit(epoch_id).cast("long")
             )
-            fired.extend(out.collect())
-            fired_schema["s"] = out.schema
+            out.write.mode("append").parquet(results_dir)
+            fired_any["yes"] = True
 
-        fired_schema: dict = {}
         q = (
             stream.writeStream.foreachBatch(fire)
             .option("checkpointLocation", checkpoint)
@@ -157,7 +180,7 @@ def run_streaming(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError("elementwise replay still running")
-        if "s" not in fired_schema:
+        if not fired_any:
             # Zero micro-batches fired (empty epoch dir): derive the output
             # schema by planning the SQL over an empty slice of the stream.
             # The empty view shadows any same-named catalog view in the OUTER
@@ -166,7 +189,7 @@ def run_streaming(
             empty = spark.createDataFrame([], stream.schema)
             empty.createOrReplaceTempView(query.view)
             try:
-                fired_schema["s"] = (
+                schema = (
                     spark.sql(query.sql)
                     .withColumn("win_start", F.lit(0).cast("long"))
                     .schema
@@ -174,7 +197,8 @@ def run_streaming(
             finally:
                 spark.catalog.dropTempView(query.view)
                 catalog.invalidate(spark)
-        return spark.createDataFrame(fired, fired_schema["s"])
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(results_dir)
 
     # tumbling/hopping: distributed window ASSIGNMENT on event time, rows
     # buffered to parquet partitioned by window start (never the driver),
@@ -219,8 +243,7 @@ def run_streaming(
             for r in buf.select("win_start").distinct().collect()
         }
     )
-    rows: list = []
-    schema = None
+    fired = False
     try:
         for start in starts:
             for view, buf in buffers.items():
@@ -230,20 +253,20 @@ def run_streaming(
             out = spark.sql(query.sql).withColumn(
                 "win_start", F.lit(start).cast("timestamp")
             )
-            # Each firing materializes its window's result — flock likewise
-            # emits per-window batches to the sink as they fire
-            # (datasink/mod.rs); results are the small side by construction.
-            rows.extend(out.collect())
-            schema = out.schema
+            # Each firing appends its window's result to the parquet result
+            # sink — flock likewise emits per-window batches to the sink as
+            # they fire (datasink/mod.rs:118-140), never to the client.
+            out.write.mode("append").parquet(results_dir)
+            fired = True
     finally:
         # The stream table names shadow the catalog's derived views; drop
         # them and force the next register_all to rebuild everything.
         for view in buffers:
             spark.catalog.dropTempView(view)
         catalog.invalidate(spark)
-    if schema is None:
+    if not fired:
         return spark.createDataFrame([], "win_start timestamp")
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(results_dir)
 
 
 def sink_result(result: DataFrame, query: Query, *, workdir: str):
