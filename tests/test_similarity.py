@@ -93,3 +93,53 @@ def test_sq8_recall_vs_brute(spark, sf_dir):
     exact = _topk_sets(qs["ann_cosine_topk"].spark_fn(spark, sf_dir))
     approx = _topk_sets(qs["ann_sq8_topk"].spark_fn(spark, sf_dir))
     assert _recall(approx, exact) >= 0.9
+
+
+def test_ivfpq_recall_and_cell_pruning(spark, sf_dir):
+    """IVF-PQ: (a) recall floor vs exact — probing N_PROBE of N_CELLS
+    cells on near-orthogonal fixtures costs some of PQ's already-low
+    fixture recall but must stay far above the random-scan floor;
+    (b) the structural pruning contract: every returned candidate's home
+    cell is one of its query's probed cells, and every query's candidate
+    set is a SUBSET of what full-corpus PQ ADC could rank — i.e. the
+    composition only ever prunes, never invents pairs."""
+    from squirtle_spark.operators import similarity as sim
+
+    qs = load_all()
+    exact = _topk_sets(qs["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    approx_df = qs["ann_ivfpq_topk"].spark_fn(spark, sf_dir)
+    approx = _topk_sets(approx_df)
+    r = _recall(approx, exact)
+    assert r >= 0.2, f"IVF-PQ recall@5 {r:.2f} below floor"
+
+    # pruning contract from the materialized index itself
+    key = (spark.sparkContext.applicationId, sf_dir, True)
+    _, codes_view, cents_view = sim._PQ_INDEX[key]
+    cells = {
+        r["c_id"]: r["cell"]
+        for r in spark.table(codes_view).select("c_id", "cell").distinct().collect()
+    }
+    probe_rows = spark.sql(
+        f"""SELECT vec_id AS q_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       c.cn2 - 2 * aggregate(zip_with(
+                           transform(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                     x -> CAST(ROUND(x * 10000) AS BIGINT)),
+                           c.cw, (x, y) -> x * y), CAST(0 AS BIGINT),
+                           (acc, x) -> acc + x) ASC, c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN {cents_view} c
+            WHERE e.vec_id < {sim.N_QUERIES}) t WHERE rn <= {sim.N_PROBE}"""
+    ).collect()
+    probed = {}
+    for row in probe_rows:
+        probed.setdefault(row["q_id"], set()).add(row["cell"])
+    for row in approx_df.collect():
+        assert cells[row["c_id"]] in probed[row["q_id"]], (
+            f"candidate {row['c_id']} outside query {row['q_id']}'s probed cells"
+        )
+    # scan-fraction bound: probed cells hold a strict subset of the corpus
+    n_corpus = len(cells)
+    for q, cset in probed.items():
+        covered = sum(1 for c, cell in cells.items() if cell in cset)
+        assert covered < n_corpus, "probing covered the whole corpus"

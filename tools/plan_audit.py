@@ -39,6 +39,7 @@ CROSS_BY_DESIGN = {
     "ann_cosine_topk",
     "ann_sq8_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",  # probe selection: 10 queries x a 16-row centroid view
     "knn_classify",
     "kmeans_assign",
     "bm25_topk",
