@@ -541,6 +541,31 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
 
         run_cdc("w")  # foreachBatch/versioned-write path init
         wall_cdc = min(run_cdc("m"), run_cdc("n"))
+
+        # Same changelog through the merge-on-read lane: raw delta-log
+        # appends + periodic compaction + one final fold (cdc_mor_sink),
+        # the high-rate shape for uniform-key CDC where snapshot-per-batch
+        # spends each batch rewriting unchanged rows.
+        def run_mor(tag: str) -> float:
+            table = _fresh(tmp, f"mor-table-{tag}")
+
+            def go():
+                q = streaming.cdc_mor_sink(
+                    streaming.replay_stream(spark, f"{tmp}/cdc", 1).drop("epoch"),
+                    table,
+                    keys=["key"],
+                    seq_col="seq",
+                    op_col="op",
+                    checkpoint=_fresh(tmp, f"mor-ckpt-{tag}"),
+                    compact_every=12,
+                )
+                assert q.awaitTermination(600)
+                streaming.compact_cdc_mor(spark, table, ["key"], "seq")
+
+            return _timed(go)
+
+        run_mor("w")
+        wall_mor = min(run_mor("m"), run_mor("n"))
         return {
             "metric": "stress_events_per_sec",
             "value": round(n / wall_q5, 1),
@@ -560,6 +585,8 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "cdc_changes": n,
             "cdc_apply_wall_sec": round(wall_cdc, 3),
             "cdc_apply_changes_per_sec": round(n / wall_cdc, 1),
+            "cdc_mor_wall_sec": round(wall_mor, 3),
+            "cdc_mor_changes_per_sec": round(n / wall_mor, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -1565,3 +1565,54 @@ def test_cdc_sink_onto_opless_seed(spark, tmp_path):
     got = {r["key"]: r["val"] for r in live.collect()}
     # key 1 updated, key 3 tombstoned, keys 0/2/4 are untouched seed rows
     assert got == {0: 0.0, 1: 111.0, 2: 2.0, 4: 4.0}
+
+
+def test_cdc_mor_converges_like_cdc_sink(spark, tmp_path):
+    """The merge-on-read lane must converge to the SAME live table as the
+    snapshot-per-batch sink under the same changelog (shared max-seq
+    tombstone rule), through both mid-stream compactions and the
+    un-compacted tail, and an explicit final compaction must fold the
+    tail into a committed snapshot identical to the merged read."""
+    from squirtle_spark.operators import maintenance
+
+    changes = spark.range(1000).selectExpr(
+        "id % 40 AS key",
+        "id AS seq",
+        "CASE WHEN id % 10 = 7 THEN 'D' ELSE 'U' END AS op",
+        "CAST(id AS DOUBLE) * 1.5 AS val",
+        "CAST(id DIV 50 AS INT) AS epoch",
+    )
+    data_dir = str(tmp_path / "log")
+    streaming.write_epoch_files(changes, data_dir)
+
+    mor = str(tmp_path / "mor")
+    q = streaming.cdc_mor_sink(
+        streaming.replay_stream(spark, data_dir, files_per_trigger=1).drop("epoch"),
+        mor,
+        keys=["key"],
+        seq_col="seq",
+        op_col="op",
+        checkpoint=str(tmp_path / "ckpt"),
+        compact_every=6,  # 20 batches -> 3 compactions + an 2-entry tail
+    )
+    assert q.awaitTermination(300)
+
+    expected = {
+        k: (960 + k, (960 + k) * 1.5)
+        for k in range(40)
+        if (960 + k) % 10 != 7
+    }
+    live = streaming.read_cdc_mor(spark, mor, "op", ["key"], "seq")
+    assert {r["key"]: (r["seq"], r["val"]) for r in live.collect()} == expected
+
+    # compactions happened mid-stream AND a tail is pending
+    assert maintenance.latest_version(spark, mor) >= 2
+    assert len(streaming._mor_log_dirs(spark, mor)) > 0
+
+    # eager final fold: snapshot alone now carries the full state
+    v = streaming.compact_cdc_mor(spark, mor, ["key"], "seq")
+    assert v is not None and streaming._mor_log_dirs(spark, mor) == []
+    snap_live = streaming.read_cdc_snapshot(spark, mor, "op")
+    assert {r["key"]: (r["seq"], r["val"]) for r in snap_live.collect()} == expected
+    # double-compaction is a no-op with no pending log
+    assert streaming.compact_cdc_mor(spark, mor, ["key"], "seq") is None
