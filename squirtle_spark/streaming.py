@@ -1597,6 +1597,124 @@ def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, a
     )
 
 
+def stateful_trailing_window(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+) -> DataFrame:
+    """Streaming twin of the batch ``win_time_range`` RANGE frame: for
+    EVERY event, the count and sum over its key's exact trailing
+    ``window_s`` seconds — the continuous sliding window that bucketed
+    tumbling/hopping windows approximate, as a keyed-state operator (the
+    last window class that had no streaming form).
+
+    State per key is the trailing-window event buffer: (ts, quantized
+    value) pairs with everything older than ``newest_ts - window_s``
+    evicted each batch, so state is O(keys · events-per-window), not
+    stream length. Values are quantized to 4 decimals (integer ten-
+    thousandths) before summing — the same DECIMAL(20,4) accumulation
+    the batch frame uses, so the streamed sums equal the batch query's
+    doubles BIT-EXACTLY regardless of fold order.
+
+    Equality with the batch frame additionally needs RANGE peer
+    semantics (equal-ts rows see each other): rows of one timestamp must
+    share a micro-batch, which the epoch-file replay guarantees when
+    epochs partition on whole seconds. Input is assumed per-key
+    time-ordered ACROSS batches (the replay harness's epoch order);
+    within a batch, order is free.
+
+    Expected columns: ``event_id`` + key/ts/value. ``ts_col`` is epoch
+    seconds (BIGINT).
+    """
+    from bisect import bisect_left, bisect_right
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("n_trailing_hour", LongType()),
+            StructField("sum_trailing_hour", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("vq", ArrayType(LongType())),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf_ts, buf_vq = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        new = []
+        for pdf in batches:
+            for eid, t, v in zip(
+                pdf["event_id"], pdf[ts_col], pdf[value_col], strict=True
+            ):
+                new.append((int(t), int(round(float(v) * 10000)), int(eid)))
+        if not new:
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        # one sorted merged buffer; prefix sums give each event's exact
+        # [ts - window_s, ts] frame (peers included) in O(log n)
+        merged = sorted(
+            [(t, q) for t, q in zip(buf_ts, buf_vq, strict=True)]
+            + [(t, q) for t, q, _ in new]
+        )
+        ts_sorted = [t for t, _ in merged]
+        prefix = [0]
+        for _, q in merged:
+            prefix.append(prefix[-1] + q)
+        out = {"event_id": [], "user_id": [], "n": [], "s": []}
+        for t, _, eid in new:
+            lo = bisect_left(ts_sorted, t - window_s)
+            hi = bisect_right(ts_sorted, t)
+            out["event_id"].append(eid)
+            out["user_id"].append(key[0])
+            out["n"].append(hi - lo)
+            out["s"].append((prefix[hi] - prefix[lo]) / 10000.0)
+        # evict: a later event's frame never reaches below newest - window
+        horizon = ts_sorted[-1] - window_s
+        keep = bisect_left(ts_sorted, horizon)
+        state.update(
+            ([t for t, _ in merged[keep:]], [q for _, q in merged[keep:]])
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "n_trailing_hour": out["n"],
+                "sum_trailing_hour": out["s"],
+            }
+        )
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_anomaly(
     stream: DataFrame,
     key_col: str,

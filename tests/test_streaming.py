@@ -1616,3 +1616,46 @@ def test_cdc_mor_converges_like_cdc_sink(spark, tmp_path):
     assert {r["key"]: (r["seq"], r["val"]) for r in snap_live.collect()} == expected
     # double-compaction is a no-op with no pending log
     assert streaming.compact_cdc_mor(spark, mor, ["key"], "seq") is None
+
+
+def test_stateful_trailing_window_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed continuous trailing-hour window (keyed event-buffer
+    state) must emit, for every event, EXACTLY the batch win_time_range
+    RANGE frame's count and sum — peers included, DECIMAL-exact sums.
+    Epoch files partition on whole seconds so equal-ts peers share a
+    micro-batch (the operator's documented peer-delivery contract)."""
+    from squirtle_spark import catalog
+    from squirtle_spark.registry import load_all
+
+    catalog.register_all(spark, sf_dir)
+    ev = spark.sql(
+        """SELECT event_id, user_id,
+                  unix_timestamp(CAST(ts AS TIMESTAMP)) AS sec, value
+           FROM events"""
+    )
+    # bucket epochs into <=12 ordered dirs (time-ordered replay)
+    ev = ev.withColumn(
+        "epoch",
+        F.expr("CAST(DENSE_RANK() OVER (ORDER BY sec) AS INT) DIV 1000"),
+    )
+    streaming.write_epoch_files(ev, str(tmp_path / "ev"))
+
+    stream = streaming.replay_stream(
+        spark, str(tmp_path / "ev"), files_per_trigger=3
+    ).drop("epoch")
+    out = streaming.stateful_trailing_window(stream, "user_id", "sec", "value")
+    rows = streaming.run_available_now(
+        out, checkpoint=str(tmp_path / "ckpt-trail"), mode="append"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["n_trailing_hour"], r["sum_trailing_hour"])
+        for r in rows
+    }
+
+    batch = load_all()["win_time_range"].spark_fn(spark, sf_dir).collect()
+    want = {
+        r["event_id"]: (r["user_id"], r["n_trailing_hour"], r["sum_trailing_hour"])
+        for r in batch
+    }
+    assert len(got) == len(want) > 0
+    assert got == want  # bit-exact: quantized integer accumulation
