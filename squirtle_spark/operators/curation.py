@@ -277,6 +277,57 @@ register_sql(
 )
 
 
+MIXTURE_ALPHA = "CAST(0.3 AS DOUBLE)"  # mT5/XLM-R temperature exponent
+
+
+def _mixture_temperature(d: str) -> str:
+    """Temperature-scaled sampling shares — the multilingual-LM mixing
+    rule (mT5 / XLM-R): q_i = p_i^alpha / sum_j p_j^alpha with alpha=0.3,
+    which upsamples low-resource languages without a hand-written target
+    mixture (``mixture_weights``'s explicit-target sibling).
+
+    Determinism across engines: p^alpha is written EXP(alpha * LN(p)) —
+    the LN/EXP pair this repo's perplexity entries already prove
+    IEEE-identical in both engines (bare POWER is not guaranteed
+    correctly-rounded in either) — and the denominator accumulates
+    through DECIMAL after rounding, so the handful-of-languages sum is
+    fold-order-free. One grouped pass + a languages-sized scalar (the
+    whitelisted corpus-scalar class).
+    """
+    a = MIXTURE_ALPHA
+    pa = f"EXP({a} * LN(n_chars / total_chars))"
+    return textwrap.dedent(f"""
+        WITH per_lang AS (
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total_chars FROM per_lang),
+        powed AS (
+            SELECT lang, n_chars,
+                   n_chars / total_chars AS p,
+                   ROUND({pa}, 12) AS p_alpha
+            FROM per_lang, tot
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(p_alpha AS DECIMAL(20,12))) AS DOUBLE) AS z
+            FROM powed
+        )
+        SELECT lang, n_chars,
+               round(p, 6) AS actual_share,
+               round(p_alpha / z, 6) AS sampled_share,
+               round((p_alpha / z) / p, 6) AS upsample_factor
+        FROM powed, z
+    """)
+
+
+register_sql(
+    "mixture_temperature",
+    _mixture_temperature,
+    doc="Temperature-scaled (alpha=0.3) language sampling shares — the "
+    "mT5/XLM-R low-resource upsampling rule.",
+)
+
+
 def write_training_shards(spark, sf_dir: str, path: str):
     """Terminal pipeline step: materialize the corpus as training shards.
 

@@ -708,3 +708,43 @@ register_sql(
     "truth, overall and above the banding knee — the approximation "
     "contract as a measured row.",
 )
+
+
+def _ngram_novelty(d: str) -> str:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    {SHINGLE_W}-grams that occur in NO other document — the inverse of
+    dedup_spans' duplication signal, and the corpus-side statistic
+    memorization/contamination studies track (a low-novelty doc is
+    mostly assembled from cross-doc boilerplate; a 1.0-novelty doc is
+    unique content).
+
+    Plan: the same DISTINCT (doc, shingle) fan-out + ONE doc-frequency
+    pass the minhash/decontamination family shares (shuffle on the
+    shingle key), then a per-doc count — all-integer, hash-exact oracle.
+    Docs shorter than the shingle width have no shingles and are
+    excluded, like the rest of the shingle family (dedup_exact catches
+    their duplication).
+    """
+    from .curation import shingle_rows
+
+    return f"""
+WITH sh AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
+df AS (
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty_rate
+FROM sh JOIN df ON sh.shingle = df.shingle
+GROUP BY sh.doc_id
+"""
+
+
+register_sql(
+    "ngram_novelty",
+    _ngram_novelty,
+    doc="Per-doc fraction of word n-grams unique to the doc corpus-wide "
+    "(the inverse of duplicate-span coverage; memorization-study metric).",
+)

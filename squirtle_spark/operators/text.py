@@ -606,6 +606,147 @@ register_sql(
 )
 
 
+KN_DISCOUNT = "CAST(0.75 AS DOUBLE)"  # absolute discount D (Chen & Goodman)
+
+
+def _lm_perplexity_kn(d: str) -> str:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing that
+    actually ships in n-gram LM filters (Chen & Goodman 1999; KenLM),
+    one rung above ``lm_perplexity_bigram``'s add-k:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                   + D·N1+(w1,·)/c(w1) · N1+(·,w2)/|bigram types|
+
+    The continuation probability N1+(·,w2)/T scores how many CONTEXTS a
+    word completes, not how often it occurs — the "San Francisco"
+    correction (frequent-but-one-context words stop leaking probability
+    into unseen contexts).
+
+    Scale shape matches the bigram entry: one positional pair fan-out,
+    grouped counts for the bigram/unigram/fertility tables (all
+    vocab-sized), per-doc occurrences equi-join the model, one keyed
+    DECIMAL reduction per doc. All model counts are integers, so both
+    engines feed LN identical IEEE ratios (single division per factor,
+    same expression tree); T is the whitelisted corpus-scalar class.
+    Docs under 2 tokens have no bigrams and are excluded, like the
+    add-k entry.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    if d == dl.SPARK:
+        fanout = (
+            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
+            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
+        )
+        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
+    else:
+        fanout = (
+            ", unnest(CASE WHEN len(tk) >= 2 "
+            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
+        )
+        w1, w2 = "tk[pos]", "tk[pos + 1]"
+    D = KN_DISCOUNT
+    p = (
+        f"(GREATEST(COALESCE(bg.c, 0) - {D}, CAST(0 AS DOUBLE)) / ug.c"
+        f" + ({D} * fw.n1f / ug.c) * (CAST(cw.n1b AS DOUBLE) / tt.n))"
+    )
+    nll = f"dt.n * (-LN({p}))"
+    return f"""
+WITH pairs AS (
+    SELECT doc_id, {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+    {fanout}
+),
+bg AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2
+),
+ug AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1
+),
+fert_fwd AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM bg GROUP BY w1
+),
+fert_bwd AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+dt AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY doc_id, w1, w2
+),
+scored AS (
+    SELECT dt.doc_id,
+           {dl.bsum("dt.n", d)} AS n_bigrams,
+           {dl.dsum(nll, d, "DECIMAL(28,12)")} AS nll_sum
+    FROM dt
+    JOIN ug ON dt.w1 = ug.w1
+    JOIN fert_fwd fw ON dt.w1 = fw.w1
+    JOIN fert_bwd cw ON dt.w2 = cw.w2
+    LEFT JOIN bg ON dt.w1 = bg.w1 AND dt.w2 = bg.w2
+    CROSS JOIN tt
+    GROUP BY dt.doc_id
+)
+SELECT doc_id,
+       n_bigrams,
+       ROUND(nll_sum / n_bigrams, 6) AS avg_nll,
+       ROUND(EXP(nll_sum / n_bigrams), 4) AS perplexity
+FROM scored
+"""
+
+
+register_sql(
+    "lm_perplexity_kn",
+    _lm_perplexity_kn,
+    doc="Interpolated Kneser-Ney bigram perplexity: absolute discounting "
+    "+ continuation-count backoff (the KenLM-class smoothing).",
+)
+
+
+VOCAB_K = 1000  # frozen-vocabulary size for coverage scoring
+
+
+def _vocab_coverage(d: str) -> str:
+    """Per-document vocabulary coverage / OOV rate against a frozen
+    top-{VOCAB_K} corpus vocabulary — the tokenizer-fit metric a training
+    pipeline tracks per source (a rising OOV rate flags content the
+    tokenizer fragments into bytes).
+
+    The vocabulary is a deterministic top-K (count DESC, token ASC) via
+    ORDER BY + LIMIT — TakeOrderedAndProject, never a single-partition
+    window — then broadcast into a LEFT join against per-doc token
+    occurrences. One fan-out + two grouped passes; no corpus-scalar
+    stage.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    return f"""
+WITH occ AS (
+    SELECT doc_id, {un}({toks}) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok
+    ) f
+    ORDER BY c DESC, tok ASC
+    LIMIT {VOCAB_K}
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - COUNT(vocab.tok) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) - COUNT(vocab.tok) AS DOUBLE) / COUNT(*), 6)
+           AS oov_rate
+FROM occ LEFT JOIN vocab ON occ.tok = vocab.tok
+GROUP BY occ.doc_id
+"""
+
+
+register_sql(
+    "vocab_coverage",
+    _vocab_coverage,
+    doc="Per-doc OOV rate vs a frozen deterministic top-K corpus "
+    "vocabulary (tokenizer-fit tracking).",
+)
+
+
 def _lm_score_new_batch(d: str) -> str:
     """Score a NEW batch against a FROZEN bigram LM — the deployment form
     of lm_perplexity_bigram: the model trains only on the corpus slice

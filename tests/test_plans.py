@@ -90,7 +90,9 @@ _GLOBAL_AGG_QUERIES = {
     "benford_digits",  # corpus digit-total scalar: partial sums over 9 digit rows
     "contrastive_pairs",  # corpus-size scalar (the mod base), then broadcast
     "lm_perplexity_bigram",  # corpus vocab-size scalar over the unigram table
+    "lm_perplexity_kn",  # bigram-type-count scalar over the bigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
+    "mixture_temperature",  # languages-sized normalizer scalar (like mixture_weights)
     "corpus_report",  # the whole report IS corpus-grain scalars
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
