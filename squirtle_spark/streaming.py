@@ -1597,6 +1597,65 @@ def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, a
     )
 
 
+def run_interval_overlap_stream(
+    spark: SparkSession,
+    views_path: str,
+    purchases_path: str,
+    *,
+    checkpoint: str,
+    view_len_s: int,
+    purch_len_s: int,
+    watermark: str = "30 days",
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streamed twin of the batch ``interval_overlap_join`` entry: a
+    genuine STREAM-STREAM join with a time-RANGE condition — per-user
+    view windows [v_start, v_start+view_len) joined to purchase windows
+    [p_start, p_start+purch_len) wherever they overlap. Both sides carry
+    event-time watermarks and the join predicate bounds each side's
+    event time by an interval of the other's (v_start BETWEEN
+    p_start - view_len AND p_start + purch_len), so Spark can evict join
+    state as the watermark advances — the interval-join class Flink
+    ships natively, expressed on Spark's stream-stream join state.
+
+    Inner matches emit incrementally in append mode; the drained pair
+    set equals the batch range join's exactly
+    (tests/test_streaming.py). ``watermark`` is the lateness budget —
+    state holds ~(watermark + interval) per key at steady state.
+    """
+    views = (
+        replay_stream(spark, views_path, files_per_trigger)
+        .drop("epoch")
+        .withColumn("v_start", F.col("v_start").cast("timestamp"))
+        .withWatermark("v_start", watermark)
+    )
+    purchases = (
+        replay_stream(spark, purchases_path, files_per_trigger)
+        .drop("epoch")
+        .withColumn("p_start", F.col("p_start").cast("timestamp"))
+        .withWatermark("p_start", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (views["user_id"] == purchases["user_id"])
+        & (
+            views["v_start"]
+            <= purchases["p_start"] + F.expr(f"INTERVAL {purch_len_s} SECOND")
+        )
+        & (
+            purchases["p_start"]
+            <= views["v_start"] + F.expr(f"INTERVAL {view_len_s} SECOND")
+        ),
+    ).select(views["user_id"], "view_id", "purchase_id")
+    rows = run_available_now(
+        joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+    )
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, view_id BIGINT, purchase_id BIGINT"
+    )
+
+
 def stateful_trailing_window(
     stream: DataFrame,
     key_col: str,

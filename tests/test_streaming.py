@@ -1659,3 +1659,60 @@ def test_stateful_trailing_window_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want  # bit-exact: quantized integer accumulation
+
+
+def test_interval_overlap_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-stream range join must emit exactly the batch
+    interval_overlap_join's pair set (same overlap predicate, watermarked
+    state instead of a bucketed batch join)."""
+    from squirtle_spark import catalog
+    from squirtle_spark.operators import rangejoin
+
+    catalog.register_all(spark, sf_dir)
+    ev = spark.table("events")
+    views = ev.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id",
+        "user_id",
+        "ts AS v_start",
+        "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 86400 AS INT) AS epoch",
+    )
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id",
+        "user_id",
+        "ts AS p_start",
+        "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 86400 AS INT) AS epoch",
+    )
+    streaming.write_epoch_files(views, str(tmp_path / "v"))
+    streaming.write_epoch_files(purchases, str(tmp_path / "p"))
+
+    got = streaming.run_interval_overlap_stream(
+        spark,
+        str(tmp_path / "v"),
+        str(tmp_path / "p"),
+        checkpoint=str(tmp_path / "ckpt-iv"),
+        view_len_s=rangejoin._VIEW_LEN,
+        purch_len_s=rangejoin._PURCH_LEN,
+    )
+    got_pairs = {(r["view_id"], r["purchase_id"]) for r in got.collect()}
+
+    vb = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_start"),
+        F.expr(f"ts + INTERVAL {rangejoin._VIEW_LEN} SECOND").alias("v_end"),
+    )
+    pb = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        F.expr(f"ts + INTERVAL {rangejoin._PURCH_LEN} SECOND").alias("p_end"),
+    )
+    batch = rangejoin.interval_overlap_join(
+        vb, pb, key="user_id",
+        left_start="v_start", left_end="v_end",
+        right_start="p_start", right_end="p_end",
+        max_len_s=rangejoin._PURCH_LEN,
+    )
+    want_pairs = {(r["view_id"], r["purchase_id"]) for r in batch.collect()}
+    assert len(got_pairs) == len(want_pairs) > 0
+    assert got_pairs == want_pairs
