@@ -142,3 +142,90 @@ register_sql(
     "frequency, and a capped sorted posting-list head (bounded per-group "
     "state).",
 )
+
+
+RRF_K = 60  # reciprocal-rank-fusion damping (Cormack et al. 2009's default)
+HYBRID_TOPK = 10
+DENSE_QUERY_ID = 0  # the dense leg's query vector (embeddings.vec_id)
+
+
+def _hybrid_rrf(d: str) -> str:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard RAG
+    two-leg retriever: the BM25 lexical top-{BM25_TOPK} (fixed query
+    terms, the full `bm25_topk` pipeline inlined as a subquery) fused
+    with a dense cosine top-{BM25_TOPK} against a fixed query embedding,
+    scored RRF(doc) = Σ_legs 1/({RRF_K} + rank) over the UNION of both
+    lists (Cormack et al. 2009). Rank fusion needs no score calibration
+    between legs — exactly why it ships in production hybrid search.
+
+    Determinism: both legs rank on rounded scores with doc-id
+    tie-breaks, and the fused score is a fixed two-term fold of exact
+    reciprocals — identical IEEE ops in both engines. The ROW_NUMBER
+    rankings run over the two BOUNDED top-K lists (≤{BM25_TOPK} rows
+    each, already reduced by TakeOrderedAndProject), the whitelisted
+    bounded-global class — never over the corpus.
+
+    100 TB: each leg is its own pruned retrieval (BM25 posting scan /
+    ANN index); fusion touches 2·K rows per query regardless of corpus
+    size.
+    """
+    bm25 = _bm25_topk(d)
+    if d == dl.SPARK:
+        q_arr = "CAST(embedding AS ARRAY<DOUBLE>)"
+        sim = (
+            "aggregate(zip_with(ev, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+            " / (SQRT(aggregate(ev, 0D, (acc, x) -> acc + x * x))"
+            " * SQRT(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"
+        )
+    else:
+        q_arr = "CAST(embedding AS DOUBLE[])"
+        sim = "list_cosine_similarity(ev, qv)"
+    rrf = (
+        f"COALESCE(1.0 / ({RRF_K} + lex.r_lex), CAST(0 AS DOUBLE))"
+        f" + COALESCE(1.0 / ({RRF_K} + dense.r_dense), CAST(0 AS DOUBLE))"
+    )
+    return f"""
+WITH lex AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS BIGINT)
+               AS r_lex
+    FROM ({bm25}) b
+),
+qv AS (
+    SELECT {q_arr} AS qv FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}
+),
+dense_top AS (
+    SELECT doc_id, sim FROM (
+        SELECT e.vec_id AS doc_id, ROUND({sim}, 4) AS sim
+        FROM (SELECT vec_id, {q_arr} AS ev FROM embeddings) e CROSS JOIN qv
+        WHERE e.vec_id <> {DENSE_QUERY_ID}
+    ) s
+    ORDER BY sim DESC, doc_id
+    LIMIT {BM25_TOPK}
+),
+dense AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+               AS r_dense
+    FROM dense_top
+),
+fused AS (
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           lex.r_lex,
+           dense.r_dense,
+           ROUND({rrf}, 8) AS rrf_score
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, r_lex, r_dense, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_TOPK}
+"""
+
+
+register_sql(
+    "hybrid_retrieval_rrf",
+    _hybrid_rrf,
+    doc="Hybrid lexical+dense retrieval fused by reciprocal rank "
+    "(BM25 top-K ⊕ cosine top-K, RRF k=60) — the standard RAG retriever.",
+)

@@ -93,6 +93,7 @@ _GLOBAL_AGG_QUERIES = {
     "lm_perplexity_kn",  # bigram-type-count scalar over the bigram table
     "lm_score_new_batch",  # same vocab-size scalar, frozen-model form
     "mixture_temperature",  # languages-sized normalizer scalar (like mixture_weights)
+    "hybrid_retrieval_rrf",  # rank fusion over two bounded top-K lists (embeds bm25's scalar)
     "corpus_report",  # the whole report IS corpus-grain scalars
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
