@@ -21,6 +21,7 @@ Why they matter at scale:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -307,11 +308,30 @@ def forget_keys(
 
 
 def _commit_pointer(spark: SparkSession, table_path: str, version: int) -> None:
-    """Atomically point ``_LATEST`` at ``version``: write a temp file,
-    then FileContext.rename(OVERWRITE) — a single atomic replacement on
-    POSIX and HDFS, so readers always observe either the old or the new
-    pointer, never a missing/torn one (a plain FileSystem.rename cannot
-    overwrite, and delete-then-rename would open exactly that window)."""
+    """Atomically point ``_LATEST`` at ``version``: write-temp + replace,
+    so readers always observe either the old or the new pointer, never a
+    missing or torn one.
+
+    Local paths replace via ``os.replace`` — a single POSIX rename(2),
+    genuinely atomic. (The previous FileContext.rename(OVERWRITE) route
+    is NOT: Hadoop's local AbstractFileSystem implements OVERWRITE as
+    delete-then-rename, and the round-6 concurrent-reader test caught a
+    reader hitting the in-between window where _LATEST did not exist.)
+    Non-local schemes keep the FileContext route — atomic on HDFS, whose
+    NameNode rename honors OVERWRITE as one operation; on object stores
+    neither rename is atomic and the production answer is a commit log /
+    conditional-put, which is exactly what Delta/Iceberg layer on top of
+    this same pointer idea."""
+    if "://" not in table_path or table_path.startswith("file:"):
+        local = table_path[len("file:"):] if table_path.startswith("file:") else table_path
+        os.makedirs(local, exist_ok=True)
+        tmp = os.path.join(local, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(local, "_LATEST"))
+        return
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(conf)
@@ -434,7 +454,13 @@ def publish_if(
     return version, []
 
 
-def vacuum_versions(spark: SparkSession, table_path: str, keep: int = 3) -> list[int]:
+def vacuum_versions(
+    spark: SparkSession,
+    table_path: str,
+    keep: int = 3,
+    *,
+    min_age_s: float = 0.0,
+) -> list[int]:
     """Delete snapshot directories older than the last ``keep`` versions,
     never touching the committed version or anything newer — the storage
     bound that makes versioned_write sustainable (without it a daily
@@ -442,27 +468,40 @@ def vacuum_versions(spark: SparkSession, table_path: str, keep: int = 3) -> list
     removed version numbers. The committed version is always retained
     even if it falls outside the keep window (a stale pointer must keep
     resolving).
+
+    ``min_age_s`` is the READER-ISOLATION retention window (Delta's
+    deletedFileRetentionDuration): a snapshot is only deleted once its
+    directory is at least this old, so an in-flight reader that resolved
+    the pointer to a version and is still scanning it cannot have the
+    files deleted underneath it — provided queries finish inside the
+    window. The default 0 keeps vacuum eager for single-writer batch
+    use; under concurrent readers set it to comfortably exceed the
+    longest query (tests/test_maintenance.py exercises the contract).
     """
+    import time
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(conf)
     if not fs.exists(root):
         return []
-    versions = sorted(
-        int(st.getPath().getName()[2:])
+    stats = {
+        int(st.getPath().getName()[2:]): st.getModificationTime()
         for st in fs.listStatus(root)
         if st.getPath().getName().startswith("v=")
-    )
+    }
+    versions = sorted(stats)
     committed = latest_version(spark, table_path)
     # never the committed version or anything newer: after a rollback the
     # newer snapshots are the roll-forward targets (and possibly staged
     # audits-in-progress) — only history strictly older than the pointer
     # ages out.
     keep_set = set(versions[-keep:]) | {v for v in versions if v >= committed}
+    horizon_ms = (time.time() - min_age_s) * 1000.0
     removed = []
     for v in versions:
-        if v not in keep_set:
+        if v not in keep_set and stats[v] <= horizon_ms:
             p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/v={v}")
             fs.delete(p, True)
             removed.append(v)

