@@ -228,6 +228,57 @@ def _perm_consts() -> list[tuple[int, int]]:
 MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
+def _mh_pipeline_ctes(d: str) -> str:
+    """Shared CTE chain ``sh``/``hashed``/``sig``/``bands``: word shingles →
+    one 60-bit base hash per shingle → 32 minhash permutations in a single
+    grouped aggregation → 8×4 banded bucket keys. Used by the corpus-wide
+    self-join (dedup_minhash_lsh) and the batch-vs-index probe
+    (dedup_incremental_minhash); identical text keeps the two entries'
+    signatures — and their oracles — bit-identical."""
+    import textwrap
+
+    from .curation import shingle_rows
+
+    perms = _perm_consts()
+    mh_cols = ",\n      ".join(
+        f"MIN(({a} * x + {b}) % {MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_cases = "\n        ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=dl.md5_i64(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"CAST(mh{b * ROWS_PER_BAND + r} AS STRING)"
+                    for r in range(ROWS_PER_BAND)
+                )
+                + ")",
+                d,
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return textwrap.dedent(f"""
+        sh AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
+        hashed AS (
+            SELECT doc_id, ({dl.md5_i64("'mh|' || shingle", d)}) & 4294967295 AS x
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, COUNT(*) AS n_sh,
+              {mh_cols}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id,
+                   band,
+                   CASE band
+                     {band_cases}
+                   END AS band_hash
+            FROM sig {dl.lateral_series(N_BANDS, "band", d)}
+        )""")
+
+
 def _minhash_lsh(d: str) -> str:
     """MinHash-LSH near-dup pairs, dialect-shared SQL (full value oracle).
 
@@ -253,46 +304,8 @@ def _minhash_lsh(d: str) -> str:
     """
     import textwrap
 
-    from .curation import shingle_rows
-
-    perms = _perm_consts()
-    mh_cols = ",\n      ".join(
-        f"MIN(({a} * x + {b}) % {MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(perms)
-    )
-    band_cases = "\n        ".join(
-        "WHEN {b} THEN {h}".format(
-            b=b,
-            h=dl.md5_i64(
-                "concat_ws('|', "
-                + ", ".join(
-                    f"CAST(mh{b * ROWS_PER_BAND + r} AS STRING)"
-                    for r in range(ROWS_PER_BAND)
-                )
-                + ")",
-                d,
-            ),
-        )
-        for b in range(N_BANDS)
-    )
     return textwrap.dedent(f"""
-        WITH sh AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
-        hashed AS (
-            SELECT doc_id, ({dl.md5_i64("'mh|' || shingle", d)}) & 4294967295 AS x
-            FROM sh
-        ),
-        sig AS (
-            SELECT doc_id, COUNT(*) AS n_sh,
-              {mh_cols}
-            FROM hashed GROUP BY doc_id
-        ),
-        bands AS (
-            SELECT doc_id,
-                   band,
-                   CASE band
-                     {band_cases}
-                   END AS band_hash
-            FROM sig {dl.lateral_series(N_BANDS, "band", d)}
-        ),
+        WITH {_mh_pipeline_ctes(d)},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
@@ -324,6 +337,177 @@ register_sql(
     doc="MinHash-LSH near-dup pairs: banded buckets → candidate join → exact-Jaccard verify.",
     bench=True,
 )
+
+
+#: A probed batch doc is a dup when its best exact-Jaccard against the
+#: corpus reaches this (above the 8×4 banding's ~0.59 candidate knee, so
+#: verification, not the bands, decides).
+LSH_DUP_THRESHOLD = 0.5
+
+
+def _probe_core_sql(
+    *, bands_b: str, bands_c: str, sh_b: str, sh_c: str, sig_b: str, sig_c: str
+) -> str:
+    """Probe-side CTEs + final SELECT, parameterized on the six relation
+    names so the SAME text runs against (a) mod-split CTEs in the
+    self-contained registered entry / DuckDB oracle and (b) a PERSISTED
+    parquet band index (build_minhash_band_index) — the test proves both
+    paths return identical verdicts, so the oracle vouches for the
+    deployment shape too."""
+    import textwrap
+
+    return textwrap.dedent(f"""
+        cand AS (
+            SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+            FROM {bands_b} b
+            JOIN {bands_c} c
+              ON b.band = c.band AND b.band_hash = c.band_hash
+        ),
+        inter AS (
+            SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN {sh_b} sa ON sa.doc_id = c.batch_id
+            JOIN {sh_c} sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+            GROUP BY c.batch_id, c.corpus_id
+        ),
+        jac AS (
+            SELECT i.batch_id, i.corpus_id,
+                   CAST(n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_inter) AS j
+            FROM inter i
+            JOIN {sig_b} sa ON sa.doc_id = i.batch_id
+            JOIN {sig_c} sb ON sb.doc_id = i.corpus_id
+        ),
+        agg AS (
+            SELECT batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   MAX(j) AS best_j
+            FROM jac GROUP BY batch_id
+        ),
+        best AS (
+            SELECT a.batch_id, a.n_candidates, a.best_j,
+                   MIN(jc.corpus_id) AS best_corpus_doc
+            FROM agg a
+            JOIN jac jc ON jc.batch_id = a.batch_id AND jc.j = a.best_j
+            GROUP BY a.batch_id, a.n_candidates, a.best_j
+        )
+        SELECT s.doc_id,
+               COALESCE(b.n_candidates, 0) AS n_candidates,
+               b.best_corpus_doc,
+               ROUND(COALESCE(b.best_j, 0.0), 4) AS best_jaccard,
+               CASE WHEN COALESCE(b.best_j, 0.0) >= {LSH_DUP_THRESHOLD}
+                    THEN 'dup_of_corpus' ELSE 'accepted' END AS status
+        FROM (SELECT doc_id FROM {sig_b}) s
+        LEFT JOIN best b ON b.batch_id = s.doc_id
+        """)
+
+
+def _dedup_incremental_minhash(d: str) -> str:
+    """Fuzzy incremental dedup: a NEW batch probed against the EXISTING
+    corpus's MinHash-LSH band index (the near-dup twin of
+    dedup_incremental's exact-containment check — weekly crawls land
+    against last week's signature index without ever re-pairing the
+    corpus against itself). Every 4th doc stands in for the new batch
+    (dedup_incremental's convention), the rest are the corpus.
+
+    The candidate join is batch-bands × corpus-bands on (band,
+    band_hash) — never batch×corpus — then exact-Jaccard verification on
+    candidates only, via shingle equi-joins. Output is one row per batch
+    doc that produced shingles: candidate count, best corpus match
+    (highest verified Jaccard, min doc_id tie-break) and the
+    accept/reject status.
+
+    Deployment shape at 100 TB: the corpus's ``bands`` rows are a
+    PERSISTED index table bucketed on (band, band_hash) — written once,
+    appended as batches are accepted (tests/test_curation.py
+    materializes it to parquet and proves the probe path returns the
+    identical verdicts). Per-batch cost is then |batch| signature
+    builds + an equi-join that touches only matched buckets; this
+    registered entry recomputes both sides from the base table because
+    the DuckDB oracle must replay the whole pipeline self-contained.
+    Short-doc scope note as dedup_minhash_lsh: docs under SHINGLE_W
+    words have no signature and fall to dedup_exact / dedup_incremental.
+    """
+    import textwrap
+
+    from .curation import BATCH_MOD
+
+    split = "\n".join(
+        f"{part}_{side} AS (SELECT * FROM {part} "
+        f"WHERE doc_id % {BATCH_MOD} {op} 0),"
+        for part in ("bands", "sh", "sig")
+        for side, op in (("b", "="), ("c", "<>"))
+    )
+    return textwrap.dedent(f"""
+        WITH {_mh_pipeline_ctes(d)},
+        {split}
+        {_probe_core_sql(bands_b="bands_b", bands_c="bands_c",
+                         sh_b="sh_b", sh_c="sh_c",
+                         sig_b="sig_b", sig_c="sig_c")}
+        """)
+
+
+register_sql(
+    "dedup_incremental_minhash",
+    _dedup_incremental_minhash,
+    doc="New batch probed against the corpus MinHash band index: bucket "
+    "equi-join candidates, exact-Jaccard verify, accept/reject verdicts.",
+    bench=True,
+)
+
+
+#: Persisted band-index layout: one parquet dataset per pipeline stage.
+_INDEX_PARTS = ("bands", "sh", "sig")
+
+
+def build_minhash_band_index(spark, sf_dir: str, path: str) -> None:
+    """Materialize the CORPUS side of the MinHash-LSH pipeline (bands +
+    shingles + signatures for non-batch docs) to parquet at ``path`` —
+    the persisted index dedup_incremental_minhash's docstring describes.
+    At 100 TB `bands` would be written bucketed on (band, band_hash) so
+    probe joins shuffle only the batch side; local parquet keeps the
+    test hermetic while exercising the identical probe SQL."""
+    from .curation import BATCH_MOD
+
+    from .. import catalog
+
+    catalog.register_all(spark, sf_dir)
+    for part in _INDEX_PARTS:
+        spark.sql(
+            f"WITH {_mh_pipeline_ctes(dl.SPARK)} "
+            f"SELECT * FROM {part} WHERE doc_id % {BATCH_MOD} <> 0"
+        ).write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def probe_minhash_band_index(spark, sf_dir: str, path: str) -> DataFrame:
+    """Probe a NEW batch (doc_id % BATCH_MOD = 0) against the PERSISTED
+    corpus index at ``path``: batch signatures are computed fresh, the
+    corpus side is read back from parquet, and the shared
+    ``_probe_core_sql`` text produces the verdicts — provably the same
+    logic the oracle-checked registered entry runs."""
+    import textwrap
+
+    from .curation import BATCH_MOD
+
+    from .. import catalog
+
+    catalog.register_all(spark, sf_dir)
+    for part in _INDEX_PARTS:
+        spark.read.parquet(f"{path}/{part}").createOrReplaceTempView(f"idx_{part}")
+    batch = "\n".join(
+        f"{part}_b AS (SELECT * FROM {part} "
+        f"WHERE doc_id % {BATCH_MOD} = 0),"
+        for part in _INDEX_PARTS
+    )
+    return spark.sql(
+        textwrap.dedent(f"""
+            WITH {_mh_pipeline_ctes(dl.SPARK)},
+            {batch}
+            {_probe_core_sql(bands_b="bands_b", bands_c="idx_bands",
+                             sh_b="sh_b", sh_c="idx_sh",
+                             sig_b="sig_b", sig_c="idx_sig")}
+            """)
+    )
 
 
 def _simhash(d: str) -> str:

@@ -1,0 +1,142 @@
+"""Data-selection operators: importance-resampling document scoring.
+
+Quality filtering (text_quality / quality_classifier / lm_perplexity)
+scores documents in isolation; *data selection* scores them against a
+TARGET distribution — "keep the raw-crawl docs that look like the
+high-quality corpus we actually want to train on". The canonical
+published method is DSIR, Data Selection with Importance Resampling
+(Xie et al., NeurIPS 2023, arXiv:2302.03169): fit two bag-of-hashed-
+n-gram models — one on the target corpus, one on the raw pool — and
+weight every raw document by its log likelihood ratio between them.
+
+Beyond-parity (the reference engine has no text ops); dialect-shared
+SQL, zero Python, so the DuckDB oracle value-checks the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: Hashed-feature space size. The paper uses 10k buckets at web scale;
+#: 2048 keeps every bucket populated at test SF while preserving the
+#: structure (collisions ARE the method — hashing is the model).
+DSIR_BUCKETS = 2048
+
+#: Feature salt: versions the hash so a model rebuild never silently
+#: mixes with an old one.
+_DSIR_SALT = "dsir-v1"
+
+
+def _gram_rows(d: str, w: int) -> str:
+    """All word w-grams (with multiplicity — counts are the model) per doc."""
+    toks = dl.split_tokens("lower(trim(text))", d)
+    fanout, one = dl.pos_shingle_fanout(w, d)
+    return f"""
+        SELECT doc_id, {one} AS gram
+        FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+        {fanout}
+    """
+
+
+def _dsir_select(d: str) -> str:
+    """DSIR importance weights for the raw pool against a target corpus.
+
+    Target = the 'src0' documents (standing in for the curated corpus);
+    raw pool = every other source (the crawl to select from). Features
+    are word unigrams AND bigrams hashed into {DSIR_BUCKETS} buckets
+    (arXiv:2302.03169 §3: hashed n-gram generative model). Per-bucket
+    probabilities are Laplace-smoothed over the full bucket space; each
+    raw doc's importance weight is
+
+        log w(x) = sum_f  c_f(x) * ( ln p_target(f) - ln p_raw(f) )
+
+    and the deterministic selection rule keeps docs with log w >= 0
+    (more target-like than raw-like). The paper samples with Gumbel
+    noise; the threshold form is the reproducible variant a pipeline
+    can re-run and diff (RNG-free, like split_train_val_test).
+
+    Scale shape: the gram fan-out is a per-row projection; per-(doc,
+    feature) counts are ONE shuffle keyed on doc_id (map-side partial
+    agg); both models collapse to <= {DSIR_BUCKETS} rows each, so the
+    log-ratio table is a BROADCAST join against the scoring pass —
+    at 100 TB the model fit is two bounded reductions and scoring never
+    shuffles anything wider than (doc_id, bucket). Per-feature log
+    ratios round to DECIMAL(18,9) before the per-doc sum accumulates
+    through DECIMAL (the lm_perplexity pattern), so partition/merge
+    order cannot perturb the result and DuckDB replays it exactly.
+    The sum is emitted at full 9-dp precision with NO final re-round:
+    the exact decimal sums frequently land on .5e-6 half-way points,
+    where Spark's exact HALF_UP and DuckDB's double-math round()
+    disagree — decimal→nearest-double is deterministic, a second
+    rounding of that double is not.
+    """
+    f_expr = dl.md5_i64(f"'{_DSIR_SALT}|' || gram", d)
+    b = DSIR_BUCKETS
+    return textwrap.dedent(f"""
+        WITH grams AS (
+            {_gram_rows(d, 1)}
+            UNION ALL
+            {_gram_rows(d, 2)}
+        ),
+        feats AS (
+            SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, ({f_expr}) % {b} AS f FROM grams) x
+            GROUP BY doc_id, f
+        ),
+        tagged AS (
+            SELECT ft.doc_id, ft.f, ft.n, dc.source
+            FROM feats ft JOIN documents dc ON dc.doc_id = ft.doc_id
+        ),
+        tgt AS (
+            SELECT f, CAST(SUM(n) AS BIGINT) AS c FROM tagged
+            WHERE source = 'src0' GROUP BY f
+        ),
+        raw AS (
+            SELECT f, CAST(SUM(n) AS BIGINT) AS c FROM tagged
+            WHERE source <> 'src0' GROUP BY f
+        ),
+        tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM tgt),
+        rt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM raw),
+        llr AS (
+            SELECT fs.f,
+                   CAST(ROUND(
+                       LN((COALESCE(tg.c, 0) + 1.0) / (tt.total + {b}))
+                     - LN((COALESCE(rw.c, 0) + 1.0) / (rt.total + {b})),
+                   9) AS DECIMAL(18,9)) AS llr
+            FROM (SELECT DISTINCT f FROM feats) fs
+            LEFT JOIN tgt tg ON tg.f = fs.f
+            LEFT JOIN raw rw ON rw.f = fs.f
+            CROSS JOIN tt CROSS JOIN rt
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   {dl.bsum("t.n", d)} AS n_grams,
+                   -- count bounded to DECIMAL(10,0): BIGINT * DECIMAL(18,9)
+                   -- would need precision 39 > 38, making Spark silently
+                   -- drop the 9th decimal (precision-loss scale reduction)
+                   -- while DuckDB keeps it — the one place the two engines'
+                   -- decimal type algebra diverges.
+                   {dl.dsum("CAST(t.n AS DECIMAL(10,0)) * l.llr", d, "DECIMAL(28,9)")} AS log_w
+            FROM tagged t
+            JOIN llr l ON l.f = t.f
+            WHERE t.source <> 'src0'
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               n_grams,
+               log_w AS dsir_log_weight,
+               CASE WHEN log_w >= 0 THEN 1 ELSE 0 END AS selected
+        FROM scored
+    """)
+
+
+register_sql(
+    "dsir_select",
+    _dsir_select,
+    doc="DSIR data selection (arXiv:2302.03169): hashed-n-gram importance "
+    "weight of each raw-pool doc vs the target corpus, DECIMAL-exact.",
+    bench=True,
+)

@@ -149,6 +149,7 @@ def load_all() -> dict[str, Query]:
         profiling,
         rangejoin,
         retrieval,
+        selection,
         similarity,
         sketches,
         text,

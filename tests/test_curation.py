@@ -276,3 +276,24 @@ def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
     assert got_ids == exp_ids
     # the store's fingerprints are unique — the anti-join held
     assert got.select("content_fp").distinct().count() == len(got_ids)
+
+
+def test_minhash_band_index_probe_matches_registered_entry(spark, sf_dir, tmp_path):
+    """The persisted-parquet band index (build once, probe per batch — the
+    100 TB deployment shape) returns verdicts identical to the
+    self-contained oracle-checked registry entry, because both run the
+    same _probe_core_sql text; only where the corpus side comes from
+    differs."""
+    from squirtle_spark.operators import dedup
+    from squirtle_spark.registry import load_all
+
+    idx = str(tmp_path / "mh-index")
+    dedup.build_minhash_band_index(spark, sf_dir, idx)
+    probed = dedup.probe_minhash_band_index(spark, sf_dir, idx)
+    registered = load_all()["dedup_incremental_minhash"].spark_fn(spark, sf_dir)
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got = sorted((r.asDict() for r in probed.collect()), key=key)
+    exp = sorted((r.asDict() for r in registered.collect()), key=key)
+    assert len(got) > 0
+    assert got == exp

@@ -95,6 +95,7 @@ _GLOBAL_AGG_QUERIES = {
     "mixture_temperature",  # languages-sized normalizer scalar (like mixture_weights)
     "hybrid_retrieval_rrf",  # rank fusion over two bounded top-K lists (embeds bm25's scalar)
     "corpus_report",  # the whole report IS corpus-grain scalars
+    "dsir_select",  # target/raw model totals: scalars over ≤DSIR_BUCKETS rows
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
     "join_skew_report",  # skew scalars over the per-key count table
