@@ -1,0 +1,83 @@
+"""PII detection and redaction over text columns.
+
+The training-data counterpart of a DLP pass: find and mask emails,
+phone numbers, and IPv4 addresses before a corpus ships. Beyond-parity
+(the reference engine has no text operators); pure regexp projections —
+whole-stage codegen, zero shuffle, so a 100 TB redaction pass costs one
+scan and writes the same partitioning it read.
+
+Patterns are written backslash-free (explicit character classes, ``[.]``
+for a literal dot) so the SAME literal parses identically under Spark's
+escape-processing string literals, Java regex, and DuckDB's RE2 —
+no dialect-specific escaping to keep in sync.
+
+The fixture corpus contains no PII, so the registered query PLANTS a
+deterministic contact line per document (email/phone/IP derived from
+doc_id with pure integer arithmetic) before scanning: both engines
+synthesize the identical line, the detectors fire on every row, and the
+DuckDB oracle value-checks counts AND redacted text — not a vacuous
+all-zeros pass. tests/test_curation.py adds planted edge cases
+(multiple hits, boundary-adjacent text, clean docs).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from .. import dialect as dl
+from ..registry import register_sql
+
+#: Detector patterns, least-to-most generic; redaction applies in this
+#: order so an IP inside a phone-like digit run is claimed by the more
+#: specific pattern first.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+}
+
+#: Replacement tokens: stable, grep-able, never re-match any detector.
+PII_MASKS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def redact_expr(col: str, d: str) -> str:
+    """Nested regexp_replace masking every PII_PATTERNS match in ``col``."""
+    expr = col
+    for kind, pat in PII_PATTERNS.items():
+        expr = dl.regex_replace_all(expr, pat, PII_MASKS[kind], d)
+    return expr
+
+
+def _pii_scan(d: str) -> str:
+    """Per-document PII counts + redacted text (see module docstring for
+    why a deterministic contact line is planted first)."""
+    plant = (
+        "text || ' contact user' || CAST(doc_id AS STRING)"
+        " || '@example.com or ' || CAST(200 + doc_id % 800 AS STRING)"
+        " || '-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS STRING)"
+        " || '.' || CAST((doc_id * 7) % 256 AS STRING)"
+        " || '.' || CAST((doc_id * 13) % 256 AS STRING)"
+    )
+    counts = ",\n               ".join(
+        f"{dl.regex_count('txt', pat, d)} AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return textwrap.dedent(f"""
+        WITH planted AS (
+            SELECT doc_id, {plant} AS txt FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               {redact_expr("txt", d)} AS redacted
+        FROM planted
+    """)
+
+
+register_sql(
+    "pii_scan",
+    _pii_scan,
+    doc="PII detection + redaction (email/phone/IPv4): pure regexp "
+    "projection, codegen-only, value-oracled on planted deterministic PII.",
+    bench=True,
+)

@@ -1,4 +1,4 @@
-"""Data-selection operators: importance-resampling document scoring.
+"""Data-selection operators: importance resampling and repetition filters.
 
 Quality filtering (text_quality / quality_classifier / lm_perplexity)
 scores documents in isolation; *data selection* scores them against a
@@ -138,5 +138,138 @@ register_sql(
     _dsir_select,
     doc="DSIR data selection (arXiv:2302.03169): hashed-n-gram importance "
     "weight of each raw-pool doc vs the target corpus, DECIMAL-exact.",
+    bench=True,
+)
+
+
+#: Gopher repetition gates (Rae et al., arXiv:2112.11446 Table A1): max
+#: fraction of characters in the single most frequent word n-gram, and
+#: max fraction of tokens covered by word 5-grams repeated WITHIN the doc.
+GOPHER_TOP2_MAX = 0.20
+GOPHER_TOP3_MAX = 0.18
+GOPHER_DUP5_MAX = 0.15
+
+
+def _top_gram_ctes(d: str, w: int) -> str:
+    """CTEs ``cnt{w}``/``top{w}``: per-doc count of every word w-gram, then
+    the single most frequent one (ties: longest gram, then lexicographic —
+    deterministic so both engines pick the same winner) with the
+    characters it accounts for (count x gram length, the paper's measure;
+    overlaps are not de-overlapped, matching the published definition)."""
+    fanout, one = dl.pos_shingle_fanout(w, d)
+    return f"""
+        cnt{w} AS (
+            SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, {one} AS gram FROM tk {fanout}) g
+            GROUP BY doc_id, gram
+        ),
+        top{w} AS (
+            SELECT doc_id, c * length(gram) AS top_chars
+            FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY c DESC, length(gram) DESC, gram ASC) AS rn
+                FROM cnt{w}
+            ) r WHERE rn = 1
+        )"""
+
+
+def _gopher_repetition(d: str) -> str:
+    """Gopher repetition filters (arXiv:2112.11446 §A.1.1): per document,
+    the fraction of characters in the most frequent word {{2,3}}-gram and
+    the fraction of tokens covered by word 5-grams that repeat WITHIN the
+    document, gated at the paper's thresholds ({GOPHER_TOP2_MAX}/
+    {GOPHER_TOP3_MAX}/{GOPHER_DUP5_MAX}). The paper's remaining signals
+    (line/paragraph duplication, n in {{4,6..10}}) are the same two plan
+    shapes at other widths — elided, not hard.
+
+    The intra-doc duplicated-5-gram coverage reuses dedup_spans'
+    gaps-and-islands interval union, but keyed on repeats inside one doc
+    (catching loops/babble) where dedup_spans keys on cross-doc sharing
+    (catching boilerplate) — complementary signals, same 100 TB shape:
+    positional fan-out is linear, every aggregation is keyed on doc_id
+    or (doc_id, gram), no shuffle wider than the shingle pass, and the
+    per-doc character base is length of the single-space-normalized
+    token join, so the ratios are integer-derived and engine-exact.
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    join_sp = "concat_ws(' ', tk)" if d == dl.SPARK else "array_to_string(tk, ' ')"
+    fanout5, one5 = dl.pos_shingle_fanout(5, d)
+    return textwrap.dedent(f"""
+        WITH tk AS (
+            SELECT doc_id, {toks} AS tk FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   {dl.array_len("tk", d)} AS n_tok,
+                   CAST(length({join_sp}) AS BIGINT) AS n_chars
+            FROM tk
+        ),
+        {_top_gram_ctes(d, 2)},
+        {_top_gram_ctes(d, 3)},
+        pos5 AS (
+            SELECT doc_id, pos, {one5} AS sh FROM tk {fanout5}
+        ),
+        rep5 AS (
+            SELECT doc_id, sh FROM pos5
+            GROUP BY doc_id, sh HAVING COUNT(*) >= 2
+        ),
+        dup AS (
+            SELECT p.doc_id, p.pos
+            FROM pos5 p JOIN rep5 r ON r.doc_id = p.doc_id AND r.sh = p.sh
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > LAG(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 4
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 4 AS e
+            FROM grp GROUP BY doc_id, island
+        ),
+        cov AS (
+            SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup5_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               b.n_tok,
+               ROUND(CAST(COALESCE(t2.top_chars, 0) AS DOUBLE) / b.n_chars, 4)
+                   AS top2_char_frac,
+               ROUND(CAST(COALESCE(t3.top_chars, 0) AS DOUBLE) / b.n_chars, 4)
+                   AS top3_char_frac,
+               ROUND(CAST(COALESCE(c.dup5_tokens, 0) AS DOUBLE) / b.n_tok, 4)
+                   AS dup5_token_frac,
+               CAST(
+                 CAST(COALESCE(t2.top_chars, 0) AS DOUBLE) / b.n_chars
+                     <= {GOPHER_TOP2_MAX}
+                 AND CAST(COALESCE(t3.top_chars, 0) AS DOUBLE) / b.n_chars
+                     <= {GOPHER_TOP3_MAX}
+                 AND CAST(COALESCE(c.dup5_tokens, 0) AS DOUBLE) / b.n_tok
+                     <= {GOPHER_DUP5_MAX}
+               AS INT) AS gate_pass
+        FROM base b
+        LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+        LEFT JOIN top3 t3 ON t3.doc_id = b.doc_id
+        LEFT JOIN cov c ON c.doc_id = b.doc_id
+        WHERE b.n_tok > 0
+    """)
+
+
+register_sql(
+    "gopher_repetition",
+    _gopher_repetition,
+    doc="Gopher repetition filters (arXiv:2112.11446): top-{2,3}-gram "
+    "character fraction + intra-doc duplicated-5-gram token coverage, "
+    "gated at the paper's thresholds.",
     bench=True,
 )

@@ -145,6 +145,7 @@ def load_all() -> dict[str, Query]:
         e2e,
         graphrank,
         multimodal,
+        pii,
         pipeline,
         profiling,
         rangejoin,

@@ -297,3 +297,31 @@ def test_minhash_band_index_probe_matches_registered_entry(spark, sf_dir, tmp_pa
     exp = sorted((r.asDict() for r in registered.collect()), key=key)
     assert len(got) > 0
     assert got == exp
+
+
+def test_pii_redaction_planted_cases(spark):
+    """Detector semantics on hand-constructed text: multi-hit, clean,
+    adjacent-punctuation, and each PII kind in isolation."""
+    from squirtle_spark.operators.pii import redact_expr
+
+    rows = [
+        (1, "mail a@b.co and c.d+e@f-g.org now"),
+        (2, "no pii here at all"),
+        (3, "server 192.168.0.1, backup 10.0.255.254."),
+        (4, "call 415-555-0199 or 415 555 0123"),
+        (5, "mixed: x@y.io via 172.16.4.2 tel 650-555-9999"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "pii_probe"
+    )
+    got = {
+        r["doc_id"]: r["red"]
+        for r in spark.sql(
+            f"SELECT doc_id, {redact_expr('text', dl.SPARK)} AS red FROM pii_probe"
+        ).collect()
+    }
+    assert got[1] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2] == "no pii here at all"
+    assert got[3] == "server <IP>, backup <IP>."
+    assert got[4] == "call <PHONE> or <PHONE>"
+    assert got[5] == "mixed: <EMAIL> via <IP> tel <PHONE>"
