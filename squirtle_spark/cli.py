@@ -11,14 +11,16 @@ Spark-native equivalents:
     python -m squirtle_spark.cli ysb [--sf-dir D]
     python -m squirtle_spark.cli tpch -q N [--sf-dir D]
     python -m squirtle_spark.cli sql "SELECT ..." [--sf-dir D]
+    python -m squirtle_spark.cli repl [--sf-dir D]
     python -m squirtle_spark.cli table versions|rollback|vacuum|compact
                                      --path P [-v N] [--keep K] [--dst D]
 
 ``run --oracle`` executes the query on Spark AND its DuckDB oracle and
 prints the comparison — the same gate the driver applies. ``sql`` runs
-arbitrary SQL over the full catalog (fixture tables + derived NEXMark/
-YSB/TPC-H views) — the working form of the ``fsql`` REPL the reference
-stubs out (flock-cli/src/fsql.rs:30-68).
+one arbitrary SQL statement over the full catalog (fixture tables +
+derived NEXMark/YSB/TPC-H views); ``repl`` is the interactive form —
+the working version of the ``fsql`` shell the reference stubs out
+(flock-cli/src/fsql.rs:30-68 prompts but executes nothing).
 """
 
 from __future__ import annotations
@@ -53,6 +55,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--explain", action="store_true")
 
     sp = sub.add_parser(
+        "repl", help="interactive SQL shell over the catalog (fsql parity)"
+    )
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser(
         "table", help="versioned-table lifecycle (maintenance operators)"
     )
     sp.add_argument(
@@ -76,7 +84,75 @@ def _resolve(cmd: str, q: str | None) -> str:
     return "ysb_campaign_views"
 
 
-def main(argv: list[str] | None = None, spark=None) -> int:
+def repl(spark, sf_dir: str, limit: int = 20, stdin=None) -> int:
+    """Interactive SQL shell: the WORKING form of the reference's ``fsql``
+    REPL (flock-cli/src/fsql.rs:30-68 prompts for SQL but executes
+    nothing). Statements end with ``;`` and may span lines. Dot-commands:
+    ``.list [substr]`` (registry queries), ``.run NAME`` (execute a
+    registry entry), ``.explain`` toggles formatted plans, ``.quit``.
+    Reads from ``stdin`` (any iterable of lines — tests feed a list;
+    piped input works: ``echo 'SELECT 1;' | python -m squirtle_spark.cli
+    repl``). Errors print and the loop continues, as a shell should."""
+    from . import catalog
+    from .registry import load_all
+
+    catalog.register_all(spark, sf_dir)
+    queries = load_all()
+    lines = iter(stdin) if stdin is not None else iter(sys.stdin)
+    show_plans = False
+    buf: list[str] = []
+    print("squirtle-spark SQL shell — `;` ends a statement, `.quit` exits")
+    while True:
+        sys.stdout.write("fsql> " if not buf else "  ... ")
+        sys.stdout.flush()
+        line = next(lines, None)
+        if line is None:
+            return 0
+        stripped = line.strip()
+        if not buf and stripped.startswith("."):
+            parts = stripped.split()
+            if parts[0] in (".quit", ".q", ".exit"):
+                return 0
+            if parts[0] == ".explain":
+                show_plans = not show_plans
+                print(f"explain {'on' if show_plans else 'off'}")
+            elif parts[0] == ".list":
+                pat = parts[1] if len(parts) > 1 else ""
+                for name, q in queries.items():
+                    if pat in name:
+                        print(f"{name:32s} {q.doc}")
+            elif parts[0] == ".run" and len(parts) > 1:
+                name = parts[1]
+                if name not in queries:
+                    print(f"unknown query {name!r}; .list shows all")
+                    continue
+                try:
+                    df = queries[name].spark_fn(spark, sf_dir)
+                    if show_plans:
+                        df.explain("formatted")
+                    df.show(limit, truncate=False)
+                except Exception as e:  # keep the shell alive
+                    print(f"error: {e}")
+            else:
+                print("commands: .list [substr] | .run NAME | .explain | .quit")
+            continue
+        buf.append(line)
+        if not stripped.endswith(";"):
+            continue
+        stmt = "\n".join(buf).strip().rstrip(";")
+        buf = []
+        if not stmt:
+            continue
+        try:
+            df = spark.sql(stmt)
+            if show_plans:
+                df.explain("formatted")
+            df.show(limit, truncate=False)
+        except Exception as e:
+            print(f"error: {e}")
+
+
+def main(argv: list[str] | None = None, spark=None, stdin=None) -> int:
     args = _build_parser().parse_args(argv)
     from .registry import load_all
 
@@ -103,6 +179,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df.explain("formatted")
         df.show(args.limit, truncate=False)
         return 0
+
+    if args.cmd == "repl":
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark(app_name="squirtle-cli-repl")
+        return repl(spark, args.sf_dir, limit=args.limit, stdin=stdin)
 
     if args.cmd == "table":
         if spark is None:

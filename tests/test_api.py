@@ -269,3 +269,29 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     )
     assert "compacted to" in capsys.readouterr().out
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_cli_repl(spark, sf_dir, capsys):
+    """The fsql-parity shell: multi-line SQL, dot-commands, error recovery."""
+    lines = [
+        "SELECT COUNT(*) AS n\n",
+        "FROM events;\n",
+        ".explain\n",
+        "SELECT 1 AS one;\n",
+        ".explain\n",
+        "SELECT definitely_broken FROM nowhere;\n",
+        ".list events_filter\n",
+        ".run events_filter\n",
+        ".quit\n",
+    ]
+    rc = cli.main(["repl", "--sf-dir", sf_dir], spark=spark, stdin=lines)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "error:" in out  # bad statement reported, loop survived
+    assert "one" in out
+    assert "events_filter" in out
+    assert "== Physical Plan ==" in out  # .explain toggled a formatted plan
+
+
+def test_cli_repl_eof_exits(spark, sf_dir):
+    assert cli.main(["repl", "--sf-dir", sf_dir], spark=spark, stdin=[]) == 0
