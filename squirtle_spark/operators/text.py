@@ -932,3 +932,98 @@ register_sql(
     doc="BPE tokenizer-training merge step: corpus-wide adjacent char-pair "
     "counts inside words, top-20 merge candidates (deterministic ties).",
 )
+
+
+#: Unrolled BPE training depth. Each extra merge is one more copy of the
+#: same count→argmax→apply CTE block; 3 proves the loop (like
+#: kmeans_lloyd's 4 Lloyd iterations) while keeping the oracle replay
+#: readable.
+BPE_TRAIN_K = 3
+
+
+def _bpe_train_merges(d: str) -> str:
+    """BPE tokenizer TRAINING, {BPE_TRAIN_K} merges unrolled in one plan
+    (Sennrich et al. 2016 §3.2): start from character symbols, then per
+    round: count adjacent symbol pairs corpus-wide -> take the most
+    frequent (ties: lexicographic, deterministic) -> merge every
+    non-overlapping occurrence -> recount on the merged corpus. The
+    companion of bpe_merge_step (which surfaces ONE round's candidates):
+    this runs the actual loop, so round r's winner reflects round r-1's
+    merge.
+
+    Representation: words as single-space-separated symbol strings
+    (' h e l l o '), a merge = string replace of ' a b ' with ' ab ',
+    applied twice so runs of the same symbol chain-merge left-to-right
+    (' l l l ' -> ' ll l ', as BPE's non-overlapping greedy scan does;
+    runs longer than ~5 equal symbols would need more passes — absent
+    in natural-language words, and both engines share the replace text
+    so the oracle replays whatever the rule does bit-for-bit).
+
+    Scale shape: each round is one corpus-scan pair count that collapses
+    map-side to a symbol-pair-keyed aggregate (bounded by vocab², tiny),
+    one 1-row argmax joined back by CROSS JOIN broadcast, and a per-row
+    projection applying the merge — no shuffle wider than the pair
+    count, {BPE_TRAIN_K} rounds in ONE Catalyst plan with zero driver
+    round-trips (the winning pair travels as a broadcast scalar, the
+    kmeans-centroid pattern).
+    """
+    if d == dl.SPARK:
+        chars = "concat_ws(' ', split(w, ''))"
+    else:
+        chars = "array_to_string(string_split(w, ''), ' ')"
+    words0 = (
+        f"SELECT ' ' || {chars} || ' ' AS s FROM ("
+        + (
+            "SELECT w FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
+            "WHERE length(w) >= 2"
+            if d == dl.SPARK
+            else "SELECT w FROM (SELECT UNNEST(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2"
+        )
+        + ") base"
+    )
+    fanout, one = dl.pos_shingle_fanout(2, d)
+    rounds = []
+    for r in range(1, BPE_TRAIN_K + 1):
+        prev = "w0" if r == 1 else f"w{r - 1}"
+        rounds.append(f"""
+        cnt{r} AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT {one} AS pair
+                FROM (SELECT {dl.split_tokens('s', d)} AS tk FROM {prev}) t
+                {fanout}
+            ) p
+            GROUP BY pair
+        ),
+        best{r} AS (
+            SELECT pair, n, replace(pair, ' ', '') AS merged
+            FROM cnt{r} ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        w{r} AS (
+            SELECT replace(replace(s,
+                       ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+                       ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s
+            FROM {prev} CROSS JOIN best{r} b
+        )""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, pair, merged, n FROM best{r}"
+        for r in range(1, BPE_TRAIN_K + 1)
+    )
+    return f"""
+WITH w0 AS ({words0}),
+{",".join(rounds)}
+{finals}
+ORDER BY merge_rank
+"""
+
+
+register_sql(
+    "bpe_train_merges",
+    _bpe_train_merges,
+    doc=f"BPE tokenizer training, {BPE_TRAIN_K} merges unrolled in one "
+    "plan: corpus pair count -> deterministic argmax -> apply merge -> "
+    "recount; winners reflect prior rounds' merges.",
+    bench=True,
+)

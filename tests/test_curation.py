@@ -325,3 +325,15 @@ def test_pii_redaction_planted_cases(spark):
     assert got[3] == "server <IP>, backup <IP>."
     assert got[4] == "call <PHONE> or <PHONE>"
     assert got[5] == "mixed: <EMAIL> via <IP> tel <PHONE>"
+
+
+def test_bpe_train_merges_chain(spark):
+    """On a corpus of 'abab' words, round 1 must merge 'a b'->'ab' and
+    round 2 must merge the MERGED symbols 'ab ab'->'abab' — proving each
+    round counts the previous round's merged corpus, not the original."""
+    from squirtle_spark.operators import text
+
+    _plant_documents(spark, [(i, "abab abab", "en") for i in range(10)])
+    rows = {r["merge_rank"]: r for r in spark.sql(text._bpe_train_merges(dl.SPARK)).collect()}
+    assert rows[1]["pair"] == "a b" and rows[1]["merged"] == "ab"
+    assert rows[2]["pair"] == "ab ab" and rows[2]["merged"] == "abab"
