@@ -434,6 +434,7 @@ def stream_curation(
     checkpoint: str,
     files_per_trigger: int = 2,
     timeout_s: int = 300,
+    redact_pii: bool = False,
 ) -> None:
     """Curate a document STREAM incrementally: per micro-batch, (1) drop
     docs under the length gate, (2) collapse within-batch exact dups to
@@ -451,10 +452,20 @@ def stream_curation(
     survivorship (first accepted wins); the batch-equality test feeds
     epochs in doc_id order so first-arrival == min doc_id, making the
     stream comparable to the batch min-id rule.
+
+    ``redact_pii=True`` masks emails/phones/IPv4 (operators.pii) in the
+    STORED text only, after fingerprinting: dedup keys on the raw
+    content, so two docs differing only in their PII still collapse the
+    same way redaction-off would, and the fingerprint index never holds
+    unmasked text either way (it is an md5). The mask is a per-row
+    codegen projection — adding it to the lane costs no extra shuffle
+    or state.
     """
     from pyspark.sql import functions as F
 
+    from .. import dialect as _dl
     from .. import streaming as st
+    from .pii import redact_expr
 
     stream = st.replay_stream(spark, docs_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
@@ -481,6 +492,10 @@ def stream_curation(
         if fs.exists(hpath):
             seen = sess.read.parquet(accept_path).select("content_fp")
             batch = batch.join(seen, "content_fp", "left_anti")
+        if redact_pii:
+            batch = batch.withColumn(
+                "text", F.expr(redact_expr("text", _dl.SPARK))
+            )
         batch.write.mode("append").parquet(accept_path)
 
     q = st.foreach_batch_sink(stream, process, checkpoint=checkpoint)

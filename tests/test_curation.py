@@ -337,3 +337,36 @@ def test_bpe_train_merges_chain(spark):
     rows = {r["merge_rank"]: r for r in spark.sql(text._bpe_train_merges(dl.SPARK)).collect()}
     assert rows[1]["pair"] == "a b" and rows[1]["merged"] == "ab"
     assert rows[2]["pair"] == "ab ab" and rows[2]["merged"] == "abab"
+
+
+def test_stream_curation_redacts_pii(spark, tmp_path):
+    """With redact_pii on, accepted rows store masked text while dedup
+    still keys on raw content: two docs identical except for their PII
+    collapse to one, and no raw email/IP survives in the store."""
+    from squirtle_spark import streaming
+
+    pad = "x" * 80  # clear the CURATION_MIN_CHARS gate
+    rows = [
+        (0, f"{pad} mail me at alice@example.com", 0),
+        (1, f"{pad} mail me at alice@example.com", 0),  # exact dup
+        (2, f"{pad} server 10.1.2.3 up", 1),
+        (3, f"{pad} call 415-555-0100 now", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, epoch int")
+    streaming.write_epoch_files(docs, str(tmp_path / "docs"))
+
+    curation.stream_curation(
+        spark,
+        str(tmp_path / "docs"),
+        str(tmp_path / "accepted"),
+        checkpoint=str(tmp_path / "ckpt"),
+        files_per_trigger=1,
+        redact_pii=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(tmp_path / "accepted")).collect()}
+    assert sorted(got) == [0, 2, 3]  # dup doc 1 collapsed on RAW text
+    assert got[0].endswith("mail me at <EMAIL>")
+    assert got[2].endswith("server <IP> up")
+    assert got[3].endswith("call <PHONE> now")
+    for t in got.values():
+        assert "example.com" not in t and "10.1.2.3" not in t and "555-" not in t
