@@ -11,6 +11,8 @@ for a literal dot) so the SAME literal parses identically under Spark's
 escape-processing string literals, Java regex, and DuckDB's RE2 —
 no dialect-specific escaping to keep in sync.
 
+Two registry entries share these patterns: ``pii_scrub`` (text.py)
+redacts the documents table exactly as stored, and ``pii_scan`` below.
 The fixture corpus contains no PII, so the registered query PLANTS a
 deterministic contact line per document (email/phone/IP derived from
 doc_id with pure integer arithmetic) before scanning: both engines
@@ -33,7 +35,7 @@ from ..registry import register_sql
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
     "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
-    "phone": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "phone": "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}",
 }
 
 #: Replacement tokens: stable, grep-able, never re-match any detector.

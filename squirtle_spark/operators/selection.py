@@ -188,7 +188,10 @@ def _gopher_repetition(d: str) -> str:
     document, gated at the paper's thresholds ({GOPHER_TOP2_MAX}/
     {GOPHER_TOP3_MAX}/{GOPHER_DUP5_MAX}). The paper's remaining signals
     (line/paragraph duplication, n in {{4,6..10}}) are the same two plan
-    shapes at other widths — elided, not hard.
+    shapes at other widths — elided, not hard. text.text_repetition is
+    the cheap count-based screen of the same idea (top-token/top-bigram
+    OCCURRENCE fractions, one pass); this entry is the paper-faithful
+    character-based gate plus the span-coverage signal the screen lacks.
 
     The intra-doc duplicated-5-gram coverage reuses dedup_spans'
     gaps-and-islands interval union, but keyed on repeats inside one doc

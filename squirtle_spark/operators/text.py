@@ -424,35 +424,27 @@ register_df(
 )
 
 
-def _pii_patterns(d: str) -> tuple[str, str, str]:
-    """(email, ipv4, phone) regexes AS SQL-STRING TEXT per dialect: Spark
-    string literals consume one level of backslashes (the SQL text needs
-    ``\\\\d`` for the regex engine to see ``\\d``), DuckDB strings don't."""
-    e = "\\\\" if d == dl.SPARK else "\\"
-    email = f"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+{e}.[A-Za-z]{{2,}}"
-    ipv4 = f"{e}b{e}d{{1,3}}({e}.{e}d{{1,3}}){{3}}{e}b"
-    phone = f"{e}b{e}d{{3}}[-. ]{e}d{{3,4}}[-. ]{e}d{{4}}{e}b"
-    return email, ipv4, phone
-
-
 def _pii_scrub(d: str) -> str:
-    """PII masking — the redaction pass a training-data pipeline runs
-    before anything else: emails, phone-ish digit runs, and IPv4 literals
-    replaced by typed placeholder tokens. Pure per-row regex (zero
-    shuffle, fully pushdown-compatible). The fixture corpus contains no
-    PII (the oracle row-values are trivially equal), so the patterns are
-    additionally value-tested on synthetic PII in both engines
+    """PII masking over the documents table AS-IS (the redaction pass a
+    pipeline runs before anything else): emails, phone-ish digit runs,
+    and IPv4 literals replaced by typed placeholder tokens. Pure per-row
+    regex (zero shuffle, fully pushdown-compatible). Patterns and masks
+    are the SHARED set in operators.pii — one source of truth for every
+    detector in the repo. The fixture corpus contains no PII, so this
+    entry's oracle row-values are trivially equal; the sibling
+    ``pii_scan`` plants deterministic PII inside its query so its oracle
+    value-checks real matches, and the patterns are additionally
+    value-tested on synthetic PII in both engines
     (tests/test_dialect.py::test_pii_patterns_match_in_both_engines)."""
-    email, ipv4, phone = _pii_patterns(d)
-    body = dl.regex_replace_all("text", email, "<EMAIL>", d)
-    body = dl.regex_replace_all(body, ipv4, "<IP>", d)
-    body = dl.regex_replace_all(body, phone, "<PHONE>", d)
+    from .pii import PII_PATTERNS, redact_expr
+
+    counts = " + ".join(
+        dl.regex_count("text", pat, d) for pat in PII_PATTERNS.values()
+    )
     return f"""
 SELECT doc_id,
-       {body} AS scrubbed,
-       CAST(({dl.regex_count('text', email, d)}
-           + {dl.regex_count('text', ipv4, d)}
-           + {dl.regex_count('text', phone, d)}) AS BIGINT) AS n_pii
+       {redact_expr("text", d)} AS scrubbed,
+       CAST(({counts}) AS BIGINT) AS n_pii
 FROM documents
 """
 
@@ -465,11 +457,15 @@ register_sql(
 
 
 def _repetition(d: str) -> str:
-    """Gopher-style repetition filters: documents dominated by a few
-    repeated tokens/bigrams are boilerplate, not prose. Computed the
-    distributed way — explode → two bounded groupBys keyed on doc_id (no
-    per-row quadratic lambda, so arbitrarily long documents stay cheap);
-    int/int division is a single IEEE op, bitwise-equal across engines."""
+    """Gopher-style repetition filters, COUNT-based: documents dominated
+    by a few repeated tokens/bigrams are boilerplate, not prose. Computed
+    the distributed way — explode → two bounded groupBys keyed on doc_id
+    (no per-row quadratic lambda, so arbitrarily long documents stay
+    cheap); int/int division is a single IEEE op, bitwise-equal across
+    engines. The paper-faithful CHARACTER-based top-n-gram fractions and
+    the duplicated-5-gram span coverage live in selection.
+    gopher_repetition — this entry is the cheap one-pass screen, that one
+    the published gate."""
     toks = dl.split_tokens("lower(text)", d)
     un = dl.unnest_fn(d)
     bg_fanout, bg_one = dl.pos_shingle_fanout(2, d)

@@ -110,7 +110,7 @@ def test_pii_patterns_match_in_both_engines(spark, tmp_path):
     and also pins expected counts (catches the classic double-backslash
     dialect bug, where DuckDB would receive literal '\\\\d' and match
     nothing while both engines happily agree on zero)."""
-    from squirtle_spark.operators.text import _pii_patterns
+    from squirtle_spark.operators.pii import PII_PATTERNS
 
     pdf = pd.DataFrame(
         {
@@ -129,7 +129,9 @@ def test_pii_patterns_match_in_both_engines(spark, tmp_path):
     pdf.to_parquet(path)
 
     def body(d):
-        email, ipv4, phone = _pii_patterns(d)
+        email, ipv4, phone = (
+            PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+        )
         return f"""
 SELECT id,
        {dl.regex_count('text', email, d)} AS n_email,
