@@ -282,3 +282,67 @@ register_sql(
     "gated at the paper's thresholds.",
     bench=True,
 )
+
+
+#: Deterministic "held-out" subset for threshold fitting: CCNet fits its
+#: perplexity cutoffs on a sample, then scores the corpus against them.
+CCNET_SAMPLE_MOD = 5
+
+
+def _ccnet_buckets(d: str) -> str:
+    """CCNet perplexity bucketing (Wenzek et al., arXiv:1911.00359 §4.3):
+    per language, split documents into head/middle/tail quality buckets
+    by LM perplexity. Mirrors the paper's two-phase shape — tercile
+    THRESHOLDS are fitted on a deterministic held-out sample (doc_id %
+    {CCNET_SAMPLE_MOD} = 0, the paper's held-out split made replayable),
+    then the WHOLE corpus is assigned by comparison against them.
+
+    That split is also the 100 TB shape: the only sort is a ROW_NUMBER
+    over the per-lang sample (bounded; at cluster scale a fraction-of-a-
+    percent sample), the threshold table is languages x 2 rows and
+    BROADCASTS into the scoring pass, and corpus assignment is a pure
+    projection — no per-lang global sort of the full data, which is what
+    a naive NTILE(3) formulation would cost (one task per language).
+    Perplexities come from the shared lm_perplexity entry (unigram LM,
+    DECIMAL-exact NLL, 4-dp rounding) so thresholds and scores are the
+    same engine-identical numbers on both sides of the comparison.
+    """
+    from .text import _lm_perplexity
+
+    m = CCNET_SAMPLE_MOD
+    return textwrap.dedent(f"""
+        WITH perp AS (
+            SELECT p.doc_id, dc.lang, p.perplexity
+            FROM ({_lm_perplexity(d)}) p
+            JOIN documents dc ON dc.doc_id = p.doc_id
+        ),
+        ranked AS (
+            SELECT lang, perplexity,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY perplexity, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM perp WHERE doc_id % {m} = 0
+        ),
+        cuts AS (
+            SELECT lang,
+                   MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS INT)
+                            THEN perplexity END) AS t_head,
+                   MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS INT)
+                            THEN perplexity END) AS t_middle
+            FROM ranked GROUP BY lang
+        )
+        SELECT p.doc_id, p.lang, p.perplexity,
+               CASE WHEN p.perplexity <= c.t_head THEN 'head'
+                    WHEN p.perplexity <= c.t_middle THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM perp p JOIN cuts c ON c.lang = p.lang
+    """)
+
+
+register_sql(
+    "ccnet_buckets",
+    _ccnet_buckets,
+    doc="CCNet head/middle/tail perplexity buckets per language: tercile "
+    "thresholds fitted on a deterministic held-out sample, corpus "
+    "assigned by broadcast comparison (no per-lang global sort).",
+)
