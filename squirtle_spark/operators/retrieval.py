@@ -229,3 +229,119 @@ register_sql(
     doc="Hybrid lexical+dense retrieval fused by reciprocal rank "
     "(BM25 top-K ⊕ cosine top-K, RRF k=60) — the standard RAG retriever.",
 )
+
+
+#: Hard-negative mining knobs: every HN_QUERY_MOD'th doc is a training
+#: query; terms present in more than HN_DF_FRAC of the corpus are pruned
+#: from candidate generation (stopword postings are the one thing that
+#: can blow the token join up toward all-pairs); HN_TOPK negatives kept.
+HN_QUERY_MOD = 10
+HN_DF_FRAC = 0.3
+HN_TOPK = 5
+
+
+def _hard_negatives(d: str) -> str:
+    """BM25 hard-negative mining for retriever training (DPR, Karpukhin
+    et al., arXiv:2004.04906 §4.2: the strongest negatives for a query
+    are the top BM25 passages that are NOT the positive). Every
+    {HN_QUERY_MOD}th document plays the training query; candidates meet
+    it ONLY through shared tokens (the inverted-index equi-join — never
+    query x corpus), terms with df > {HN_DF_FRAC} x corpus are pruned so
+    no stopword posting list can quadratically explode the join, the
+    query doc itself and its exact-content duplicates (same md5
+    fingerprint) are excluded as positives, and the top {HN_TOPK}
+    remaining docs per query ship as negatives.
+
+    Determinism: each (query, candidate, term) BM25 contribution rounds
+    to DECIMAL(18,9) before the per-pair sum accumulates through DECIMAL
+    (term order cannot perturb the total — the lm_perplexity pattern),
+    and ranking ties break on doc_id. Scale shape: tf/df/dlen are the
+    corpus-wide token aggregates every text operator already pays ONE
+    shuffle for; the candidate join is keyed on token with both sides
+    df-capped; the final top-k is a per-query window over candidate
+    rows only.
+    """
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    idf = "LN(CAST(1 AS DOUBLE) + (c.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    sat = (
+        f"(tf.tf * ({BM25_K1} + 1)) "
+        f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dln.dlen / c.avgdl))"
+    )
+    contrib = f"CAST(ROUND({idf} * {sat}, 9) AS DECIMAL(18,9))"
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {toks} AS tk FROM documents
+),
+dln AS (
+    SELECT doc_id, CAST({dl.array_len('tk', d)} AS BIGINT) AS dlen FROM tk
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, {un}(tk) AS tok FROM tk) x
+    GROUP BY doc_id, tok
+),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dlen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM dln
+),
+df AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+kept AS (
+    SELECT df.tok, df.df FROM df CROSS JOIN c
+    WHERE df.df <= CAST({HN_DF_FRAC} * c.n_docs AS BIGINT)
+),
+fp AS (
+    SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+),
+qterms AS (
+    SELECT DISTINCT tf.doc_id AS q_id, tf.tok
+    FROM tf JOIN kept k ON k.tok = tf.tok
+    WHERE tf.doc_id % {HN_QUERY_MOD} = 0
+),
+pair_scores AS (
+    SELECT q.q_id, tf.doc_id AS cand_id,
+           CAST(SUM({contrib}) AS DOUBLE) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+    FROM qterms q
+    JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.q_id
+    JOIN df ON df.tok = tf.tok
+    JOIN dln ON dln.doc_id = tf.doc_id
+    CROSS JOIN c
+    GROUP BY q.q_id, tf.doc_id
+),
+negs AS (
+    SELECT p.q_id, p.cand_id, p.score, p.n_shared_terms
+    FROM pair_scores p
+    JOIN fp fq ON fq.doc_id = p.q_id
+    JOIN fp fc ON fc.doc_id = p.cand_id
+    WHERE fq.content_fp <> fc.content_fp
+),
+ranked AS (
+    SELECT q_id, cand_id, score, n_shared_terms,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY score DESC, cand_id ASC) AS rank
+    FROM negs
+)
+SELECT q_id AS query_doc,
+       rank,
+       cand_id AS negative_doc,
+       n_shared_terms,
+       -- no final re-round: the score is an exact 9-dp DECIMAL sum cast
+       -- to double, and exact decimals land on ROUND()'s half-way points
+       -- where the engines' rounding diverges (the dsir_select lesson)
+       score AS bm25_score
+FROM ranked WHERE rank <= {HN_TOPK}
+"""
+
+
+register_sql(
+    "hard_negatives",
+    _hard_negatives,
+    doc="DPR-style BM25 hard-negative mining: inverted-token candidate "
+    "join (df-pruned, never query x corpus), exact-dup positives "
+    "excluded, DECIMAL-exact scores, top-k per query.",
+    bench=True,
+)
