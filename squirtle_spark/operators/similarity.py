@@ -1025,3 +1025,42 @@ register_df(
     "oracle replays cells + codebook + codes bit-identically.",
     bench=True,
 )
+
+
+def stream_ann_probe(
+    spark,
+    queries_path: str,
+    index_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    files_per_trigger: int = 4,
+    timeout_s: int = 300,
+) -> None:
+    """The serving loop's other half: QUERY embeddings arrive as a stream
+    and probe the persisted LSH index per micro-batch via
+    ``query_lsh_index`` inside foreachBatch, appending per-query top-k
+    rows to ``out_path``. Combined with stream_lsh_index_build this is
+    ingest-and-serve with all state on storage: new vectors append to the
+    index, query traffic reads whatever index version each batch sees
+    (snapshot-per-batch semantics — a probe never observes a half-written
+    index file thanks to parquet's atomic task commits). Results land in
+    a sink, never the driver (the datasink contract,
+    flock/src/datasink/mod.rs:118-140); per-batch cost is the batch's
+    bucket slices only, so query throughput is independent of corpus
+    size. Test asserts stream==batch verdict parity per query batch.
+    """
+    from .. import streaming as st
+
+    stream = st.replay_stream(spark, queries_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+
+    def probe(df, _epoch_id):
+        res = query_lsh_index(df.sparkSession, index_path, df)
+        res.write.mode("append").parquet(out_path)
+
+    q = st.foreach_batch_sink(stream, probe, checkpoint=checkpoint)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ANN probe stream still running after {timeout_s}s")

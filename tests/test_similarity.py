@@ -143,3 +143,51 @@ def test_ivfpq_recall_and_cell_pruning(spark, sf_dir):
     for q, cset in probed.items():
         covered = sum(1 for c, cell in cells.items() if cell in cset)
         assert covered < n_corpus, "probing covered the whole corpus"
+
+
+def test_stream_ann_probe_equals_batch(spark, sf_dir, tmp_path):
+    """Ingest-and-serve with both sides streamed: queries streamed in
+    epochs against the persisted LSH index must produce, in union, the
+    same top-k verdicts as one batch probe of all queries."""
+    from pyspark.sql import functions as F
+
+    from squirtle_spark import catalog, streaming
+    from squirtle_spark.operators import similarity
+
+    catalog.register_all(spark, sf_dir)
+    emb = spark.table("embeddings")
+    streaming.write_epoch_files(
+        emb.withColumn("epoch", F.col("vec_id") % 4), str(tmp_path / "emb")
+    )
+    similarity.stream_lsh_index_build(
+        spark,
+        str(tmp_path / "emb"),
+        str(tmp_path / "index"),
+        checkpoint=str(tmp_path / "ckpt-idx"),
+        files_per_trigger=4,
+    )
+
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+    streaming.write_epoch_files(
+        queries.withColumn("epoch", F.col("vec_id") % 3), str(tmp_path / "q")
+    )
+    similarity.stream_ann_probe(
+        spark,
+        str(tmp_path / "q"),
+        str(tmp_path / "index"),
+        str(tmp_path / "results"),
+        checkpoint=str(tmp_path / "ckpt-probe"),
+        files_per_trigger=1,
+    )
+
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "results")).collect()))
+    exp = sorted(
+        map(
+            tuple,
+            similarity.query_lsh_index(
+                spark, str(tmp_path / "index"), queries
+            ).collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == exp
