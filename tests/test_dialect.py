@@ -202,3 +202,46 @@ FROM hashes
     # 60-bit positive range, and distinct inputs hash apart
     assert (got["h64"] >= 0).all() and (got["h64"] < (1 << 60)).all()
     assert got["h64"].nunique() == len(got)
+
+
+def test_pii_redaction_matches_python_re(spark):
+    """Third-engine check: on a seeded random corpus with PII planted at
+    random positions, Spark's nested regexp_replace must equal Python
+    re.sub applying the SAME shared patterns in the same order — and
+    redaction must be idempotent (masks never re-match any detector)."""
+    import random
+    import re as pyre
+
+    from squirtle_spark.operators.pii import PII_MASKS, PII_PATTERNS, redact_expr
+
+    rng = random.Random(20260814)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "dot.com", "a@b", "@", "10.2"]
+    pii = [
+        lambda: f"user{rng.randint(0,99)}@mail{rng.randint(0,9)}.org",
+        lambda: f"{rng.randint(1,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}",
+        lambda: f"{rng.randint(100,999)}-{rng.randint(100,9999)}-{rng.randint(1000,9999)}",
+    ]
+    rows = []
+    for i in range(200):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 12))]
+        for _ in range(rng.randint(0, 3)):
+            toks.insert(rng.randint(0, len(toks)), rng.choice(pii)())
+        rows.append((i, " ".join(toks)))
+
+    def py_redact(t):
+        for kind, pat in PII_PATTERNS.items():
+            t = pyre.sub(pat, PII_MASKS[kind], t)
+        return t
+
+    spark.createDataFrame(rows, "id long, text string").createOrReplaceTempView(
+        "pii_fuzz"
+    )
+    got = {
+        r["id"]: r["red"]
+        for r in spark.sql(
+            f"SELECT id, {redact_expr('text', dl.SPARK)} AS red FROM pii_fuzz"
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == py_redact(t), (i, t, got[i], py_redact(t))
+        assert py_redact(got[i]) == got[i]  # idempotent
