@@ -141,3 +141,74 @@ register_sql(
     _pack,
     doc=f"Greedy sequence packing into {_PACK_BUDGET}-token bins per source shard.",
 )
+
+
+#: Fixed context length for concat-split packing (tokens per sequence).
+_SEQ_LEN = 128
+
+
+def _pack_concat_split(d: str) -> str:
+    """GPT-style pretraining packing: per source shard, documents are
+    CONCATENATED into one token stream (deterministic doc_id order) and
+    the stream is cut every {_SEQ_LEN} tokens; a document crossing a cut
+    contributes a span to EACH sequence it intersects. Output is the
+    span manifest — (source, seq_id, doc_id, seq_off, doc_off, n_toks) —
+    exactly what a loader needs to materialize sequences AND build
+    block-diagonal attention masks at document boundaries
+    (pack_sequences is the no-split greedy-bin form; this is the
+    no-padding form every token position is used by).
+
+    Scale shape: the only shuffle is the per-source cumulative-offset
+    window (sources pack independently, so shards parallelize — the
+    pack_sequences precedent); the sequence fan-out is a per-row lateral
+    over ceil(n/{_SEQ_LEN}) + 1 values; span arithmetic is pure integer
+    projection, so both engines agree bit-for-bit. Invariant (pytest +
+    oracle): within every (source, seq) the spans tile [0, {_SEQ_LEN})
+    exactly — no gaps, no overlaps — except the shard's final sequence,
+    which ends at the stream's last token.
+    """
+    n_tok = dl.array_len(dl.split_tokens("text", d), d)
+    L = _SEQ_LEN
+    if d == dl.SPARK:
+        fan = "LATERAL VIEW explode(sequence(first_seq, last_seq)) s AS seq"
+    else:
+        fan = ", unnest(generate_series(first_seq, last_seq)) AS s(seq)"
+    return f"""
+WITH sized AS (
+    SELECT doc_id, source, {n_tok} AS n FROM documents
+),
+offs AS (
+    SELECT doc_id, source, n,
+           CAST(SUM(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) - n AS off
+    FROM sized WHERE n > 0
+),
+bounds AS (
+    SELECT doc_id, source, n, off,
+           {dl.intdiv('off', str(L), d)} AS first_seq,
+           {dl.intdiv('(off + n - 1)', str(L), d)} AS last_seq
+    FROM offs
+),
+spans AS (
+    SELECT doc_id, source, n, off, CAST(seq AS BIGINT) AS seq_id
+    FROM bounds {fan}
+)
+SELECT source,
+       seq_id,
+       doc_id,
+       GREATEST(off, seq_id * {L}) - seq_id * {L} AS seq_off,
+       GREATEST(off, seq_id * {L}) - off AS doc_off,
+       LEAST(off + n, (seq_id + 1) * {L}) - GREATEST(off, seq_id * {L}) AS n_toks
+FROM spans
+"""
+
+
+register_sql(
+    "pack_concat_split",
+    _pack_concat_split,
+    doc=f"GPT-style concat-and-split packing into {_SEQ_LEN}-token "
+    "sequences per source shard: span manifest with per-sequence offsets "
+    "for boundary-aware attention masks; docs crossing cuts span both.",
+)

@@ -370,3 +370,43 @@ def test_stream_curation_redacts_pii(spark, tmp_path):
     assert got[3].endswith("call <PHONE> now")
     for t in got.values():
         assert "example.com" not in t and "10.1.2.3" not in t and "555-" not in t
+
+
+def test_pack_concat_split_tiles_exactly(spark, sf_dir):
+    """Span manifest invariants: within every (source, seq) the spans sum
+    to SEQ_LEN (final sequence excepted), never overlap, start at 0 in
+    doc-order, and each doc's spans reassemble the whole doc."""
+    from collections import defaultdict
+
+    from squirtle_spark.operators.pipeline import _SEQ_LEN
+    from squirtle_spark.registry import load_all
+
+    rows = load_all()["pack_concat_split"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_seq = defaultdict(list)
+    by_doc = defaultdict(int)
+    for r in rows:
+        by_seq[(r["source"], r["seq_id"])].append(r)
+        by_doc[r["doc_id"]] += r["n_toks"]
+        assert 0 < r["n_toks"] <= _SEQ_LEN
+        assert 0 <= r["seq_off"] < _SEQ_LEN
+    last_seq = {}
+    for (src, seq), _ in by_seq.items():
+        last_seq[src] = max(last_seq.get(src, -1), seq)
+    for (src, seq), spans in by_seq.items():
+        spans.sort(key=lambda r: r["seq_off"])
+        pos = 0
+        for sp in spans:
+            assert sp["seq_off"] == pos  # no gap, no overlap
+            pos += sp["n_toks"]
+        if seq < last_seq[src]:
+            assert pos == _SEQ_LEN  # full tile except the shard tail
+    # every doc fully reassembles from its spans
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT doc_id, size(filter(split(trim(text), '\\\\s+'), x -> x != '')) AS n FROM documents"
+        ).collect()
+    }
+    for doc_id, tot in by_doc.items():
+        assert tot == docs[doc_id]
