@@ -346,3 +346,49 @@ register_sql(
     "thresholds fitted on a deterministic held-out sample, corpus "
     "assigned by broadcast comparison (no per-lang global sort).",
 )
+
+
+def _quality_scorecard(d: str) -> str:
+    """One row per document with every selection gate's verdict and the
+    composed keep decision — the audit table a curation run publishes so
+    a rejected doc is always explainable (which gate, what value). Joins
+    four independent signal families in ONE Catalyst plan:
+    quality_classifier (model margin), gopher_repetition (paper gate),
+    ccnet_buckets (corpus-relative perplexity tier), dsir_select
+    (target-likeness; target-corpus docs aren't scored by DSIR and pass
+    that gate by definition). Composed keep = classifier AND repetition
+    AND not perplexity-tail AND DSIR-selected. Each family is its own
+    oracle-checked registry entry; this entry proves they COMPOSE —
+    doc_id equi-joins only, so the composition adds joins but no new
+    shuffle shapes, and the whole scorecard remains value-replayable.
+    """
+    from .text import _quality_classifier
+
+    return textwrap.dedent(f"""
+        WITH qc AS ({_quality_classifier(d)}),
+        rep AS ({_gopher_repetition(d)}),
+        ppl AS ({_ccnet_buckets(d)}),
+        ds AS ({_dsir_select(d)})
+        SELECT qc.doc_id,
+               qc.keep AS classifier_keep,
+               rep.gate_pass AS repetition_pass,
+               ppl.bucket AS perplexity_bucket,
+               COALESCE(ds.selected, 1) AS dsir_selected,
+               CAST(qc.keep = 1
+                    AND rep.gate_pass = 1
+                    AND ppl.bucket <> 'tail'
+                    AND COALESCE(ds.selected, 1) = 1 AS INT) AS keep
+        FROM qc
+        JOIN rep ON rep.doc_id = qc.doc_id
+        JOIN ppl ON ppl.doc_id = qc.doc_id
+        LEFT JOIN ds ON ds.doc_id = qc.doc_id
+    """)
+
+
+register_sql(
+    "quality_scorecard",
+    _quality_scorecard,
+    doc="Per-doc audit table composing classifier, Gopher repetition, "
+    "CCNet bucket, and DSIR gates into one explainable keep decision "
+    "(single plan, doc_id equi-joins only).",
+)

@@ -96,6 +96,9 @@ _GLOBAL_AGG_QUERIES = {
     "hybrid_retrieval_rrf",  # rank fusion over two bounded top-K lists (embeds bm25's scalar)
     "corpus_report",  # the whole report IS corpus-grain scalars
     "dsir_select",  # target/raw model totals: scalars over ≤DSIR_BUCKETS rows
+    "ccnet_buckets",  # embeds lm_perplexity's corpus-token-total scalar
+    "hard_negatives",  # bm25's corpus n_docs/avgdl scalar (partial sums)
+    "quality_scorecard",  # composes lm/dsir entries, inherits their scalars
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
     "join_skew_report",  # skew scalars over the per-key count table
