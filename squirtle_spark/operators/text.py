@@ -1023,3 +1023,42 @@ register_sql(
     "recount; winners reflect prior rounds' merges.",
     bench=True,
 )
+
+
+def _bpe_compression_curve(d: str) -> str:
+    """ENCODE-side effect of BPE training: corpus token count after each
+    of bpe_train_merges' rounds (round 0 = character symbols). The curve
+    a tokenizer team actually watches — each merge's marginal compression
+    — and the proof the learned merges APPLY: round r's total must drop
+    by exactly the winning pair's occurrence count... minus the overlaps
+    the non-overlapping greedy scan skips, which is why measuring on the
+    merged corpus (not inferring from pair counts) is the honest form.
+    Reuses the identical w0..w{BPE_TRAIN_K} CTE chain, so training and
+    encoding can never drift apart.
+    """
+    # Rebuild the same CTE chain as _bpe_train_merges, then fold each
+    # round's corpus to one row.
+    train_sql = _bpe_train_merges(d)
+    ctes = train_sql[train_sql.index("WITH") : train_sql.index("SELECT 1 AS merge_rank")]
+    per_round = "\nUNION ALL\n".join(
+        f"SELECT {r} AS after_merges, "
+        f"CAST(SUM({dl.array_len(dl.split_tokens('s', d), d)}) AS BIGINT) AS corpus_tokens "
+        f"FROM w{r}"
+        for r in range(0, BPE_TRAIN_K + 1)
+    )
+    return f"""
+{ctes},
+curve AS (
+{per_round}
+)
+SELECT after_merges, corpus_tokens FROM curve ORDER BY after_merges
+"""
+
+
+register_sql(
+    "bpe_compression_curve",
+    _bpe_compression_curve,
+    doc="Corpus token count after each learned BPE merge (round 0 = "
+    "chars): the marginal-compression curve, measured on the actually-"
+    "merged corpus via the same CTE chain as training.",
+)

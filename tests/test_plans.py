@@ -99,6 +99,7 @@ _GLOBAL_AGG_QUERIES = {
     "ccnet_buckets",  # embeds lm_perplexity's corpus-token-total scalar
     "hard_negatives",  # bm25's corpus n_docs/avgdl scalar (partial sums)
     "quality_scorecard",  # composes lm/dsir entries, inherits their scalars
+    "bpe_compression_curve",  # per-round corpus-token-total scalars (partial sums)
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
     "join_skew_report",  # skew scalars over the per-key count table
