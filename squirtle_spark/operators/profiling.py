@@ -227,6 +227,7 @@ def _embedding_profile(d: str) -> str:
         v = "CAST(embedding AS DOUBLE[])"
         dim = "len(v)"
         dot = "list_dot_product(v, v)"
+    div2c = "DIV (2 * COUNT(*))" if d == dl.SPARK else "// (2 * COUNT(*))"
     return f"""
 WITH e AS (
     SELECT label, {v} AS v FROM embeddings
@@ -241,7 +242,11 @@ SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(MIN(dim) AS BIGINT) AS dim_min,
        CAST(MAX(dim) AS BIGINT) AS dim_max,
-       ROUND(CAST({dl.dsum('norm', d)} AS DOUBLE) / COUNT(*), 4) AS norm_mean,
+       -- integer-space mean: norms are exact 4-dp values, so sum*10^4 is
+       -- an exact BIGINT and (2s + c) DIV (2c) is round-half-away of s/c
+       -- — no double-rounding site for the engines to disagree on
+       CAST((2 * CAST(SUM(CAST(ROUND(norm * 10000) AS BIGINT)) AS BIGINT)
+              + COUNT(*)) {div2c} AS DOUBLE) / 10000 AS norm_mean,
        MIN(norm) AS norm_min,
        MAX(norm) AS norm_max,
        CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs
@@ -459,7 +464,12 @@ tot AS (
     FROM full_bins GROUP BY event_type
 )
 SELECT f.event_type,
-       ROUND({dl.dsum(term, d, "DECIMAL(28,12)")}, 6) AS psi,
+       -- round in DECIMAL space, not on the double: the sum is an EXACT
+       -- 12-dp decimal, which lands on round()'s .5e-6 half-way points
+       -- where Spark (shortest-repr HALF_UP) and DuckDB (binary-value
+       -- rounding) diverge; both engines round decimal ties identically
+       -- (half away from zero) — the dsir_select lesson applied here.
+       CAST(ROUND(SUM(CAST({term} AS DECIMAL(28,12))), 6) AS DOUBLE) AS psi,
        CAST(MAX(t.tot_a) AS BIGINT) AS n_before,
        CAST(MAX(t.tot_b) AS BIGINT) AS n_after
 FROM full_bins f
