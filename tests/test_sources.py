@@ -50,3 +50,24 @@ def test_ysb(spark):
     assert camp.count() == 1000
     joined = ev.join(camp, ev.ad_id == camp.c_ad_id)
     assert joined.count() == 1000  # every ad_id resolves
+
+
+def test_jsonl_batch_roundtrip(spark, sf_dir, tmp_path):
+    """Batch JSONL lane (the interchange format corpora actually ship in):
+    documents written as JSON lines and read back through the same
+    first-record-family schema inference the streaming path uses must
+    reproduce the parquet original value-for-value."""
+    from squirtle_spark import sources
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs-jsonl")
+    src.write.json(path)
+
+    schema = sources.infer_json_schema(spark, path)
+    back = spark.read.schema(schema).json(path)
+
+    cols = sorted(src.columns)
+    assert sorted(back.columns) == cols
+    a = sorted(map(tuple, src.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
