@@ -566,6 +566,48 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
 
         run_mor("w")
         wall_mor = min(run_mor("m"), run_mor("n"))
+
+        # Curation ingest lane: the training-data pipeline under volume.
+        # sf0.1 documents replicated 10x (1 in 5 replicas keeps the
+        # original text, so exact-dup detection does real work; the rest
+        # get a replica-unique suffix), streamed through the FULL
+        # stream_curation lane — length gate, within-batch dedup,
+        # anti-join vs the accumulated accepted store (which GROWS as the
+        # run proceeds, the honest part), and PII-masked storage.
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        from pyspark.sql import functions as FF
+        from squirtle_spark.operators import curation
+
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs10 = (
+            base.withColumn("r", FF.explode(FF.sequence(FF.lit(0), FF.lit(9))))
+            .select(
+                (FF.col("doc_id") * 10 + FF.col("r")).alias("doc_id"),
+                FF.when(FF.col("r") % 5 == 0, FF.col("text"))
+                .otherwise(FF.concat_ws(" ", "text", FF.concat(FF.lit("rep"), FF.col("r"))))
+                .alias("text"),
+            )
+            .withColumn("epoch", FF.col("doc_id") % 10)
+        )
+        n_docs = docs10.count()
+        streaming.write_epoch_files(docs10, f"{tmp}/cur-docs")
+
+        def run_cur(tag: str) -> float:
+            return _timed(
+                lambda: curation.stream_curation(
+                    spark,
+                    f"{tmp}/cur-docs",
+                    _fresh(tmp, f"cur-accept-{tag}"),
+                    checkpoint=_fresh(tmp, f"cur-ckpt-{tag}"),
+                    files_per_trigger=1,
+                    redact_pii=True,
+                )
+            )
+
+        run_cur("w")
+        wall_cur = min(run_cur("a"), run_cur("b"))
         return {
             "metric": "stress_events_per_sec",
             "value": round(n / wall_q5, 1),
@@ -587,6 +629,9 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "cdc_apply_changes_per_sec": round(n / wall_cdc, 1),
             "cdc_mor_wall_sec": round(wall_mor, 3),
             "cdc_mor_changes_per_sec": round(n / wall_mor, 1),
+            "curation_docs": n_docs,
+            "curation_wall_sec": round(wall_cur, 3),
+            "curation_docs_per_sec": round(n_docs / wall_cur, 1),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
