@@ -328,16 +328,22 @@ register_sql(
 )
 
 
-def write_training_shards(spark, sf_dir: str, path: str):
+def write_training_shards(spark, sf_dir: str, path: str, fmt: str = "parquet"):
     """Terminal pipeline step: materialize the corpus as training shards.
 
     Joins the deterministic shard assignment (shard_corpus) back onto the
-    full documents and writes parquet partitioned by shard_id, with rows
+    full documents and writes shards partitioned by shard_id, with rows
     sorted by shard_pos inside each file — so a loader streams any shard
     in its stable global-shuffle order without a sort of its own.
     repartition(N, shard_id) + sortWithinPartitions keeps it one file per
     shard per task at any scale (a 100 TB run raises N to bound file
-    size, the layout contract is unchanged). Returns the written row count.
+    size, the layout contract is unchanged). ``fmt="json"`` writes JSON
+    Lines — the interchange format training corpora actually ship in —
+    with the identical layout contract; because the shard checksum in
+    shard_manifest is order-independent content hashing, the manifest
+    computed from the source verifies a JSONL EXPORT byte-for-byte
+    (tests prove the round-trip reproduces every checksum). Returns the
+    written row count.
     """
     from pyspark.sql import functions as F
 
@@ -346,13 +352,16 @@ def write_training_shards(spark, sf_dir: str, path: str):
     catalog.register_all(spark, sf_dir)
     assign = spark.sql(_shard_corpus(dl.SPARK))
     out = spark.table("documents").join(assign, "doc_id")
-    (
+    writer = (
         out.repartition(N_SHARDS, F.col("shard_id"))
         .sortWithinPartitions("shard_id", "shard_pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(path)
     )
+    if fmt == "json":
+        writer.json(path)
+        return spark.read.json(path).count()
+    writer.parquet(path)
     return spark.read.parquet(path).count()
 
 
