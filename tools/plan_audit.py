@@ -48,6 +48,13 @@ CROSS_BY_DESIGN = {
     # bucket series (profiling.py _psi_drift) — the nested-loop side is
     # a literal VALUES relation, never data-sized.
     "psi_drift",
+    # 1-row broadcast scalars (round 6): dsir's two model-total rows,
+    # hard_negatives' corpus n_docs/avgdl row (the bm25 shape), and
+    # bpe_train_merges' per-round 1-row argmax winner — the broadcast
+    # side is a single row in every case.
+    "dsir_select",
+    "hard_negatives",
+    "bpe_train_merges",
 }
 
 
