@@ -19,3 +19,60 @@ def test_query_matches_oracle(spark, sf_dir, name):
     res = check_query(spark, name, sf_dir)
     assert res.ok, res.message()
     assert res.rows_spark >= 0
+
+
+def test_comparator_detects_value_drift(spark, sf_dir):
+    """Meta-test: the gate itself has teeth. A single perturbed value,
+    a dropped row, and a renamed column must each fail the comparison
+    that identical frames pass."""
+    from squirtle_spark.oracle import compare_frames, run_oracle
+    from squirtle_spark.registry import load_all
+
+    q = load_all()["tpch_q1"]
+    spark_pdf = q.spark_fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    assert compare_frames("q1", spark_pdf, oracle_pdf).ok
+
+    drifted = oracle_pdf.copy()
+    num_cols = [c for c in drifted.columns if drifted[c].dtype.kind in "if"]
+    drifted.loc[drifted.index[0], num_cols[0]] += 1e-6
+    assert not compare_frames("q1-drift", spark_pdf, drifted).ok
+
+    assert not compare_frames("q1-dropped", spark_pdf, oracle_pdf.iloc[1:]).ok
+
+    renamed = oracle_pdf.rename(columns={oracle_pdf.columns[0]: "zz_renamed"})
+    assert not compare_frames("q1-renamed", spark_pdf, renamed).ok
+
+
+#: Entries whose docstrings claim partition/merge-order independence via
+#: DECIMAL accumulation or deterministic tie-breaks — the claim only
+#: matters if the result is bit-identical under a DIFFERENT partitioning.
+_PARTITION_SENSITIVE = [
+    "dsir_select",
+    "lm_perplexity",
+    "psi_drift",
+    "hard_negatives",
+    "embedding_profile",
+    "textrank_keywords",
+]
+
+
+@pytest.mark.parametrize("name", _PARTITION_SENSITIVE)
+def test_partition_count_invariance(spark, sf_dir, name):
+    """The decimal-exactness claims, executed: the same query at 3 vs the
+    session's shuffle partitions must return BIT-IDENTICAL values (float
+    repr equality via the strict comparator), or the 1000-executor story
+    is luck."""
+    from squirtle_spark.oracle import compare_frames
+    from squirtle_spark.registry import load_all
+
+    q = load_all()[name]
+    base = q.spark_fn(spark, sf_dir).toPandas()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = q.spark_fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = compare_frames(f"{name}@3parts", base, alt)
+    assert res.ok, res.message()
