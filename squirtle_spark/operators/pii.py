@@ -6,10 +6,15 @@ phone numbers, and IPv4 addresses before a corpus ships. Beyond-parity
 whole-stage codegen, zero shuffle, so a 100 TB redaction pass costs one
 scan and writes the same partitioning it read.
 
-Patterns are written backslash-free (explicit character classes, ``[.]``
-for a literal dot) so the SAME literal parses identically under Spark's
-escape-processing string literals, Java regex, and DuckDB's RE2 —
-no dialect-specific escaping to keep in sync.
+Patterns are stored as CANONICAL regex (``\\b`` boundaries, explicit
+character classes, ``[.]`` for a literal dot) valid under Java regex,
+RE2, and Python ``re`` alike; ``sql_pattern`` applies the one dialect
+difference — Spark's escape-processing string literals need each
+backslash doubled in the SQL text, DuckDB's don't. The ``\\b`` anchors
+matter: without them the ipv4/phone detectors match INSIDE longer
+dotted/dashed digit runs ("release 10.2.3.4567" → "release <IP>7"),
+mangling version strings and reference numbers — caught in the round-6
+self-review after an earlier backslash-free rewrite dropped them.
 
 Two registry entries share these patterns: ``pii_scrub`` (text.py)
 redacts the documents table exactly as stored, and ``pii_scan`` below.
@@ -34,9 +39,15 @@ from ..registry import register_sql
 #: specific pattern first.
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
-    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
-    "phone": "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}",
+    "ipv4": "\\b[0-9]{1,3}(?:[.][0-9]{1,3}){3}\\b",
+    "phone": "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b",
 }
+
+
+def sql_pattern(pat: str, d: str) -> str:
+    """Render a canonical pattern for embedding in a SQL string literal:
+    Spark consumes one level of backslashes at parse time, DuckDB none."""
+    return pat.replace("\\", "\\\\") if d == dl.SPARK else pat
 
 #: Replacement tokens: stable, grep-able, never re-match any detector.
 PII_MASKS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
@@ -46,7 +57,7 @@ def redact_expr(col: str, d: str) -> str:
     """Nested regexp_replace masking every PII_PATTERNS match in ``col``."""
     expr = col
     for kind, pat in PII_PATTERNS.items():
-        expr = dl.regex_replace_all(expr, pat, PII_MASKS[kind], d)
+        expr = dl.regex_replace_all(expr, sql_pattern(pat, d), PII_MASKS[kind], d)
     return expr
 
 
@@ -62,7 +73,7 @@ def _pii_scan(d: str) -> str:
         " || '.' || CAST((doc_id * 13) % 256 AS STRING)"
     )
     counts = ",\n               ".join(
-        f"{dl.regex_count('txt', pat, d)} AS n_{kind}"
+        f"{dl.regex_count('txt', sql_pattern(pat, d), d)} AS n_{kind}"
         for kind, pat in PII_PATTERNS.items()
     )
     return textwrap.dedent(f"""

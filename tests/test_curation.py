@@ -448,3 +448,30 @@ def test_jsonl_shard_export_verifies_against_manifest(spark, sf_dir, tmp_path):
     for sid, m in manifest.items():
         assert recomputed[sid]["n_docs"] == m["n_docs"], sid
         assert recomputed[sid]["content_xor"] == m["content_xor"], sid
+
+
+def test_pii_boundaries_protect_non_pii_digit_runs(spark):
+    """The \\b anchors: version strings, timestamp-dotted builds, and long
+    reference numbers must survive redaction untouched (the round-6
+    review counterexamples), while adjacent real PII still masks."""
+    from squirtle_spark.operators.pii import redact_expr
+
+    rows = [
+        (1, "release 10.2.3.4567 is out"),
+        (2, "build 2026.08.14.123456 shipped"),
+        (3, "digits 1234-567-8901 unchanged"),
+        (4, "real 10.1.2.3 and 415-555-0100 here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "pii_bounds"
+    )
+    got = {
+        r["doc_id"]: r["red"]
+        for r in spark.sql(
+            f"SELECT doc_id, {redact_expr('text', dl.SPARK)} AS red FROM pii_bounds"
+        ).collect()
+    }
+    assert got[1] == "release 10.2.3.4567 is out"
+    assert got[2] == "build 2026.08.14.123456 shipped"
+    assert got[3] == "digits 1234-567-8901 unchanged"
+    assert got[4] == "real <IP> and <PHONE> here"

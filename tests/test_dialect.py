@@ -110,7 +110,7 @@ def test_pii_patterns_match_in_both_engines(spark, tmp_path):
     and also pins expected counts (catches the classic double-backslash
     dialect bug, where DuckDB would receive literal '\\\\d' and match
     nothing while both engines happily agree on zero)."""
-    from squirtle_spark.operators.pii import PII_PATTERNS
+    from squirtle_spark.operators.pii import PII_PATTERNS, sql_pattern
 
     pdf = pd.DataFrame(
         {
@@ -130,7 +130,9 @@ def test_pii_patterns_match_in_both_engines(spark, tmp_path):
 
     def body(d):
         email, ipv4, phone = (
-            PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+            sql_pattern(PII_PATTERNS["email"], d),
+            sql_pattern(PII_PATTERNS["ipv4"], d),
+            sql_pattern(PII_PATTERNS["phone"], d),
         )
         return f"""
 SELECT id,
