@@ -332,10 +332,15 @@ def _ccnet_buckets(d: str) -> str:
             FROM ranked GROUP BY lang
         )
         SELECT p.doc_id, p.lang, p.perplexity,
-               CASE WHEN p.perplexity <= c.t_head THEN 'head'
+               -- LEFT JOIN + explicit 'unsampled': a language with no doc
+               -- in the held-out sample has no thresholds, and an inner
+               -- join would silently DROP its documents (round-6 review
+               -- finding); they surface with an honest bucket instead.
+               CASE WHEN c.t_head IS NULL THEN 'unsampled'
+                    WHEN p.perplexity <= c.t_head THEN 'head'
                     WHEN p.perplexity <= c.t_middle THEN 'middle'
                     ELSE 'tail' END AS bucket
-        FROM perp p JOIN cuts c ON c.lang = p.lang
+        FROM perp p LEFT JOIN cuts c ON c.lang = p.lang
     """)
 
 
@@ -357,7 +362,11 @@ def _quality_scorecard(d: str) -> str:
     ccnet_buckets (corpus-relative perplexity tier), dsir_select
     (target-likeness; target-corpus docs aren't scored by DSIR and pass
     that gate by definition). Composed keep = classifier AND repetition
-    AND not perplexity-tail AND DSIR-selected. Each family is its own
+    AND not perplexity-tail AND DSIR-selected. Every non-classifier leg
+    is a LEFT JOIN with an explicit pass default: a doc a gate cannot
+    score (zero tokens -> no repetition row; no LM row; unsampled
+    language) must still appear in the audit table — REJECTED rows you
+    can explain, never rows that vanish (round-6 review finding). Each family is its own
     oracle-checked registry entry; this entry proves they COMPOSE —
     doc_id equi-joins only, so the composition adds joins but no new
     shuffle shapes, and the whole scorecard remains value-replayable.
@@ -371,16 +380,16 @@ def _quality_scorecard(d: str) -> str:
         ds AS ({_dsir_select(d)})
         SELECT qc.doc_id,
                qc.keep AS classifier_keep,
-               rep.gate_pass AS repetition_pass,
-               ppl.bucket AS perplexity_bucket,
+               COALESCE(rep.gate_pass, 1) AS repetition_pass,
+               COALESCE(ppl.bucket, 'unscored') AS perplexity_bucket,
                COALESCE(ds.selected, 1) AS dsir_selected,
                CAST(qc.keep = 1
-                    AND rep.gate_pass = 1
-                    AND ppl.bucket <> 'tail'
+                    AND COALESCE(rep.gate_pass, 1) = 1
+                    AND COALESCE(ppl.bucket, 'unscored') <> 'tail'
                     AND COALESCE(ds.selected, 1) = 1 AS INT) AS keep
         FROM qc
-        JOIN rep ON rep.doc_id = qc.doc_id
-        JOIN ppl ON ppl.doc_id = qc.doc_id
+        LEFT JOIN rep ON rep.doc_id = qc.doc_id
+        LEFT JOIN ppl ON ppl.doc_id = qc.doc_id
         LEFT JOIN ds ON ds.doc_id = qc.doc_id
     """)
 

@@ -475,3 +475,22 @@ def test_pii_boundaries_protect_non_pii_digit_runs(spark):
     assert got[2] == "build 2026.08.14.123456 shipped"
     assert got[3] == "digits 1234-567-8901 unchanged"
     assert got[4] == "real <IP> and <PHONE> here"
+
+
+def test_ccnet_and_scorecard_never_drop_documents(spark):
+    """The round-6 review counterexample: a language with no doc in the
+    held-out sample (no doc_id % CCNET_SAMPLE_MOD == 0) must surface as
+    'unsampled', not vanish; and the scorecard must emit one row per
+    document regardless of which gates could score it."""
+    from squirtle_spark.operators.selection import _ccnet_buckets, _quality_scorecard
+
+    pad = "word " * 30
+    rows = [(i, pad + f"doc{i}", "en") for i in [0, 5, 10, 15, 20]] + [
+        (i, pad + f"zz{i}", "zz") for i in [1, 2, 3]  # none % 5 == 0
+    ]
+    _plant_documents(spark, rows)
+    buckets = {r["doc_id"]: r["bucket"] for r in spark.sql(_ccnet_buckets(dl.SPARK)).collect()}
+    assert len(buckets) == 8  # every doc present
+    assert all(buckets[i] == "unsampled" for i in (1, 2, 3))
+    card = spark.sql(_quality_scorecard(dl.SPARK)).collect()
+    assert len(card) == 8
