@@ -1703,7 +1703,7 @@ def stateful_trailing_window(
     out_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("user_id", LongType()),
+            StructField(key_col, LongType()),
             StructField("n_trailing_hour", LongType()),
             StructField("sum_trailing_hour", DoubleType()),
         ]
@@ -1742,12 +1742,12 @@ def stateful_trailing_window(
         prefix = [0]
         for _, q in merged:
             prefix.append(prefix[-1] + q)
-        out = {"event_id": [], "user_id": [], "n": [], "s": []}
+        out = {"event_id": [], key_col: [], "n": [], "s": []}
         for t, _, eid in new:
             lo = bisect_left(ts_sorted, t - window_s)
             hi = bisect_right(ts_sorted, t)
             out["event_id"].append(eid)
-            out["user_id"].append(key[0])
+            out[key_col].append(key[0])
             out["n"].append(hi - lo)
             out["s"].append((prefix[hi] - prefix[lo]) / 10000.0)
         # evict: a later event's frame never reaches below newest - window
@@ -1759,7 +1759,7 @@ def stateful_trailing_window(
         yield pd.DataFrame(
             {
                 "event_id": out["event_id"],
-                "user_id": out["user_id"],
+                key_col: out[key_col],
                 "n_trailing_hour": out["n"],
                 "sum_trailing_hour": out["s"],
             }

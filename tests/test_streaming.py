@@ -1716,3 +1716,28 @@ def test_interval_overlap_stream_equals_batch(spark, sf_dir, tmp_path):
     want_pairs = {(r["view_id"], r["purchase_id"]) for r in batch.collect()}
     assert len(got_pairs) == len(want_pairs) > 0
     assert got_pairs == want_pairs
+
+
+def test_stateful_trailing_window_generic_key(spark, tmp_path):
+    """The operator's key column is the CALLER's name, not a hardcoded
+    user_id (round-6 review finding): a campaign_id-keyed stream emits a
+    campaign_id column with per-key trailing counts."""
+    rows = [(i, i % 3, 100 + i, 1.0, 0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, campaign_id long, sec long, value double, epoch int"
+    )
+    streaming.write_epoch_files(df, str(tmp_path / "ev"))
+    stream = streaming.replay_stream(spark, str(tmp_path / "ev"), 1).drop("epoch")
+    out = streaming.stateful_trailing_window(
+        stream, "campaign_id", "sec", "value", window_s=5
+    )
+    rows_out = streaming.run_available_now(
+        out, checkpoint=str(tmp_path / "ckpt"), mode="append"
+    )
+    assert rows_out
+    assert "campaign_id" in rows_out[0].asDict()
+    by_eid = {r["event_id"]: r for r in rows_out}
+    # event 6 (campaign 0, sec 106): trailing 5s window holds secs 101-106
+    # of campaign 0 -> events 3 and 6
+    assert by_eid[6]["campaign_id"] == 0
+    assert by_eid[6]["n_trailing_hour"] == 2
