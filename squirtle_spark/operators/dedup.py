@@ -340,9 +340,13 @@ register_sql(
 
 
 #: A probed batch doc is a dup when its best exact-Jaccard against the
-#: corpus reaches this (above the 8×4 banding's ~0.59 candidate knee, so
-#: verification, not the bands, decides).
-LSH_DUP_THRESHOLD = 0.5
+#: corpus reaches this. Must sit ABOVE the 8×4 banding's ~0.59 candidate
+#: knee: for pairs past the knee the bands surface the candidate with
+#: high probability and exact verification decides; a threshold below it
+#: (0.5 originally — round-6 review finding) would make the BANDS the
+#: deciding factor in [threshold, knee), where a true dup reaches
+#: candidacy only ~40-60% of the time.
+LSH_DUP_THRESHOLD = 0.6
 
 
 def _probe_core_sql(
