@@ -1316,7 +1316,18 @@ def cdc_mor_sink(
     ``read_cdc_mor`` serves the merged live view at any instant; after
     the stream drains, un-compacted tail entries simply merge at read
     time (run ``compact_cdc_mor`` to fold them eagerly).
+
+    ``op_col`` is consumed by the read/compaction side's tombstone rule,
+    not per batch — validated against the stream schema HERE so a wrong
+    column name fails at sink construction, not as silent misbehavior at
+    first read (round-6 review finding).
     """
+    for col in [*keys, seq_col, op_col]:
+        if col not in stream.columns:
+            raise ValueError(
+                f"cdc_mor_sink: column {col!r} not in stream schema "
+                f"{stream.columns} (keys/seq_col/op_col must all exist)"
+            )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
