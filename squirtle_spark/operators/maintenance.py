@@ -322,8 +322,18 @@ def _commit_pointer(spark: SparkSession, table_path: str, version: int) -> None:
     neither rename is atomic and the production answer is a commit log /
     conditional-put, which is exactly what Delta/Iceberg layer on top of
     this same pointer idea."""
-    if "://" not in table_path or table_path.startswith("file:"):
-        local = table_path[len("file:"):] if table_path.startswith("file:") else table_path
+    # "Local" is decided by the RESOLVED FileSystem scheme, not the raw
+    # string: a scheme-less path resolves through fs.defaultFS, and on a
+    # cluster with defaultFS=hdfs:// the parquet versions land on HDFS —
+    # committing the pointer to the driver's local disk there would
+    # split-brain the table (round-6 review finding). Only a path that
+    # actually resolves to the local FS takes the os.replace fast path.
+    _jvm = spark._jvm
+    _conf = spark._jsc.hadoopConfiguration()
+    _hpath = _jvm.org.apache.hadoop.fs.Path(table_path)
+    _fs = _hpath.getFileSystem(_conf)
+    if _fs.getScheme() == "file":
+        local = _fs.makeQualified(_hpath).toUri().getPath()
         os.makedirs(local, exist_ok=True)
         tmp = os.path.join(local, "_LATEST.tmp")
         with open(tmp, "w") as f:
