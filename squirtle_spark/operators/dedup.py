@@ -228,21 +228,23 @@ def _perm_consts() -> list[tuple[int, int]]:
 MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
-def _mh_pipeline_ctes(d: str) -> str:
-    """Shared CTE chain ``sh``/``hashed``/``sig``/``bands``: word shingles →
-    one 60-bit base hash per shingle → 32 minhash permutations in a single
-    grouped aggregation → 8×4 banded bucket keys. Used by the corpus-wide
-    self-join (dedup_minhash_lsh) and the batch-vs-index probe
-    (dedup_incremental_minhash); identical text keeps the two entries'
-    signatures — and their oracles — bit-identical."""
-    import textwrap
+def _mh_hashed_body(rel: str, d: str) -> str:
+    """Stage: shingle rows → one 60-bit base hash per (doc, shingle)."""
+    base = dl.md5_i64("'mh|' || shingle", d)
+    return f"SELECT doc_id, ({base}) & 4294967295 AS x FROM {rel}"
 
-    from .curation import shingle_rows
 
+def _mh_sig_body(rel: str, d: str) -> str:
+    """Stage: hashed rows → per-doc signature (n_sh + 32 minhashes)."""
     perms = _perm_consts()
     mh_cols = ",\n      ".join(
         f"MIN(({a} * x + {b}) % {MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(perms)
     )
+    return f"SELECT doc_id, COUNT(*) AS n_sh,\n      {mh_cols}\n    FROM {rel} GROUP BY doc_id"
+
+
+def _mh_bands_body(rel: str, d: str) -> str:
+    """Stage: signatures → 8×4 banded bucket keys."""
     band_cases = "\n        ".join(
         "WHEN {b} THEN {h}".format(
             b=b,
@@ -258,25 +260,32 @@ def _mh_pipeline_ctes(d: str) -> str:
         )
         for b in range(N_BANDS)
     )
+    return (
+        f"SELECT doc_id, band, CASE band\n        {band_cases}\n      END AS band_hash "
+        f"FROM {rel} {dl.lateral_series(N_BANDS, 'band', d)}"
+    )
+
+
+def _mh_pipeline_ctes(d: str) -> str:
+    """Shared CTE chain ``sh``/``hashed``/``sig``/``bands``: word shingles →
+    one 60-bit base hash per shingle → 32 minhash permutations in a single
+    grouped aggregation → 8×4 banded bucket keys. Composed from the
+    per-stage bodies above, which the persisted-index build
+    (build_minhash_band_index) also runs STAGE-WISE — each stage reading
+    the previous stage's materialized output, so the index build computes
+    the pipeline once, not once per part. Used by the corpus-wide
+    self-join (dedup_minhash_lsh) and the batch-vs-index probe
+    (dedup_incremental_minhash); identical text keeps the entries'
+    signatures — and their oracles — bit-identical."""
+    import textwrap
+
+    from .curation import shingle_rows
+
     return textwrap.dedent(f"""
         sh AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
-        hashed AS (
-            SELECT doc_id, ({dl.md5_i64("'mh|' || shingle", d)}) & 4294967295 AS x
-            FROM sh
-        ),
-        sig AS (
-            SELECT doc_id, COUNT(*) AS n_sh,
-              {mh_cols}
-            FROM hashed GROUP BY doc_id
-        ),
-        bands AS (
-            SELECT doc_id,
-                   band,
-                   CASE band
-                     {band_cases}
-                   END AS band_hash
-            FROM sig {dl.lateral_series(N_BANDS, "band", d)}
-        )""")
+        hashed AS ({_mh_hashed_body("sh", d)}),
+        sig AS ({_mh_sig_body("hashed", d)}),
+        bands AS ({_mh_bands_body("sig", d)})""")
 
 
 def _minhash_lsh(d: str) -> str:
@@ -468,19 +477,37 @@ def build_minhash_band_index(spark, sf_dir: str, path: str) -> None:
     """Materialize the CORPUS side of the MinHash-LSH pipeline (bands +
     shingles + signatures for non-batch docs) to parquet at ``path`` —
     the persisted index dedup_incremental_minhash's docstring describes.
-    At 100 TB `bands` would be written bucketed on (band, band_hash) so
+    Built STAGE-WISE: shingles scan the corpus once, signatures compute
+    FROM the materialized shingles, bands FROM the materialized
+    signatures — the "checkpoint the shingle CTE once" deployment the
+    docstrings promise, so the build pays the tokenize+hash cost once,
+    not once per part (a 3x recompute before the round-6 review). At
+    100 TB `bands` would be written bucketed on (band, band_hash) so
     probe joins shuffle only the batch side; local parquet keeps the
     test hermetic while exercising the identical probe SQL."""
-    from .curation import BATCH_MOD
+    import textwrap
+
+    from .curation import BATCH_MOD, shingle_rows
 
     from .. import catalog
 
+    d = dl.SPARK
     catalog.register_all(spark, sf_dir)
-    for part in _INDEX_PARTS:
-        spark.sql(
-            f"WITH {_mh_pipeline_ctes(dl.SPARK)} "
-            f"SELECT * FROM {part} WHERE doc_id % {BATCH_MOD} <> 0"
-        ).write.mode("overwrite").parquet(f"{path}/{part}")
+    spark.sql(
+        textwrap.dedent(f"""
+            WITH sh AS ({shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0", SHINGLE_W)})
+            SELECT * FROM sh
+        """)
+    ).write.mode("overwrite").parquet(f"{path}/sh")
+    spark.read.parquet(f"{path}/sh").createOrReplaceTempView("_mh_build_sh")
+    spark.sql(
+        f"WITH hashed AS ({_mh_hashed_body('_mh_build_sh', d)}) "
+        f"{_mh_sig_body('hashed', d)}"
+    ).write.mode("overwrite").parquet(f"{path}/sig")
+    spark.read.parquet(f"{path}/sig").createOrReplaceTempView("_mh_build_sig")
+    spark.sql(_mh_bands_body("_mh_build_sig", d)).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
 
 
 def probe_minhash_band_index(spark, sf_dir: str, path: str) -> DataFrame:
