@@ -332,7 +332,9 @@ def _commit_pointer(spark: SparkSession, table_path: str, version: int) -> None:
     _conf = spark._jsc.hadoopConfiguration()
     _hpath = _jvm.org.apache.hadoop.fs.Path(table_path)
     _fs = _hpath.getFileSystem(_conf)
-    if _fs.getScheme() == "file":
+    # getUri().getScheme(), not getScheme(): the latter's Hadoop base
+    # implementation throws for FileSystems that never overrode it.
+    if _fs.getUri().getScheme() == "file":
         local = _fs.makeQualified(_hpath).toUri().getPath()
         os.makedirs(local, exist_ok=True)
         tmp = os.path.join(local, "_LATEST.tmp")
@@ -342,19 +344,16 @@ def _commit_pointer(spark: SparkSession, table_path: str, version: int) -> None:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(local, "_LATEST"))
         return
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(conf)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
-    out = fs.create(tmp, True)
+    tmp = _jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST.tmp")
+    out = _fs.create(tmp, True)
     out.write(bytearray(str(version).encode()))
     out.close()
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    fc = _jvm.org.apache.hadoop.fs.FileContext.getFileContext(_conf)
     overwrite = spark.sparkContext._gateway.new_array(
-        jvm.org.apache.hadoop.fs.Options.Rename, 1
+        _jvm.org.apache.hadoop.fs.Options.Rename, 1
     )
-    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST"), overwrite)
+    overwrite[0] = _jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, _jvm.org.apache.hadoop.fs.Path(f"{table_path}/_LATEST"), overwrite)
 
 
 def _next_free_version(spark: SparkSession, table_path: str) -> int:

@@ -15,6 +15,10 @@ matter: without them the ipv4/phone detectors match INSIDE longer
 dotted/dashed digit runs ("release 10.2.3.4567" → "release <IP>7"),
 mangling version strings and reference numbers — caught in the round-6
 self-review after an earlier backslash-free rewrite dropped them.
+Deliberate trade: ``\\b`` also declines letter-ADJACENT matches
+("build10.1.2.3" keeps its digits) — standard DLP-scanner behavior;
+a pipeline that must catch gluded-on PII swaps the anchors for
+lookaround guards and re-runs the planted tests.
 
 Two registry entries share these patterns: ``pii_scrub`` (text.py)
 redacts the documents table exactly as stored, and ``pii_scan`` below.

@@ -436,10 +436,11 @@ def _pii_scrub(d: str) -> str:
     value-checks real matches, and the patterns are additionally
     value-tested on synthetic PII in both engines
     (tests/test_dialect.py::test_pii_patterns_match_in_both_engines)."""
-    from .pii import PII_PATTERNS, redact_expr
+    from .pii import PII_PATTERNS, redact_expr, sql_pattern
 
     counts = " + ".join(
-        dl.regex_count("text", pat, d) for pat in PII_PATTERNS.values()
+        dl.regex_count("text", sql_pattern(pat, d), d)
+        for pat in PII_PATTERNS.values()
     )
     return f"""
 SELECT doc_id,

@@ -1714,7 +1714,9 @@ def stateful_trailing_window(
     out_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField(key_col, LongType()),
+            # key TYPE comes from the stream, not a hardcoded LongType —
+            # a string-keyed caller otherwise dies in an arrow cast
+            StructField(key_col, stream.schema[key_col].dataType),
             StructField("n_trailing_hour", LongType()),
             StructField("sum_trailing_hour", DoubleType()),
         ]

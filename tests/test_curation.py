@@ -494,3 +494,23 @@ def test_ccnet_and_scorecard_never_drop_documents(spark):
     assert all(buckets[i] == "unsampled" for i in (1, 2, 3))
     card = spark.sql(_quality_scorecard(dl.SPARK)).collect()
     assert len(card) == 8
+
+
+def test_pii_scrub_counts_fire_on_spark(spark):
+    """The vacuous-green trap: the fixture corpus has no PII, so the
+    oracle can't tell a broken Spark-side count from a working one. Plant
+    PII and assert pii_scrub's n_pii counts it (this catches the \\b-as-
+    backspace SQL-literal bug the round-6 fix-review found)."""
+    from squirtle_spark.operators.text import _pii_scrub
+
+    _plant_documents(
+        spark,
+        [
+            (1, "call 415-555-0199 from 10.1.2.3 or mail a@b.co", "en"),
+            (2, "clean text with no pii at all", "en"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in spark.sql(_pii_scrub(dl.SPARK)).collect()}
+    assert got[1]["n_pii"] == 3
+    assert got[2]["n_pii"] == 0
+    assert got[1]["scrubbed"] == "call <PHONE> from <IP> or mail <EMAIL>"
