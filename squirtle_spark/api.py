@@ -97,13 +97,25 @@ def _fresh_results_dir(workdir: str) -> str:
     a restarted run must return only the windows IT fired, not re-read a
     predecessor's output. Deterministic counter, no timestamps."""
     n = 0
-    while os.path.exists(os.path.join(workdir, f"results-{n:03d}")):
-        n += 1
-    return os.path.join(workdir, f"results-{n:03d}")
+    while True:
+        path = os.path.join(workdir, f"results-{n:03d}")
+        try:
+            # atomic claim: makedirs(exist_ok=False) either creates-and-owns
+            # the dir or raises — two concurrent invocations sharing a
+            # workdir can no longer race the exists() check into one dir
+            os.makedirs(path)
+            return path
+        except FileExistsError:
+            n += 1
 
 
 def run_olap(spark: SparkSession, query: Query, sf_dir: str) -> DataFrame:
     """Batch execution over the fixture catalog (QueryType::OLAP)."""
+    if query.window is not None:
+        raise ValueError(
+            "query declares a Window (streaming semantics); running it as "
+            "OLAP would silently ignore the windowing — use run_streaming"
+        )
     catalog.register_all(spark, sf_dir)
     return spark.sql(query.sql)
 
@@ -114,7 +126,7 @@ def run_streaming(
     epochs_path: str | dict[str, tuple[str, str]],
     *,
     workdir: str,
-    files_per_trigger: int = 5,
+    files_per_trigger: int = 1,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Per-window plan firing over an epoch-file replay (QueryType::Streaming).
@@ -150,12 +162,33 @@ def run_streaming(
     # Each invocation gets its OWN results dir (the checkpoint is shared,
     # so a restart fires only new windows and must return only those).
     results_dir = _fresh_results_dir(workdir)
+    # Streaming state (checkpoints, window buffers) is keyed by a hash of
+    # the full query/window spec: two DIFFERENT queries sharing a workdir
+    # previously shared state keyed only by view name — the second one
+    # silently reused the first one's consumed-files checkpoint and
+    # window-partitioned buffer (wrong windows, or nothing at all).
+    import hashlib
+
+    spec = hashlib.md5(
+        f"{query.sql}|{query.view}|{w.kind}|{w.size_s}|{w.slide_s}".encode()
+    ).hexdigest()[:10]
+
+    def _parquet_safe(df: DataFrame) -> DataFrame:
+        # parquet rejects NullType columns (SELECT NULL AS flag); cast them
+        # to string so the result-sink route accepts everything the old
+        # driver-collect route did
+        from pyspark.sql.types import NullType
+
+        for f in df.schema.fields:
+            if isinstance(f.dataType, NullType):
+                df = df.withColumn(f.name, F.col(f.name).cast("string"))
+        return df
 
     if w.kind == "elementwise":
         stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
         if "epoch" in stream.columns:
             stream = stream.drop("epoch")
-        checkpoint = os.path.join(workdir, "checkpoint")
+        checkpoint = os.path.join(workdir, f"checkpoint-{spec}")
         # Each micro-batch IS the window: fire the SQL on it directly
         # (flock elementwise.rs:30-186 — per-epoch independent execution).
         fired_any: dict = {}
@@ -165,8 +198,10 @@ def run_streaming(
             # session; the view and SQL must live THERE, or `view` would
             # resolve against the outer session's catalog.
             batch_df.createOrReplaceTempView(query.view)
-            out = batch_df.sparkSession.sql(query.sql).withColumn(
-                "win_start", F.lit(epoch_id).cast("long")
+            out = _parquet_safe(
+                batch_df.sparkSession.sql(query.sql).withColumn(
+                    "win_start", F.lit(epoch_id).cast("long")
+                )
             )
             out.write.mode("append").parquet(results_dir)
             fired_any["yes"] = True
@@ -189,11 +224,11 @@ def run_streaming(
             empty = spark.createDataFrame([], stream.schema)
             empty.createOrReplaceTempView(query.view)
             try:
-                schema = (
-                    spark.sql(query.sql)
-                    .withColumn("win_start", F.lit(0).cast("long"))
-                    .schema
-                )
+                schema = _parquet_safe(
+                    spark.sql(query.sql).withColumn(
+                        "win_start", F.lit(0).cast("long")
+                    )
+                ).schema
             finally:
                 spark.catalog.dropTempView(query.view)
                 catalog.invalidate(spark)
@@ -210,23 +245,52 @@ def run_streaming(
         dict(epochs_path) if multi else {query.view: (epochs_path, query.ts_col)}
     )
     size = f"{w.size_s} seconds"
+
+    def _win_counts(path: str) -> dict:
+        # per-window row counts of a buffer dir ({} when absent): the
+        # before/after diff below decides which windows THIS invocation
+        # fires — a restart must return only windows its own replay
+        # advanced, not re-fire the whole buffered history (the
+        # elementwise path's documented rerun contract, now shared)
+        try:
+            return {
+                r["win_start"]: r["count"]
+                for r in spark.read.parquet(path)
+                .groupBy("win_start")
+                .count()
+                .collect()
+            }
+        except Exception:
+            return {}
+
     buffers: dict[str, DataFrame] = {}
+    pre_counts: dict[str, dict] = {}
+    post_counts: dict[str, dict] = {}
     for view, (path, ts_col) in sources.items():
         stream = streaming.replay_stream(spark, path, files_per_trigger)
         if "epoch" in stream.columns:
             stream = stream.drop("epoch")
         assigned = streaming._with_event_time(stream, ts_col)
+        pre_counts[view] = _win_counts(
+            os.path.join(workdir, f"window-buffer-{spec}-{view}")
+        )
+        # slide_s=None on a hand-built hopping Window means tumbling (the
+        # dataclass's documented fallback) — not the literal "None seconds"
+        slide_s = w.slide_s if w.slide_s is not None else w.size_s
         win = (
-            F.window(ts_col, size, f"{w.slide_s} seconds")
+            F.window(ts_col, size, f"{slide_s} seconds")
             if w.kind == "hopping"
             else F.window(ts_col, size)
         )
-        buffer_dir = os.path.join(workdir, f"window-buffer-{view}")
+        buffer_dir = os.path.join(workdir, f"window-buffer-{spec}-{view}")
         sink_q = (
             assigned.withColumn("win_start", win["start"])
             .writeStream.format("parquet")
             .option("path", buffer_dir)
-            .option("checkpointLocation", os.path.join(workdir, f"checkpoint-{view}"))
+            .option(
+                "checkpointLocation",
+                os.path.join(workdir, f"checkpoint-{spec}-{view}"),
+            )
             .partitionBy("win_start")
             .trigger(availableNow=True)
             .start()
@@ -234,13 +298,15 @@ def run_streaming(
         if not sink_q.awaitTermination(timeout_s):
             sink_q.stop()
             raise TimeoutError(f"window buffering for {view!r} still running")
+        post_counts[view] = _win_counts(buffer_dir)
         buffers[view] = spark.read.parquet(buffer_dir)
 
     starts = sorted(
         {
-            r["win_start"]
-            for buf in buffers.values()
-            for r in buf.select("win_start").distinct().collect()
+            ws
+            for view, post in post_counts.items()
+            for ws, n in post.items()
+            if pre_counts.get(view, {}).get(ws) != n
         }
     )
     fired = False
@@ -250,8 +316,10 @@ def run_streaming(
                 buf.where(F.col("win_start") == start).drop(
                     "win_start"
                 ).createOrReplaceTempView(view)
-            out = spark.sql(query.sql).withColumn(
-                "win_start", F.lit(start).cast("timestamp")
+            out = _parquet_safe(
+                spark.sql(query.sql).withColumn(
+                    "win_start", F.lit(start).cast("timestamp")
+                )
             )
             # Each firing appends its window's result to the parquet result
             # sink — flock likewise emits per-window batches to the sink as

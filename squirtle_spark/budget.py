@@ -37,7 +37,15 @@ def evidence_history(repo_root: str | Path | None = None) -> dict[str, int]:
     a red row is still evidence the budget was spent there (the failure
     gets fixed and the entry re-checked via the rotation rule anyway).
     """
-    root = Path(repo_root) if repo_root else Path(__file__).resolve().parent.parent
+    if repo_root:
+        roots = [Path(repo_root)]
+    else:
+        # package location first (the repo layout), falling back to the
+        # working directory: an INSTALLED package's __file__ lands in
+        # site-packages where the glob silently matches nothing and the
+        # budget would degrade to registration order with no signal
+        roots = [Path(__file__).resolve().parent.parent, Path.cwd()]
+    root = next((r for r in roots if any(r.glob("CORRECTNESS_r*.json"))), roots[0])
     latest: dict[str, int] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -62,8 +70,14 @@ def budget_order(
     result is deterministic for a fixed registry + artifact set.
     """
     reg_pos = {n: i for i, n in enumerate(names)}
-    head = [n for n in pin_head if n in reg_pos]
-    tail = [n for n in pin_tail if n in reg_pos and n not in head]
+    # dedup pins (order-preserving): a repeated pin would otherwise emit
+    # the name twice and the result would stop being a permutation
+    head = list(dict.fromkeys(n for n in pin_head if n in reg_pos))
+    tail = [
+        n
+        for n in dict.fromkeys(pin_tail)
+        if n in reg_pos and n not in head
+    ]
     rest = [n for n in names if n not in head and n not in tail]
     # never-checked → round 0, which sorts before every real round
     rest.sort(key=lambda n: (history.get(n, 0), reg_pos[n]))

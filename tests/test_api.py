@@ -5,7 +5,9 @@ runs and oracle-checks registry queries."""
 
 from pyspark.sql import functions as F
 
-from squirtle_spark import cli, sources, streaming
+import pytest
+
+from squirtle_spark import api, cli, sources, streaming
 from squirtle_spark.api import Query, Window, run_olap, run_streaming
 
 
@@ -295,3 +297,64 @@ def test_cli_repl(spark, sf_dir, capsys):
 
 def test_cli_repl_eof_exits(spark, sf_dir):
     assert cli.main(["repl", "--sf-dir", sf_dir], spark=spark, stdin=[]) == 0
+
+
+def test_streaming_restart_fires_only_new_windows(spark, tmp_path):
+    """Re-running the SAME query over the same consumed workdir must fire
+    nothing (elementwise's documented rerun contract now shared by the
+    windowed paths — previously every historical window re-fired), and a
+    DIFFERENT query sharing the workdir gets its own state, not the
+    first query's consumed checkpoint and buffered windows."""
+    data_dir, _ = _write_bids(spark, tmp_path)
+    wd = str(tmp_path / "wd-restart")
+    q = Query(
+        sql="SELECT COUNT(*) AS n FROM bid",
+        window=Window.tumbling(2),
+    )
+    first = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert len(first) > 0
+    rerun = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert rerun == []  # no new data -> no windows fired
+
+    q4 = Query(sql="SELECT COUNT(*) AS n FROM bid", window=Window.tumbling(4))
+    other = run_streaming(spark, q4, data_dir, workdir=wd).collect()
+    assert len(other) > 0  # different spec -> own state, fires fully
+    assert {r["win_start"] for r in other} != {r["win_start"] for r in first}
+
+
+def test_streaming_null_literal_column_survives_sink(spark, tmp_path):
+    """SELECT NULL AS col must survive the parquet result sink (NullType
+    is cast to string) in both the windowed and elementwise paths."""
+    data_dir, _ = _write_bids(spark, tmp_path)
+    q = Query(
+        sql="SELECT bidder, NULL AS flag FROM bid",
+        window=Window.tumbling(2),
+    )
+    rows = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-null")
+    ).collect()
+    assert len(rows) > 0 and all(r["flag"] is None for r in rows)
+
+    q2 = Query(sql="SELECT NULL AS flag FROM bid", window=Window.elementwise())
+    rows2 = run_streaming(
+        spark, q2, data_dir, workdir=str(tmp_path / "wd-null-ew")
+    ).collect()
+    assert len(rows2) > 0 and all(r["flag"] is None for r in rows2)
+
+
+def test_run_olap_rejects_windowed_query(spark, sf_dir):
+    q = Query(sql="SELECT 1", window=Window.tumbling(2))
+    with pytest.raises(ValueError, match="Window"):
+        run_olap(spark, q, sf_dir)
+
+
+def test_sink_result_dispatch(spark, sf_dir, tmp_path):
+    """The flock sink surface: memory returns rows, noop returns None,
+    parquet lands files under the workdir."""
+    from squirtle_spark.api import sink_result
+
+    df = spark.range(5).selectExpr("id AS v")
+    assert len(sink_result(df, Query(sql="", sink="memory"), workdir=str(tmp_path))) == 5
+    assert sink_result(df, Query(sql="", sink="noop"), workdir=str(tmp_path)) is None
+    out = sink_result(df, Query(sql="", sink="parquet"), workdir=str(tmp_path))
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5 or out is not None
