@@ -120,7 +120,7 @@ def _lsh_tables(df: DataFrame, vcol: str) -> DataFrame:
             arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
             bits.append(
                 f"(CASE WHEN aggregate(zip_with({vcol}, {arr}, (a, b) -> a * b), 0D,"
-                f" (acc, x) -> acc + x) > 0 THEN CAST(pow(2, {j}) AS BIGINT) ELSE 0L END)"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << j}L ELSE 0L END)"
             )
         entries.append(f"struct({t} AS tbl, ({' + '.join(bits)}) AS bucket)")
     return df.withColumn(
@@ -231,8 +231,9 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
     query probes its N_PROBE nearest cells only, so the candidate join
     touches ~N_PROBE/N_CELLS of the corpus instead of all of it — the
     IVF pruning that makes brute force unnecessary at 100 TB. Approximate
-    by construction (rows-only check); recall vs the exact baseline is
-    pytest-asserted.
+    vs brute force (recall floor pytest-asserted) — but the BUILD is
+    deterministic, so the entry still carries a full value-level DuckDB
+    oracle replaying cells and candidates bit-identically.
     """
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -540,11 +541,20 @@ def stream_lsh_index_build(
         raise TimeoutError(f"LSH index build still running after {timeout_s}s")
 
 
-def query_lsh_index(spark, index_path: str, queries: DataFrame) -> DataFrame:
+def query_lsh_index(
+    spark, index_path: str, queries: DataFrame, *, exclude_self: bool = True
+) -> DataFrame:
     """Top-k cosine neighbors against the streamed index: queries bucket
     with the same planes, broadcast-join the index on (tbl, bucket) —
     partition pruning on tbl + bucket filter mean each query scans its
     ≈L/2^k slice of the corpus, identical to the batch ann_lsh_topk plan.
+
+    ``exclude_self`` drops candidates whose vec_id equals the query's —
+    correct when the queries ARE rows of the indexed corpus (the batch
+    ann_lsh_topk convention this parity-checks against). Pass False when
+    query ids live in their OWN id-space (the general serving case):
+    there an id collision is a coincidence, and excluding it would
+    silently drop a legitimate neighbor (round-6 review finding).
     """
     idx = spark.read.parquet(index_path)
     q = _lsh_tables(
@@ -553,9 +563,11 @@ def query_lsh_index(spark, index_path: str, queries: DataFrame) -> DataFrame:
     ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket"
     )
+    joined = idx.join(F.broadcast(q), ["tbl", "bucket"])
+    if exclude_self:
+        joined = joined.where(F.col("q_id") != F.col("vec_id"))
     scored = (
-        idx.join(F.broadcast(q), ["tbl", "bucket"])
-        .where(F.col("q_id") != F.col("vec_id"))
+        joined
         .dropDuplicates(["q_id", "vec_id"])
         .select(
             "q_id",
@@ -955,12 +967,30 @@ _PQ_INDEX: dict[tuple[str, str, bool], tuple[str, str, str]] = {}
 
 
 def _pq_index_views(spark, sf_dir: str, ivf: bool) -> tuple[str, str, str]:
-    key = (spark.sparkContext.applicationId, sf_dir, bool(ivf))
+    # keyed by the SESSION (id(spark)), not just applicationId: temp views
+    # are session-scoped, and spark.newSession() shares the applicationId
+    # while holding an empty catalog — an app-keyed cache would hand it
+    # view names that don't resolve there
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, bool(ivf))
     if key in _PQ_INDEX:
         return _PQ_INDEX[key]
     prefix = f"{'ivfpq' if ivf else 'pq'}_{len(_PQ_INDEX)}"
     views = (f"{prefix}_cb", f"{prefix}_codes", f"{prefix}_cents")
     if ivf:
+        # IVF_OFF's packed-argmin positivity needs |component| <= ~1.8
+        # (|rel| <= 1.92e10 * m^2 must stay under 2^36); embeddings past
+        # that silently wrap the packed key negative and candidates
+        # vanish — fail loudly at index build instead (one bounded
+        # scalar agg, index-training-class cost)
+        mx = spark.sql(
+            "SELECT MAX(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> abs(x)), 0D, (a, b) -> greatest(a, b))) AS m FROM embeddings"
+        ).first()["m"]
+        if mx is not None and mx > 1.8:
+            raise ValueError(
+                f"IVF-PQ packed argmin needs |embedding components| <= 1.8 "
+                f"(got max {mx:.3f}): raise IVF_OFF or normalize the vectors"
+            )
         # coarse centroids: N_CELLS quantized corpus rows + their norms —
         # bounded index-training collect, exactly ann_ivf's sample
         cents = spark.sql(
@@ -1036,6 +1066,7 @@ def stream_ann_probe(
     checkpoint: str,
     files_per_trigger: int = 4,
     timeout_s: int = 300,
+    exclude_self: bool = True,
 ) -> None:
     """The serving loop's other half: QUERY embeddings arrive as a stream
     and probe the persisted LSH index per micro-batch via
@@ -1048,7 +1079,12 @@ def stream_ann_probe(
     a sink, never the driver (the datasink contract,
     flock/src/datasink/mod.rs:118-140); per-batch cost is the batch's
     bucket slices only, so query throughput is independent of corpus
-    size. Test asserts stream==batch verdict parity per query batch.
+    size. Results partition by the firing epoch and each batch
+    dynamically overwrites its own partition, so an at-least-once replay
+    converges instead of appending duplicates; read results with
+    ``.drop("_epoch")``. ``exclude_self`` as query_lsh_index: True for
+    corpus-row queries (the parity test), False for an independent query
+    id-space. Test asserts stream==batch verdict parity per query batch.
     """
     from .. import streaming as st
 
@@ -1056,9 +1092,21 @@ def stream_ann_probe(
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
 
-    def probe(df, _epoch_id):
-        res = query_lsh_index(df.sparkSession, index_path, df)
-        res.write.mode("append").parquet(out_path)
+    def probe(df, epoch_id):
+        res = query_lsh_index(
+            df.sparkSession, index_path, df, exclude_self=exclude_self
+        )
+        # idempotent under at-least-once replay: each batch OVERWRITES its
+        # own _epoch partition (dynamic mode), so a batch re-run after a
+        # crash-before-checkpoint replaces its rows instead of doubling
+        # them; readers drop the bookkeeping column
+        (
+            res.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
 
     q = st.foreach_batch_sink(stream, probe, checkpoint=checkpoint)
     if not q.awaitTermination(timeout_s):

@@ -38,14 +38,22 @@ WITH log AS (
     SELECT user_id, ts, event_type, event_id,
            LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-           ) AS prev_type
+           ) AS prev_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
     FROM events
 ),
 changes AS (
-    -- keep only rows where the tracked attribute actually changed
+    -- keep the first row plus rows where the tracked attribute actually
+    -- changed. NULL-safe comparison: with `prev_type != event_type` a
+    -- value->NULL transition evaluates to NULL and is DROPPED (the NULL
+    -- period silently inherits the prior run), and the first-row test
+    -- `prev_type IS NULL` conflates with NULL-valued attributes — the
+    -- explicit rn=1 keeps a first row even when its value is NULL.
     SELECT user_id, ts, event_type, event_id
     FROM log
-    WHERE prev_type IS NULL OR prev_type != event_type
+    WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
 )
 SELECT user_id,
        event_type AS attr_value,

@@ -514,3 +514,27 @@ def test_pii_scrub_counts_fire_on_spark(spark):
     assert got[1]["n_pii"] == 3
     assert got[2]["n_pii"] == 0
     assert got[1]["scrubbed"] == "call <PHONE> from <IP> or mail <EMAIL>"
+
+
+def test_scd2_handles_null_attribute_values(spark):
+    """NULL-safe run collapsing (round-6 review): A -> NULL -> A must
+    produce THREE validity periods, not a silently-merged A run."""
+    from squirtle_spark.operators.warehouse import _scd2_dimension
+
+    rows = [
+        ("2024-01-01 00:00:00", 1, "A"),
+        ("2024-01-02 00:00:00", 1, None),
+        ("2024-01-03 00:00:00", 1, "A"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    got = sorted(
+        (r["version"], r["attr_value"], r["is_current"])
+        for r in spark.sql(_scd2_dimension(dl.SPARK)).collect()
+    )
+    assert got == [(1, "A", 0), (2, None, 0), (3, "A", 1)]

@@ -113,7 +113,7 @@ def test_ivfpq_recall_and_cell_pruning(spark, sf_dir):
     assert r >= 0.2, f"IVF-PQ recall@5 {r:.2f} below floor"
 
     # pruning contract from the materialized index itself
-    key = (spark.sparkContext.applicationId, sf_dir, True)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, True)
     _, codes_view, cents_view = sim._PQ_INDEX[key]
     cells = {
         r["c_id"]: r["cell"]
@@ -180,7 +180,12 @@ def test_stream_ann_probe_equals_batch(spark, sf_dir, tmp_path):
         files_per_trigger=1,
     )
 
-    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "results")).collect()))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "results")).drop("_epoch").collect(),
+        )
+    )
     exp = sorted(
         map(
             tuple,
