@@ -21,6 +21,7 @@ in-order epochs and has no late-data story (window.rs sweep functions).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,6 +119,23 @@ def session_agg(
     )
 
 
+def drop_flush_sentinels(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Drop write_flush_epoch's sentinel rows (negative ``keys``): the
+    sentinel exists only to push the watermark past the tail windows, but
+    dirs are MUTATED by the flush — a later topology re-reading a shared
+    dir would otherwise aggregate the sentinel into real groups (a
+    spurious auction=-1 "hot item", a bidder=-1 session, a far-future
+    max-price window; round-6 review finding). Every aggregating consumer
+    of a bids/persons/auctions replay dir filters through this; only
+    residual-guarded joins (the winning-bid interval join) are safe
+    without it."""
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull() | (F.col(k) >= 0)
+        cond = c if cond is None else (cond & c)
+    return df.where(cond)
+
+
 def run_nexmark_q5_stream(
     spark: SparkSession,
     bids_path: str,
@@ -145,14 +163,17 @@ def run_nexmark_q5_stream(
     stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
+    stream = drop_flush_sentinels(stream, ["auction", "bidder"])
     counts = (
         _with_event_time(stream, "b_date_time")
         .groupBy(F.window("b_date_time", "10 seconds", "5 seconds"), F.col("auction"))
         .agg(F.count("*").alias("num"))
     )
 
-    # Pre-seeded so a zero-batch replay (empty/missing epoch dir) returns
-    # an empty result instead of a KeyError.
+    # Pre-seeded so a ZERO-BATCH replay returns an empty result instead
+    # of a KeyError. Scope: replay_stream's eager schema read raises
+    # before this for a missing/truly-empty dir — the pre-seed covers a
+    # dir whose parquet exists but holds zero rows.
     final: dict = {"df": []}
 
     def hot_items(batch_df: DataFrame, epoch_id: int) -> None:
@@ -204,15 +225,18 @@ def run_nexmark_q7_stream(
     stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
+    stream = drop_flush_sentinels(stream, ["auction", "bidder"])
     maxes = (
         _with_event_time(stream, "b_date_time")
         .groupBy(F.window("b_date_time", "10 seconds"))
         .agg(F.max("price").alias("maxprice"))
     )
 
+    bids = drop_flush_sentinels(
+        spark.read.parquet(bids_path), ["auction", "bidder"]
+    )
     bids = (
-        spark.read.parquet(bids_path)
-        .drop("epoch")
+        bids.drop("epoch")
         .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
         .withColumn("w", F.window("b_date_time", "10 seconds"))
     )
@@ -272,8 +296,14 @@ def run_nexmark_q11_stream(
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
     sessions = (
-        _with_event_time(stream, "b_date_time")
-        .withWatermark("b_date_time", watermark)
+        # sentinel filter after the watermark: far-future flush rows must
+        # advance the frontier but never become a bidder=-1 session
+        drop_flush_sentinels(
+            _with_event_time(stream, "b_date_time").withWatermark(
+                "b_date_time", watermark
+            ),
+            ["auction", "bidder"],
+        )
         .groupBy(F.col("bidder"), F.session_window("b_date_time", f"{gap_s} seconds"))
         .agg(F.count("*").alias("bid_count"))
         .select(
@@ -311,6 +341,12 @@ def _q8_windowed_sides(
         ps = ps.drop("epoch")
     if "epoch" in au.columns:
         au = au.drop("epoch")
+    # NO sentinel filter on the join inputs: Catalyst pushes a
+    # deterministic key filter below the EventTimeWatermark node, and a
+    # filtered-out sentinel never advances the frontier — the append-mode
+    # outer join would then hold its tail windows in state forever.
+    # Sentinels flow THROUGH the join and are dropped from the drained
+    # RESULT (both q8 variants filter post-join).
     ps = (
         _with_event_time(ps, "p_date_time")
         .withWatermark("p_date_time", watermark)
@@ -367,9 +403,13 @@ def run_nexmark_q8_stream(
     rows = run_available_now(
         joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
     )
-    return spark.createDataFrame(
-        rows, "p_id BIGINT, name STRING, starttime TIMESTAMP"
-    ).distinct()
+    # post-drain sentinel drop (a flushed dir's p_id=-1/seller=-1 rows
+    # can MATCH each other when their far-future windows align)
+    return (
+        spark.createDataFrame(rows, "p_id BIGINT, name STRING, starttime TIMESTAMP")
+        .where(F.col("p_id") >= 0)
+        .distinct()
+    )
 
 
 def run_nexmark_q8_outer_stream(
@@ -982,11 +1022,17 @@ def run_nexmark_q6_stream(
         qa.stop()
         raise TimeoutError("q6 winners stage still running")
 
-    if not any(
-        f.endswith(".parquet")
-        for f in os.listdir(winners_path)
-        if not f.startswith(("_", "."))
-    ):
+    # Hadoop-FS listing, not os.listdir: winners_path may live on any
+    # scheme (the _mor_log_dirs pattern); local paths resolve identically
+    jvm = spark._jvm
+    wpath = jvm.org.apache.hadoop.fs.Path(winners_path)
+    wfs = wpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    has_winner_files = wfs.exists(wpath) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in wfs.listStatus(wpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+    if not has_winner_files:
         return spark.createDataFrame(
             [], "seller BIGINT, avg_last10 DOUBLE, n_in_frame BIGINT"
         )
@@ -1062,7 +1108,10 @@ def run_available_now(
     availableNow processes every pending file then stops — the batch-exact
     replay mode the oracle tests rely on.
     """
-    name = "mem_" + os.path.basename(checkpoint).replace("-", "_")
+    # full non-alnum sanitize: a '.' (or any other non-identifier char)
+    # in the checkpoint basename would make the final SELECT parse as
+    # db.table and lose the drained result
+    name = "mem_" + re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(checkpoint))
     q = (
         result.writeStream.format("memory")
         .queryName(name)
@@ -1179,12 +1228,14 @@ def upsert_sink(
         latest = _latest_per_key(merged, keys, seq_col)
         # Truncate lineage before overwriting the files just read.
         latest = latest.localCheckpoint(eager=True)
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            latest.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # per-WRITE dynamic overwrite (not a session-global conf toggle,
+        # which would race any concurrent writer in the same session)
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -1230,6 +1281,12 @@ def cdc_sink(
     the winner arrival-dependent) — CDC feeds guarantee exactly this
     (log offset / LSN).
     """
+    for col in [*keys, seq_col, op_col]:
+        if col not in stream.columns:
+            raise ValueError(
+                f"cdc_sink: column {col!r} not in stream schema "
+                f"{stream.columns} (keys/seq_col/op_col must all exist)"
+            )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         from .operators import maintenance
@@ -1520,7 +1577,12 @@ def stateful_running_count(stream: DataFrame, key_col: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
-        [StructField("key", LongType()), StructField("running_count", LongType())]
+        [
+            # key TYPE from the stream: a hardcoded LongType dies in the
+            # arrow cast for any non-long-keyed caller
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("running_count", LongType()),
+        ]
     )
     state_schema = StructType([StructField("count", LongType())])
 
@@ -1555,7 +1617,12 @@ def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, a
     (ema, n) pair per key, so state is O(keys) however long the stream
     runs. Emits the key's current EMA each batch (update mode) — the
     final emission equals the batch EMA over the whole ordered history
-    (pinned by test). Implemented on applyInPandasWithState; Spark 4's
+    (pinned by test) PROVIDED per-key event-time order holds ACROSS
+    micro-batches too (the replay harness's epoch order guarantees it):
+    state is a single irreversible (ema, n) fold, so a late row landing
+    in a later batch folds in arrival position, exactly as a streaming
+    EMA over an unordered feed would — same precondition as
+    stateful_trailing_window/stateful_anomaly, stated here too. Implemented on applyInPandasWithState; Spark 4's
     transformWithState API is the successor, but its Python runner needs
     protobuf, absent in this environment.
     """
@@ -1986,7 +2053,7 @@ def stateful_proc_window_count(
 
     out_schema = StructType(
         [
-            StructField("key", LongType()),
+            StructField("key", stream.schema[key_col].dataType),
             StructField("win_start_ms", LongType()),
             StructField("n", LongType()),
         ]

@@ -1741,3 +1741,34 @@ def test_stateful_trailing_window_generic_key(spark, tmp_path):
     # of campaign 0 -> events 3 and 6
     assert by_eid[6]["campaign_id"] == 0
     assert by_eid[6]["n_trailing_hour"] == 2
+
+
+def test_flushed_dir_does_not_contaminate_other_topologies(spark, sf_dir, tmp_path):
+    """A dir mutated by write_flush_epoch (q4/q8/q9's watermark flush) is
+    later re-read by q5/q11: the sentinel row must never surface as an
+    auction=-1 hot item or a bidder=-1 session (round-6 review)."""
+    from squirtle_spark import catalog
+
+    catalog.register_all(spark, sf_dir)
+    bids = spark.table("bid").limit(4000)
+    streaming.write_epoch_files(
+        bids.withColumn("epoch", F.col("auction") % 4), str(tmp_path / "bids")
+    )
+    streaming.write_flush_epoch(
+        spark, str(tmp_path / "bids"), "b_date_time", 3600, ["auction", "bidder"]
+    )
+
+    hot = run_q5 = streaming.run_nexmark_q5_stream(
+        spark, str(tmp_path / "bids"), checkpoint=str(tmp_path / "ck5")
+    ).collect()
+    assert hot and all(r["auction"] >= 0 for r in hot)
+
+    sess = streaming.run_nexmark_q11_stream(
+        spark, str(tmp_path / "bids"), checkpoint=str(tmp_path / "ck11")
+    ).collect()
+    assert sess and all(r["bidder"] >= 0 for r in sess)
+
+    winners = streaming.run_nexmark_q7_stream(
+        spark, str(tmp_path / "bids"), checkpoint=str(tmp_path / "ck7")
+    ).collect()
+    assert all(r["auction"] >= 0 and r["bidder"] >= 0 for r in winners)
