@@ -288,6 +288,40 @@ def _mh_pipeline_ctes(d: str) -> str:
         bands AS ({_mh_bands_body("sig", d)})""")
 
 
+def verified_pairs_ctes() -> str:
+    """The LSH candidate→exact-verify core as CTEs appended after
+    :func:`_mh_pipeline_ctes`: banded-bucket self-join candidates
+    (``a.doc_id < b.doc_id``, so each unordered pair appears once) and
+    exact-Jaccard verification via shingle equi-joins, ending in a
+    ``pairs(doc_a, doc_b, jac)`` relation with the UNROUNDED Jaccard —
+    consumers threshold/round it themselves (dedup_minhash_lsh's pair
+    list, pipeline.split_leakage_audit's cross-split filter). Dialect-free:
+    every expression here is shared SQL."""
+    return """cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, n_sh FROM sig),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b,
+                   CAST(n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_inter) AS jac
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        )"""
+
+
 def _minhash_lsh(d: str) -> str:
     """MinHash-LSH near-dup pairs, dialect-shared SQL (full value oracle).
 
@@ -315,28 +349,10 @@ def _minhash_lsh(d: str) -> str:
 
     return textwrap.dedent(f"""
         WITH {_mh_pipeline_ctes(d)},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b
-              ON a.band = b.band AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-        ),
-        sizes AS (SELECT doc_id, n_sh FROM sig),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT i.doc_a, i.doc_b,
-               round(CAST(n_inter AS DOUBLE)
-                     / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        {verified_pairs_ctes()}
+        SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        FROM pairs
+        WHERE jac >= 0.2
         """)
 
 

@@ -62,6 +62,59 @@ register_sql(
 )
 
 
+def _split_leakage(d: str) -> str:
+    """Train/test split LEAKAGE audit: near-duplicate document pairs that
+    straddle a split boundary — the in-corpus contamination check run
+    before training (Lee et al. arXiv:2107.06499 §6.2 found ~1% of
+    standard benchmarks' test sets near-duplicated in train; the fix is
+    auditing the split, not just decontaminating against external
+    benchmarks, which decontaminate_ngram_overlap covers).
+
+    Composition, all shared machinery: the MinHash-LSH pipeline +
+    candidate→exact-Jaccard verify core (dedup.verified_pairs_ctes — the
+    same CTEs dedup_minhash_lsh emits, so a pair leaks here iff that
+    entry reports it) joined to the deterministic salted-hash split
+    (split_train_val_test's exact CASE). Emits each cross-split pair with
+    its splits, verified Jaccard, and a severity tier: 'dup' at >=
+    LSH_DUP_THRESHOLD (past the banding knee — confidently the same doc),
+    'near' in [0.2, knee).
+
+    Scale shape: everything up to ``pairs`` is the never-all-pairs LSH
+    plan (|bucket|² candidates, shingle equi-join verify); the split
+    join adds two doc_id-keyed equi-joins against a projection of the
+    base table — no new shuffle key, and at 100 TB the splits relation
+    is derivable in the same scan that feeds the shingle fan-out. An
+    empty result IS the audit passing; rows are the docs to re-assign
+    or drop before training.
+    """
+    import textwrap
+
+    from .dedup import LSH_DUP_THRESHOLD, _mh_pipeline_ctes, verified_pairs_ctes
+
+    return textwrap.dedent(f"""
+        WITH {_mh_pipeline_ctes(d)},
+        {verified_pairs_ctes()},
+        splits AS ({_split(d)})
+        SELECT p.doc_a, p.doc_b,
+               sa.split AS split_a, sb.split AS split_b,
+               round(p.jac, 4) AS jaccard,
+               CASE WHEN p.jac >= {LSH_DUP_THRESHOLD} THEN 'dup'
+                    ELSE 'near' END AS severity
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        WHERE p.jac >= 0.2 AND sa.split <> sb.split
+        """)
+
+
+register_sql(
+    "split_leakage_audit",
+    _split_leakage,
+    doc="Near-dup pairs straddling the train/val/test split (LSH candidates, "
+    "exact-Jaccard verified, severity-tiered) — in-corpus contamination audit.",
+)
+
+
 def _domain_cap(d: str) -> str:
     return f"""
 SELECT doc_id, source, lang
