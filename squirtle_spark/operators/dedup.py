@@ -787,6 +787,99 @@ register_sql(
 )
 
 
+def _dedup_span_removal(d: str) -> str:
+    """Duplicate-span REMOVAL (Lee et al. arXiv:2107.06499 ExactSubstr):
+    the transform that acts on what dedup_spans reports. Every word
+    {SPAN_W}-gram occurring in >= 2 documents elects a canonical document
+    (min doc_id); in every OTHER document, the tokens that occurrence
+    covers are excised and the text reassembled in token order — so
+    exactly one document retains each cross-doc duplicated span
+    (boilerplate, templates, mirrored passages), instead of whole-doc
+    drops that lose the unique remainder. Within-doc repetition is out of
+    scope by the same cross-doc definition dedup_spans uses
+    (gopher_repetition gates that); docs under {SPAN_W} words pass
+    through untouched (no shingles — the shared short-doc scope note at
+    curation.shingle_rows).
+
+    Plan shape, three keyed shuffles and a projection fan-out — never
+    all-pairs: (1) the positional shingle fan-out with the cross-doc
+    doc-frequency pass shared with dedup_spans (shingle-keyed, the
+    minhash/decontam shuffle); (2) covered-position expansion is a
+    constant x{SPAN_W} per-row fan-out + DISTINCT keyed on doc_id;
+    (3) reassembly is one doc_id-keyed aggregation — per-group state
+    is one document's tokens (collect + sort in Spark, ORDER BY inside
+    string_agg in the oracle), bounded by max doc length, not corpus
+    size. At 100 TB every stage keys on doc_id or shingle, both already
+    the partition keys of the surrounding dedup family.
+    """
+    toks = dl.split_tokens("lower(trim(text))", d)
+    fanout_w, one_w = dl.pos_shingle_fanout(SPAN_W, d)
+    fanout_1, one_1 = dl.pos_shingle_fanout(1, d)
+    if d == dl.SPARK:
+        reassemble = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        )
+    else:
+        reassemble = "string_agg(tok, ' ' ORDER BY pos)"
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {toks} AS tk FROM documents
+),
+pos_sh AS (
+    SELECT doc_id, pos, {one_w} AS sh
+    FROM tk
+    {fanout_w}
+),
+shared AS (
+    SELECT sh, MIN(doc_id) AS keep_doc
+    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+    SELECT DISTINCT p.doc_id, p.pos + off AS tpos
+    FROM (
+        SELECT p0.doc_id, p0.pos
+        FROM pos_sh p0
+        JOIN shared s ON p0.sh = s.sh AND p0.doc_id <> s.keep_doc
+    ) p
+    {dl.lateral_series(SPAN_W, "off", d)}
+),
+tok_rows AS (
+    SELECT doc_id, pos, {one_1} AS tok
+    FROM tk
+    {fanout_1}
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tok_rows t
+    LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tpos = t.pos
+    WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           {reassemble} AS text_clean
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       {dl.array_len('t.tk', d)} AS n_tokens,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       {dl.array_len('t.tk', d)} - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM tk t
+LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""
+
+
+register_sql(
+    "dedup_span_removal",
+    _dedup_span_removal,
+    doc="ExactSubstr span removal (Lee et al.): excise cross-doc duplicated "
+    f"{SPAN_W}-gram spans everywhere but a canonical doc, reassemble text "
+    "in token order; emits per-doc kept/removed counts + cleaned text.",
+)
+
+
 EDIT_BLOCK_PREFIX = 16  # chars of shared prefix that admit a candidate pair
 EDIT_MAX_DIST = 24  # max edits for a near-dup verdict (fixture docs ~128 chars)
 
