@@ -38,6 +38,14 @@ SIMHASH_BITS = 32  # stays well within positive BIGINT; 32 bit-vote aggs
 SIMHASH_BANDS = 4  # 4 × 8-bit chunks
 HAMMING_MAX = 4
 
+#: Minimum exact Jaccard for a pair to count as a NEAR-duplicate anywhere
+#: in the family — dedup_ngram_jaccard (the exact ground truth),
+#: dedup_minhash_lsh's verified pair list, and pipeline.split_leakage_audit
+#: all filter on this same floor, so "a pair leaks iff the LSH entry
+#: reports it" stays true by construction when the floor is tuned.
+#: Distinct from LSH_DUP_THRESHOLD (the confident-duplicate verdict line).
+NEARDUP_JACCARD_FLOOR = 0.2
+
 
 def _dedup_exact(d: str) -> str:
     return """
@@ -65,8 +73,8 @@ def _ngram_jaccard(d: str) -> str:
 
     This is the exact ground truth the MinHash-LSH pipeline approximates —
     and unlike the xxhash64-based entries it renders in DuckDB, so the
-    driver gets a VALUE-LEVEL check on the near-dup family (same 0.2
-    threshold as the LSH verify stage). jaccard is a single IEEE division
+    driver gets a VALUE-LEVEL check on the near-dup family (same
+    NEARDUP_JACCARD_FLOOR as the LSH verify stage). jaccard is a single IEEE division
     of two integers — bitwise identical across engines, no rounding needed.
 
     Scale: the only joins are shingle equi-joins (narrow rows) + a grouped
@@ -98,7 +106,7 @@ def _ngram_jaccard(d: str) -> str:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
         ) j
-        WHERE jaccard >= 0.2
+        WHERE jaccard >= {NEARDUP_JACCARD_FLOOR}
         """)
 
 
@@ -352,7 +360,7 @@ def _minhash_lsh(d: str) -> str:
         {verified_pairs_ctes()}
         SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         FROM pairs
-        WHERE jac >= 0.2
+        WHERE jac >= {NEARDUP_JACCARD_FLOOR}
         """)
 
 
@@ -695,6 +703,39 @@ register_df(
 SPAN_W = 5  # word 5-grams: long enough to be a "span", short enough to fire on fixtures
 
 
+def span_shared_ctes(d: str) -> str:
+    """The tk/pos_sh/shared CTE prologue shared by the duplicate-span
+    family — dedup_spans (the report) and dedup_span_removal (the
+    transform that acts on it) MUST see the same tokenization and the
+    same cross-doc shingle set, so there is exactly one hand-maintained
+    copy (the verified_pairs_ctes convention for the LSH family).
+
+    Emits: ``tk`` with the lowercase token array ``tk`` (matching keys),
+    the original-case token array ``tko`` and ``text_orig`` (reassembly /
+    passthrough — lower() never changes whitespace, so positions in
+    ``tk`` and ``tko`` align 1:1); positional word {SPAN_W}-gram fan-out
+    ``pos_sh``; and ``shared`` — shingles with doc-frequency >= 2 plus
+    their canonical keeper (min doc_id; dedup_spans joins on ``sh`` only
+    and ignores the keeper column)."""
+    toks = dl.split_tokens("lower(trim(text))", d)
+    toks_orig = dl.split_tokens("text", d)
+    fanout, one = dl.pos_shingle_fanout(SPAN_W, d)
+    return f"""tk AS (
+    SELECT doc_id, {toks} AS tk, {toks_orig} AS tko,
+           TRIM(text) AS text_orig
+    FROM documents
+),
+pos_sh AS (
+    SELECT doc_id, pos, {one} AS sh
+    FROM tk
+    {fanout}
+),
+shared AS (
+    SELECT sh, MIN(doc_id) AS keep_doc
+    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+)"""
+
+
 def _dedup_spans(d: str) -> str:
     """Exact duplicate-SPAN detection (Lee et al., arXiv:2107.06499): for
     every document, how much of it is covered by word {SPAN_W}-grams that
@@ -720,21 +761,9 @@ def _dedup_spans(d: str) -> str:
     (drop when > 30% of tokens sit in cross-doc duplicated spans).
     Beyond-parity: the reference engine has no text operators.
     """
-    toks = dl.split_tokens("lower(trim(text))", d)
-    fanout, one = dl.pos_shingle_fanout(SPAN_W, d)
     w = SPAN_W
     return f"""
-WITH tk AS (
-    SELECT doc_id, {toks} AS tk FROM documents
-),
-pos_sh AS (
-    SELECT doc_id, pos, {one} AS sh
-    FROM tk
-    {fanout}
-),
-shared AS (
-    SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
-),
+WITH {span_shared_ctes(d)},
 dup AS (
     SELECT p.doc_id, p.pos
     FROM pos_sh p JOIN shared s ON p.sh = s.sh
@@ -790,31 +819,45 @@ register_sql(
 def _dedup_span_removal(d: str) -> str:
     """Duplicate-span REMOVAL (Lee et al. arXiv:2107.06499 ExactSubstr):
     the transform that acts on what dedup_spans reports. Every word
-    {SPAN_W}-gram occurring in >= 2 documents elects a canonical document
-    (min doc_id); in every OTHER document, the tokens that occurrence
-    covers are excised and the text reassembled in token order — so
-    exactly one document retains each cross-doc duplicated span
-    (boilerplate, templates, mirrored passages), instead of whole-doc
-    drops that lose the unique remainder. Within-doc repetition is out of
-    scope by the same cross-doc definition dedup_spans uses
-    (gopher_repetition gates that); docs under {SPAN_W} words pass
-    through untouched (no shingles — the shared short-doc scope note at
-    curation.shingle_rows).
+    {SPAN_W}-gram occurring in >= 2 documents (case-insensitive match,
+    the dedup_spans definition via span_shared_ctes) elects a canonical
+    document (min doc_id); in every OTHER document the tokens that
+    occurrence covers are excised and the text reassembled in token
+    order — span-level surgery instead of whole-doc drops that lose the
+    unique remainder.
 
-    Plan shape, three keyed shuffles and a projection fan-out — never
+    Guarantees: (1) no content loss — a document's positions covered by
+    spans it canonically KEEPS are protected from removal, so every
+    duplicated span survives intact in its canonical doc even when an
+    overlapping span elects a different keeper (without the protection,
+    chained overlaps like 'a b c d e' / 'a b c d e f' / 'b c d e f'
+    erase the second span from every copy); where a non-keeper's removal
+    overlaps a span it keeps, the overlap resolves toward retention, so
+    a span may partially survive in more than one doc — the safe
+    direction for a cleaning transform. (2) untouched passthrough —
+    docs with zero removals emit their original text verbatim (modulo
+    TRIM), original case and whitespace; only rebuilt docs collapse
+    inter-token whitespace to single spaces, and reassembly always uses
+    the ORIGINAL-case tokens (lowercase is a matching key, never
+    output). Within-doc repetition is out of scope by the same
+    cross-doc definition dedup_spans uses (gopher_repetition gates
+    that); docs under {SPAN_W} words pass through untouched (no
+    shingles — the shared short-doc scope note at curation.shingle_rows).
+
+    Plan shape, three keyed shuffles and projection fan-outs — never
     all-pairs: (1) the positional shingle fan-out with the cross-doc
     doc-frequency pass shared with dedup_spans (shingle-keyed, the
-    minhash/decontam shuffle); (2) covered-position expansion is a
-    constant x{SPAN_W} per-row fan-out + DISTINCT keyed on doc_id;
+    minhash/decontam shuffle); (2) covered/protected position expansion
+    is a constant x{SPAN_W} per-row fan-out + DISTINCT keyed on doc_id,
+    and the protection subtraction is a doc_id-keyed anti-join;
     (3) reassembly is one doc_id-keyed aggregation — per-group state
     is one document's tokens (collect + sort in Spark, ORDER BY inside
     string_agg in the oracle), bounded by max doc length, not corpus
     size. At 100 TB every stage keys on doc_id or shingle, both already
     the partition keys of the surrounding dedup family.
     """
-    toks = dl.split_tokens("lower(trim(text))", d)
-    fanout_w, one_w = dl.pos_shingle_fanout(SPAN_W, d)
-    fanout_1, one_1 = dl.pos_shingle_fanout(1, d)
+    fanout_1, _ = dl.pos_shingle_fanout(1, d)
+    tok_elem = "element_at(tko, pos)" if d == dl.SPARK else "tko[pos]"
     if d == dl.SPARK:
         reassemble = (
             "concat_ws(' ', transform(array_sort(collect_list("
@@ -823,18 +866,7 @@ def _dedup_span_removal(d: str) -> str:
     else:
         reassemble = "string_agg(tok, ' ' ORDER BY pos)"
     return f"""
-WITH tk AS (
-    SELECT doc_id, {toks} AS tk FROM documents
-),
-pos_sh AS (
-    SELECT doc_id, pos, {one_w} AS sh
-    FROM tk
-    {fanout_w}
-),
-shared AS (
-    SELECT sh, MIN(doc_id) AS keep_doc
-    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
-),
+WITH {span_shared_ctes(d)},
 covered AS (
     SELECT DISTINCT p.doc_id, p.pos + off AS tpos
     FROM (
@@ -844,15 +876,30 @@ covered AS (
     ) p
     {dl.lateral_series(SPAN_W, "off", d)}
 ),
+protected AS (
+    SELECT DISTINCT p.doc_id, p.pos + off AS tpos
+    FROM (
+        SELECT p0.doc_id, p0.pos
+        FROM pos_sh p0
+        JOIN shared s ON p0.sh = s.sh AND p0.doc_id = s.keep_doc
+    ) p
+    {dl.lateral_series(SPAN_W, "off", d)}
+),
+removed AS (
+    SELECT c.doc_id, c.tpos
+    FROM covered c
+    LEFT JOIN protected pr ON pr.doc_id = c.doc_id AND pr.tpos = c.tpos
+    WHERE pr.doc_id IS NULL
+),
 tok_rows AS (
-    SELECT doc_id, pos, {one_1} AS tok
+    SELECT doc_id, pos, {tok_elem} AS tok
     FROM tk
     {fanout_1}
 ),
 kept AS (
     SELECT t.doc_id, t.pos, t.tok
     FROM tok_rows t
-    LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tpos = t.pos
+    LEFT JOIN removed c ON c.doc_id = t.doc_id AND c.tpos = t.pos
     WHERE c.doc_id IS NULL
 ),
 rebuilt AS (
@@ -865,7 +912,9 @@ SELECT t.doc_id,
        {dl.array_len('t.tk', d)} AS n_tokens,
        COALESCE(r.n_kept, 0) AS n_kept,
        {dl.array_len('t.tk', d)} - COALESCE(r.n_kept, 0) AS n_removed,
-       COALESCE(r.text_clean, '') AS text_clean
+       CASE WHEN COALESCE(r.n_kept, 0) = {dl.array_len('t.tk', d)}
+            THEN t.text_orig
+            ELSE COALESCE(r.text_clean, '') END AS text_clean
 FROM tk t
 LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """

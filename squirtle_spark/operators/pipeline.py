@@ -77,7 +77,7 @@ def _split_leakage(d: str) -> str:
     (split_train_val_test's exact CASE). Emits each cross-split pair with
     its splits, verified Jaccard, and a severity tier: 'dup' at >=
     LSH_DUP_THRESHOLD (past the banding knee — confidently the same doc),
-    'near' in [0.2, knee).
+    'near' in [NEARDUP_JACCARD_FLOOR, knee).
 
     Scale shape: everything up to ``pairs`` is the never-all-pairs LSH
     plan (|bucket|² candidates, shingle equi-join verify); the split
@@ -89,7 +89,12 @@ def _split_leakage(d: str) -> str:
     """
     import textwrap
 
-    from .dedup import LSH_DUP_THRESHOLD, _mh_pipeline_ctes, verified_pairs_ctes
+    from .dedup import (
+        LSH_DUP_THRESHOLD,
+        NEARDUP_JACCARD_FLOOR,
+        _mh_pipeline_ctes,
+        verified_pairs_ctes,
+    )
 
     return textwrap.dedent(f"""
         WITH {_mh_pipeline_ctes(d)},
@@ -103,7 +108,7 @@ def _split_leakage(d: str) -> str:
         FROM pairs p
         JOIN splits sa ON sa.doc_id = p.doc_a
         JOIN splits sb ON sb.doc_id = p.doc_b
-        WHERE p.jac >= 0.2 AND sa.split <> sb.split
+        WHERE p.jac >= {NEARDUP_JACCARD_FLOOR} AND sa.split <> sb.split
         """)
 
 

@@ -538,3 +538,41 @@ def test_scd2_handles_null_attribute_values(spark):
         for r in spark.sql(_scd2_dimension(dl.SPARK)).collect()
     )
     assert got == [(1, "A", 0), (2, None, 0), (3, "A", 1)]
+
+
+def test_span_removal_preserves_case_and_canonical_content(spark):
+    """Planted semantics for dedup_span_removal (round-6 review findings):
+    (1) zero-removal docs pass through VERBATIM — original case and
+    whitespace, not a lowercased token rebuild; (2) overlapping spans
+    electing different canonical keepers never erase a span from every
+    copy — the keeper's occurrence positions are protected, so each
+    duplicated span survives intact in its canonical doc; (3) matching is
+    case-insensitive but reassembly emits the ORIGINAL-case tokens."""
+    from squirtle_spark.operators import dedup
+
+    _plant_documents(
+        spark,
+        [
+            (1, "a b c d e", "en"),
+            (2, "a b c d e f", "en"),
+            (3, "b c d e f", "en"),
+            (4, "Hello World THIS IS  Unique Content Here", "en"),
+            (5, "A B C D E x Y z w v", "en"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(dedup._dedup_span_removal(dl.SPARK)).collect()
+    }
+    # (1) untouched passthrough: case AND the double space survive
+    assert got[4]["text_clean"] == "Hello World THIS IS  Unique Content Here"
+    assert got[4]["n_removed"] == 0
+    # (2) chained overlap: 'a b c d e' keeps doc 1, 'b c d e f' keeps
+    # doc 2 — protection must stop the first removal from erasing the
+    # second span's only canonical copy (pre-fix: doc2 -> 'f', doc3 -> '')
+    assert got[1]["text_clean"] == "a b c d e" and got[1]["n_removed"] == 0
+    assert got[2]["text_clean"] == "b c d e f" and got[2]["n_removed"] == 1
+    assert got[3]["text_clean"] == "" and got[3]["n_removed"] == 5
+    # (3) uppercase occurrence matches case-insensitively; kept remainder
+    # reassembles with its original mixed case
+    assert got[5]["text_clean"] == "x Y z w v" and got[5]["n_removed"] == 5
