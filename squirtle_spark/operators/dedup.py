@@ -847,9 +847,11 @@ def _dedup_span_removal(d: str) -> str:
     Plan shape, three keyed shuffles and projection fan-outs — never
     all-pairs: (1) the positional shingle fan-out with the cross-doc
     doc-frequency pass shared with dedup_spans (shingle-keyed, the
-    minhash/decontam shuffle); (2) covered/protected position expansion
-    is a constant x{SPAN_W} per-row fan-out + DISTINCT keyed on doc_id,
-    and the protection subtraction is a doc_id-keyed anti-join;
+    minhash/decontam shuffle), run ONCE with the keeper flag projected
+    off it; (2) removed-position expansion is a constant x{SPAN_W}
+    per-row fan-out + one (doc_id, tpos)-keyed aggregate whose
+    NOT bool_or(is_keep) folds the covered-minus-protected subtraction
+    into the dedup group itself — no second shingle join, no anti-join;
     (3) reassembly is one doc_id-keyed aggregation — per-group state
     is one document's tokens (collect + sort in Spark, ORDER BY inside
     string_agg in the oracle), bounded by max doc length, not corpus
@@ -867,29 +869,22 @@ def _dedup_span_removal(d: str) -> str:
         reassemble = "string_agg(tok, ' ' ORDER BY pos)"
     return f"""
 WITH {span_shared_ctes(d)},
-covered AS (
-    SELECT DISTINCT p.doc_id, p.pos + off AS tpos
-    FROM (
-        SELECT p0.doc_id, p0.pos
-        FROM pos_sh p0
-        JOIN shared s ON p0.sh = s.sh AND p0.doc_id <> s.keep_doc
-    ) p
-    {dl.lateral_series(SPAN_W, "off", d)}
-),
-protected AS (
-    SELECT DISTINCT p.doc_id, p.pos + off AS tpos
-    FROM (
-        SELECT p0.doc_id, p0.pos
-        FROM pos_sh p0
-        JOIN shared s ON p0.sh = s.sh AND p0.doc_id = s.keep_doc
-    ) p
-    {dl.lateral_series(SPAN_W, "off", d)}
-),
 removed AS (
-    SELECT c.doc_id, c.tpos
-    FROM covered c
-    LEFT JOIN protected pr ON pr.doc_id = c.doc_id AND pr.tpos = c.tpos
-    WHERE pr.doc_id IS NULL
+    -- ONE pass over the dominant shingle-keyed join: a position is
+    -- removed iff some shared-shingle occurrence covers it (covered)
+    -- and NO occurrence covering it is the span's canonical keeper
+    -- (protected) — the keeper flag is projected off the single join
+    -- and folded with bool_or instead of running the join + x{SPAN_W}
+    -- fan-out twice and anti-joining the twins.
+    SELECT p.doc_id, p.pos + off AS tpos
+    FROM (
+        SELECT p0.doc_id, p0.pos, p0.doc_id = s.keep_doc AS is_keep
+        FROM pos_sh p0
+        JOIN shared s ON p0.sh = s.sh
+    ) p
+    {dl.lateral_series(SPAN_W, "off", d)}
+    GROUP BY p.doc_id, p.pos + off
+    HAVING NOT bool_or(is_keep)
 ),
 tok_rows AS (
     SELECT doc_id, pos, {tok_elem} AS tok
