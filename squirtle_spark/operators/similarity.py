@@ -703,8 +703,20 @@ def _pq_dist(dot_pair, q: str = "s", c: str = "c") -> str:
 IVF_OFF = 1 << 36
 
 
-def _ann_pq(d: str, ivf: bool = False, views: tuple[str, str, str] = ("pq_cb", "pq_codes", "ivfpq_cents")):
+def _ann_pq(
+    d: str,
+    ivf: bool = False,
+    views: tuple[str, str, str] = ("pq_cb", "pq_codes", "ivfpq_cents"),
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+):
     """PQ / IVF-PQ ANN SQL generator (see the register_df docstrings).
+
+    ``n_cells``/``n_probe`` override the module defaults for the IVF
+    layer — cells should track ~sqrt(|corpus|), so a larger corpus wants
+    more, finer cells (the stress lane's 10x crossover uses 128/16 for a
+    ~12.5% scan fraction). The registered entries keep the defaults the
+    DuckDB oracle replays.
 
     Spark runs three stages mirroring a real vector store's lifecycle —
     train (codebook, bounded collect), encode (code table, materialized
@@ -714,6 +726,8 @@ def _ann_pq(d: str, ivf: bool = False, views: tuple[str, str, str] = ("pq_cb", "
     the stages hand results through. DuckDB replays the whole lifecycle
     as ONE statement, so the oracle stays a pure value-level check.
     """
+    nc = N_CELLS if n_cells is None else n_cells
+    npb = N_PROBE if n_probe is None else n_probe
     if d == dl.SPARK:
         quant = (
             "transform(CAST(embedding AS ARRAY<DOUBLE>), "
@@ -845,7 +859,7 @@ cb AS (SELECT m, k, cw, {dot('cw', 'cw')} AS cn2 FROM cbw)"""
 cellmap AS (
     SELECT e.vec_id AS c_id,
            CAST(MIN((c.cn2 - 2 * ({dot('e.w', 'c.cw')}) + {IVF_OFF})
-                    * {N_CELLS} + c.cell) % {N_CELLS} AS INT) AS cell
+                    * {nc} + c.cell) % {nc} AS INT) AS cell
     FROM emb e CROSS JOIN {cents_view} c GROUP BY e.vec_id
 )
 SELECT codes0.c_id, codes0.m, codes0.code, cellmap.cell
@@ -859,7 +873,7 @@ probes AS (
                                            c.cell ASC) AS rn
         FROM emb e CROSS JOIN {cents_view} c
         WHERE e.vec_id < {N_QUERIES}) t
-    WHERE rn <= {N_PROBE}
+    WHERE rn <= {npb}
 )"""
         scored = f"""
 scored AS (
@@ -874,7 +888,7 @@ scored AS (
 embn AS (SELECT vec_id, w, {dot_whole('w', 'w')} AS n2 FROM emb),
 cents AS (
     SELECT vec_id - {N_QUERIES} AS cell, w AS cw, n2 AS cn2
-    FROM embn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    FROM embn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + nc}
 ),
 celld AS (
     SELECT e.vec_id, c.cell, c.cn2 - 2 * ({dot_whole('e.w', 'c.cw')}) AS rel
@@ -882,7 +896,7 @@ celld AS (
 ),
 home AS (
     SELECT vec_id AS c_id,
-           CAST(MIN((rel + {IVF_OFF}) * {N_CELLS} + cell) % {N_CELLS} AS BIGINT)
+           CAST(MIN((rel + {IVF_OFF}) * {nc} + cell) % {nc} AS BIGINT)
                AS cell
     FROM celld GROUP BY vec_id
 ),
@@ -892,7 +906,7 @@ probes AS (
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY rel ASC, cell ASC) AS rn
         FROM celld WHERE vec_id < {N_QUERIES}) t
-    WHERE rn <= {N_PROBE}
+    WHERE rn <= {npb}
 ),
 cand AS (
     SELECT p.q_id, h.c_id FROM probes p JOIN home h ON p.cell = h.cell
@@ -963,18 +977,41 @@ SELECT c_id, m, code FROM codes0"""
 #: cluster deployment persists the code table as parquet partitioned by
 #: cell and rebuilds on data change). Unique per-key view names keep a
 #: session that switches sf_dirs from reading a stale index.
-_PQ_INDEX: dict[tuple[str, str, bool], tuple[str, str, str]] = {}
+_PQ_INDEX: dict[tuple, tuple[str, str, str]] = {}
+#: Bound on live cached indexes (VERDICT r6 item 8): a long-lived API
+#: session sweeping many sf_dirs would otherwise grow the cache (and its
+#: localCheckpointed code tables) without limit. FIFO eviction — index
+#: rebuild is the documented bounded-training cost, staleness is not.
+_PQ_INDEX_MAX = 8
+#: Monotonic view-name counter: len(_PQ_INDEX) would REUSE a prefix
+#: after an eviction and silently overwrite a live entry's views.
+_PQ_SEQ = 0
 
 
-def _pq_index_views(spark, sf_dir: str, ivf: bool) -> tuple[str, str, str]:
+def _pq_index_views(
+    spark,
+    sf_dir: str,
+    ivf: bool,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+) -> tuple[str, str, str]:
     # keyed by the SESSION (id(spark)), not just applicationId: temp views
     # are session-scoped, and spark.newSession() shares the applicationId
     # while holding an empty catalog — an app-keyed cache would hand it
     # view names that don't resolve there
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, bool(ivf))
+    nc = N_CELLS if n_cells is None else n_cells
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, bool(ivf), nc)
     if key in _PQ_INDEX:
         return _PQ_INDEX[key]
-    prefix = f"{'ivfpq' if ivf else 'pq'}_{len(_PQ_INDEX)}"
+    global _PQ_SEQ
+    while len(_PQ_INDEX) >= _PQ_INDEX_MAX:
+        old_key, old_views = next(iter(_PQ_INDEX.items()))
+        del _PQ_INDEX[old_key]
+        if old_key[1] == id(spark):  # views are session-scoped
+            for v in old_views:
+                spark.catalog.dropTempView(v)
+    prefix = f"{'ivfpq' if ivf else 'pq'}_{_PQ_SEQ}"
+    _PQ_SEQ += 1
     views = (f"{prefix}_cb", f"{prefix}_codes", f"{prefix}_cents")
     if ivf:
         # IVF_OFF's packed-argmin positivity needs |component| <= ~1.8
@@ -997,13 +1034,15 @@ def _pq_index_views(spark, sf_dir: str, ivf: bool) -> tuple[str, str, str]:
             f"SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cell, "
             f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
             f"x -> CAST(ROUND(x * 10000) AS BIGINT)) AS cw FROM embeddings "
-            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}"
+            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + nc}"
         ).collect()
         spark.createDataFrame(
             [(r["cell"], list(r["cw"]), sum(x * x for x in r["cw"])) for r in cents],
             "cell int, cw array<bigint>, cn2 bigint",
         ).createOrReplaceTempView(views[2])
-    train_sql, encode_sql, _ = _ann_pq(dl.SPARK, ivf=ivf, views=views)
+    train_sql, encode_sql, _ = _ann_pq(
+        dl.SPARK, ivf=ivf, views=views, n_cells=n_cells, n_probe=n_probe
+    )
     cb = spark.sql(train_sql)
     # K*M = 1024 rows — index training, not data-scale; broadcast-joined
     # into the encode and LUT stages.
@@ -1025,6 +1064,23 @@ def _ann_pq_spark(spark, sf_dir) -> DataFrame:
 def _ann_ivfpq_spark(spark, sf_dir) -> DataFrame:
     views = _pq_index_views(spark, sf_dir, ivf=True)
     _, _, query_sql = _ann_pq(dl.SPARK, ivf=True, views=views)
+    return spark.sql(query_sql)
+
+
+def ann_ivfpq_topk_at(
+    spark, sf_dir: str, *, n_cells: int, n_probe: int
+) -> DataFrame:
+    """IVF-PQ search with scale-appropriate cell/probe counts — the
+    knob the 10x stress crossover turns (cells should track
+    ~sqrt(|corpus|); the registered ``ann_ivfpq_topk`` keeps the
+    oracle-replayed defaults). Same lifecycle: the (session, table,
+    n_cells)-keyed index builds once, searches reuse it."""
+    views = _pq_index_views(
+        spark, sf_dir, ivf=True, n_cells=n_cells, n_probe=n_probe
+    )
+    _, _, query_sql = _ann_pq(
+        dl.SPARK, ivf=True, views=views, n_cells=n_cells, n_probe=n_probe
+    )
     return spark.sql(query_sql)
 
 

@@ -136,6 +136,67 @@ def drop_flush_sentinels(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.where(cond)
 
 
+def _drain_to_parquet_sink(
+    result: DataFrame,
+    *,
+    checkpoint: str,
+    path: str,
+    timeout_s: int,
+    metrics: dict | None = None,
+) -> None:
+    """Drain a bounded replay through an APPEND-mode parquet file sink —
+    the production result path (every batch's rows land distributed on
+    storage; nothing crosses back to the driver). ``metrics``, when
+    given, receives the final progress's state-operator summary
+    (capture_state_metrics)."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream sink '{path}' still running after {timeout_s}s")
+    if metrics is not None:
+        metrics.update(capture_state_metrics(q))
+
+
+def capture_state_metrics(q: StreamingQuery) -> dict:
+    """State-store footprint of a drained query, from the engine's own
+    StreamingQueryProgress: per-operator peak rows/bytes over the run and
+    the final batch's values. This is the number that backs every "state
+    is bounded" claim in SCALING.md — a complete-mode or unbounded-state
+    operator shows monotone growth here; a watermarked append operator
+    shows eviction (final ≤ peak)."""
+    ops: dict[str, dict] = {}
+    for p in q.recentProgress:
+        for i, so in enumerate(p.stateOperators or []):
+            name = so.operatorName or f"op{i}"
+            cur = ops.setdefault(
+                name,
+                {"peak_rows": 0, "peak_bytes": 0, "final_rows": 0, "final_bytes": 0},
+            )
+            rows = so.numRowsTotal or 0
+            mem = so.memoryUsedBytes or 0
+            cur["peak_rows"] = max(cur["peak_rows"], rows)
+            cur["peak_bytes"] = max(cur["peak_bytes"], mem)
+            cur["final_rows"] = rows
+            cur["final_bytes"] = mem
+    return {"state_operators": ops}
+
+
+def _read_result_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Lazily read an append-sink result dir. A drain that emitted zero
+    rows leaves no data files (possibly no dir at all), which must read
+    as an EMPTY result, not an error — the explicit schema covers both."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
+
+
 def run_nexmark_q5_stream(
     spark: SparkSession,
     bids_path: str,
@@ -143,65 +204,67 @@ def run_nexmark_q5_stream(
     checkpoint: str,
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    result_path: str | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
-    """Full NEXMark q5 (hot items) end-to-end as a stream; returns the
-    final hot-items DataFrame.
+    """Full NEXMark q5 (hot items) end-to-end as a WATERMARKED APPEND
+    stream; returns the hot-items DataFrame read lazily from the result
+    sink — nothing is collected to the driver.
 
-    Shape: the hopping per-auction counts are the STATEFUL stream operator
-    (complete-mode state store holds every open window); the per-window
-    max + join-on-aggregate runs over each emitted complete counts table
-    inside foreachBatch — exactly flock's per-epoch execution of the q5 SQL
-    (benchmarks/src/nexmark/query/q5.sql runs the join against the window's
-    collected state each epoch). Keeps ALL tied max auctions, like the
-    batch/oracle formulation.
+    Shape: the hopping per-auction counts are the stateful operator in
+    append mode — each (window, auction) count emits exactly once, when
+    the watermark passes the window's end, and its state row is evicted
+    (state is bounded by the windows inside the lateness budget × active
+    auctions, unlike the earlier complete-mode formulation whose state
+    held EVERY window forever). Finalized counts land in a parquet file
+    sink; the per-window max + join-on-aggregate then runs as one batch
+    plan over the sink — flock executes the same q5 SQL against each
+    collected window's state (benchmarks/src/nexmark/query/q5.sql); here
+    the watermark is the collect step and the hot-items join reads only
+    finalized windows. Keeps ALL tied max auctions, like the batch/oracle
+    formulation.
 
-    Complete mode is the right fit for q5's always-current "hot items"
-    semantics; at cluster scale the state is bounded by (windows × active
-    auctions), and the foreachBatch join is a batch plan Catalyst optimizes
-    per micro-batch (broadcast of the tiny maxes side).
+    A finite replay needs the flush sentinel (write_flush_epoch) to push
+    the frontier past the tail windows; the sentinel flows through the
+    streaming plan (a pre-agg filter would be pushed below the watermark
+    node and stall the frontier) and its auction=-1 count is dropped
+    from the drained result.
     """
+    write_flush_epoch(
+        spark, bids_path, "b_date_time", flush_advance_s, ["auction", "bidder"]
+    )
     stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
-    stream = drop_flush_sentinels(stream, ["auction", "bidder"])
+    # NO sentinel filter in the streaming plan: Catalyst pushes a
+    # deterministic key filter below the EventTimeWatermark node, and a
+    # filtered-out sentinel never advances the frontier — the append-mode
+    # agg would then hold its tail windows in state forever (the q8
+    # join-input rule). The sentinel flows through as an auction=-1 count
+    # in a far-future window and is dropped from the drained RESULT.
     counts = (
         _with_event_time(stream, "b_date_time")
-        .groupBy(F.window("b_date_time", "10 seconds", "5 seconds"), F.col("auction"))
-        .agg(F.count("*").alias("num"))
-    )
-
-    # Pre-seeded so a ZERO-BATCH replay returns an empty result instead
-    # of a KeyError. Scope: replay_stream's eager schema read raises
-    # before this for a missing/truly-empty dir — the pre-seed covers a
-    # dir whose parquet exists but holds zero rows.
-    final: dict = {"df": []}
-
-    def hot_items(batch_df: DataFrame, epoch_id: int) -> None:
-        maxes = batch_df.groupBy("window").agg(F.max("num").alias("maxn"))
-        hot = (
-            batch_df.join(maxes, "window")
-            .where(F.col("num") >= F.col("maxn"))
-            .select(
-                F.col("auction"),
-                F.col("num"),
-                F.col("window.start").alias("starttime"),
-            )
+        .withWatermark("b_date_time", delay)
+        .groupBy(
+            F.window("b_date_time", "10 seconds", "5 seconds"), F.col("auction")
         )
-        final["df"] = hot.collect()
-
-    q = (
-        counts.writeStream.foreachBatch(hot_items)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+        .agg(F.count("*").alias("num"))
+        .select(F.col("window.start").alias("starttime"), "auction", "num")
     )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"q5 stream still running after {timeout_s}s")
-    return spark.createDataFrame(
-        final["df"],
-        "auction BIGINT, num BIGINT, starttime TIMESTAMP",
+    out = result_path or f"{checkpoint}-out"
+    _drain_to_parquet_sink(
+        counts, checkpoint=checkpoint, path=out, timeout_s=timeout_s, metrics=metrics
+    )
+    finalized = _read_result_sink(
+        spark, out, "starttime TIMESTAMP, auction BIGINT, num BIGINT"
+    ).where(F.col("auction") >= 0)
+    maxes = finalized.groupBy("starttime").agg(F.max("num").alias("maxn"))
+    return (
+        finalized.join(maxes, "starttime")
+        .where(F.col("num") >= F.col("maxn"))
+        .select("auction", "num", "starttime")
     )
 
 
@@ -212,26 +275,46 @@ def run_nexmark_q7_stream(
     checkpoint: str,
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    result_path: str | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
-    """Full NEXMark q7 (highest bid per tumbling window) as a stream.
+    """Full NEXMark q7 (highest bid per tumbling window) as a WATERMARKED
+    APPEND stream; returns the winning-bid rows as a lazily-computed
+    DataFrame — nothing is collected to the driver.
 
-    The stateful operator is the per-window MAX(price) (complete mode —
-    state is one row per open window); each emitted maxes table joins back
-    to the replayed bid set in foreachBatch to recover the winning bid
-    rows, ties included — flock's per-window firing of the q7 SQL
-    (benchmarks/src/nexmark/query/q7.sql). The final micro-batch (source
-    drained) equals the batch q7 exactly.
+    The stateful operator is the per-window MAX(price) in append mode:
+    one state row per open window, emitted and EVICTED when the watermark
+    passes the window (the earlier complete-mode form re-emitted every
+    window each batch and kept all of them in state). Finalized maxes
+    land in a parquet file sink; the winners are recovered by one batch
+    join of the replayed bids against the tiny finalized-maxes table
+    (Catalyst broadcasts it), ties included — flock's per-window firing
+    of the q7 SQL (benchmarks/src/nexmark/query/q7.sql). The drained
+    result equals the batch q7 exactly.
     """
+    write_flush_epoch(
+        spark, bids_path, "b_date_time", flush_advance_s, ["auction", "bidder"]
+    )
     stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
         stream = stream.drop("epoch")
-    stream = drop_flush_sentinels(stream, ["auction", "bidder"])
+    # Sentinel flows THROUGH the agg (the q5/q8 watermark-pushdown rule):
+    # it maxes only its own far-future window, which the join-back below
+    # cannot match (the batch bid side drops sentinels).
     maxes = (
         _with_event_time(stream, "b_date_time")
+        .withWatermark("b_date_time", delay)
         .groupBy(F.window("b_date_time", "10 seconds"))
         .agg(F.max("price").alias("maxprice"))
+        .select(F.col("window.start").alias("win_start"), "maxprice")
     )
-
+    out = result_path or f"{checkpoint}-out"
+    _drain_to_parquet_sink(
+        maxes, checkpoint=checkpoint, path=out, timeout_s=timeout_s, metrics=metrics
+    )
+    finalized = _read_result_sink(spark, out, "win_start TIMESTAMP, maxprice INT")
     bids = drop_flush_sentinels(
         spark.read.parquet(bids_path), ["auction", "bidder"]
     )
@@ -240,33 +323,11 @@ def run_nexmark_q7_stream(
         .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
         .withColumn("w", F.window("b_date_time", "10 seconds"))
     )
-    final: dict = {"rows": []}
-
-    def winners(batch_df: DataFrame, epoch_id: int) -> None:
-        hot = (
-            bids.join(
-                batch_df,
-                (bids["w"] == batch_df["window"])
-                & (bids["price"] == batch_df["maxprice"]),
-            )
-            .select("auction", "price", "bidder", "b_date_time")
-        )
-        final["rows"] = hot.collect()
-
-    q = (
-        maxes.writeStream.foreachBatch(winners)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"q7 stream still running after {timeout_s}s")
-    return spark.createDataFrame(
-        final["rows"],
-        "auction BIGINT, price INT, bidder BIGINT, b_date_time TIMESTAMP",
-    )
+    return bids.join(
+        finalized,
+        (bids["w"]["start"] == finalized["win_start"])
+        & (bids["price"] == finalized["maxprice"]),
+    ).select("auction", "price", "bidder", "b_date_time")
 
 
 def run_nexmark_q11_stream(
@@ -278,6 +339,7 @@ def run_nexmark_q11_stream(
     watermark: str = "30 days",
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full NEXMark q11 (bid sessions per bidder) end-to-end as a stream on
     Spark's native ``session_window`` — the state-store-backed session
@@ -314,7 +376,11 @@ def run_nexmark_q11_stream(
         )
     )
     rows = run_available_now(
-        sessions, checkpoint=checkpoint, mode="complete", timeout_s=timeout_s
+        sessions,
+        checkpoint=checkpoint,
+        mode="complete",
+        timeout_s=timeout_s,
+        metrics=metrics,
     )
     return spark.createDataFrame(
         rows,
@@ -370,6 +436,7 @@ def run_nexmark_q8_stream(
     watermark: str = "30 days",
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full NEXMark q8 (new users who opened auctions) as a genuine
     STREAM-STREAM join: person and auction replays each get event-time
@@ -401,7 +468,11 @@ def run_nexmark_q8_stream(
         au, (ps["p_id"] == au["seller"]) & (ps["w"] == au["w"])
     ).select("p_id", "name", ps["w"]["start"].alias("starttime"))
     rows = run_available_now(
-        joined, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+        joined,
+        checkpoint=checkpoint,
+        mode="append",
+        timeout_s=timeout_s,
+        metrics=metrics,
     )
     # post-drain sentinel drop (a flushed dir's p_id=-1/seller=-1 rows
     # can MATCH each other when their far-future windows align)
@@ -721,6 +792,7 @@ def run_nexmark_q4_stream(
     flush_advance_s: int = 3_600,
     files_per_trigger: int = 15,
     timeout_s: int = 300,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Drive :func:`nexmark_q4_stream` to completion over a bounded replay
     and fold the emitted per-(window, category) partials into the declared
@@ -743,7 +815,11 @@ def run_nexmark_q4_stream(
         files_per_trigger=files_per_trigger,
     )
     rows = run_available_now(
-        partials, checkpoint=checkpoint, mode="append", timeout_s=timeout_s
+        partials,
+        checkpoint=checkpoint,
+        mode="append",
+        timeout_s=timeout_s,
+        metrics=metrics,
     )
     schema = (
         "win_start TIMESTAMP, category INT, sum_final BIGINT, n_auctions BIGINT"
@@ -1101,12 +1177,20 @@ def ysb_campaign_stream(
 
 
 def run_available_now(
-    result: DataFrame, *, checkpoint: str, mode: str = "append", timeout_s: int = 300
+    result: DataFrame,
+    *,
+    checkpoint: str,
+    mode: str = "append",
+    timeout_s: int = 300,
+    metrics: dict | None = None,
 ) -> list:
     """Drain a bounded replay through the memory sink; return the rows.
 
     availableNow processes every pending file then stops — the batch-exact
-    replay mode the oracle tests rely on.
+    replay mode the oracle tests rely on. ``metrics``, when given,
+    receives the drained query's state-operator summary
+    (capture_state_metrics) — the stress lanes use it to put numbers on
+    every "state is bounded" claim.
     """
     # full non-alnum sanitize: a '.' (or any other non-identifier char)
     # in the checkpoint basename would make the final SELECT parse as
@@ -1124,6 +1208,8 @@ def run_available_now(
         # Partial results would make equality tests flaky and leak the query.
         q.stop()
         raise TimeoutError(f"stream '{name}' still running after {timeout_s}s")
+    if metrics is not None:
+        metrics.update(capture_state_metrics(q))
     spark = result.sparkSession
     return spark.sql(f"SELECT * FROM {name}").collect()
 
