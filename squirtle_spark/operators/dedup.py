@@ -703,20 +703,17 @@ register_df(
 SPAN_W = 5  # word 5-grams: long enough to be a "span", short enough to fire on fixtures
 
 
-def span_shared_ctes(d: str) -> str:
-    """The tk/pos_sh/shared CTE prologue shared by the duplicate-span
-    family — dedup_spans (the report) and dedup_span_removal (the
-    transform that acts on it) MUST see the same tokenization and the
-    same cross-doc shingle set, so there is exactly one hand-maintained
-    copy (the verified_pairs_ctes convention for the LSH family).
+def span_base_ctes(d: str, where: str = "TRUE") -> str:
+    """The tk/pos_sh CTE prologue every duplicate-span operator builds
+    on — one hand-maintained tokenization (the verified_pairs_ctes
+    convention for the LSH family).
 
     Emits: ``tk`` with the lowercase token array ``tk`` (matching keys),
     the original-case token array ``tko`` and ``text_orig`` (reassembly /
     passthrough — lower() never changes whitespace, so positions in
-    ``tk`` and ``tko`` align 1:1); positional word {SPAN_W}-gram fan-out
-    ``pos_sh``; and ``shared`` — shingles with doc-frequency >= 2 plus
-    their canonical keeper (min doc_id; dedup_spans joins on ``sh`` only
-    and ignores the keeper column)."""
+    ``tk`` and ``tko`` align 1:1); and the positional word {SPAN_W}-gram
+    fan-out ``pos_sh``. ``where`` narrows the scanned documents — the
+    persisted-index build/probe pair tokenizes only its own side."""
     toks = dl.split_tokens("lower(trim(text))", d)
     toks_orig = dl.split_tokens("text", d)
     fanout, one = dl.pos_shingle_fanout(SPAN_W, d)
@@ -724,12 +721,23 @@ def span_shared_ctes(d: str) -> str:
     SELECT doc_id, {toks} AS tk, {toks_orig} AS tko,
            TRIM(text) AS text_orig
     FROM documents
+    WHERE {where}
 ),
 pos_sh AS (
     SELECT doc_id, pos, {one} AS sh
     FROM tk
     {fanout}
-),
+)"""
+
+
+def span_shared_ctes(d: str) -> str:
+    """span_base_ctes plus ``shared`` — shingles with doc-frequency >= 2
+    and their canonical keeper (min doc_id over the WHOLE corpus;
+    dedup_spans joins on ``sh`` only and ignores the keeper column).
+    dedup_spans (the report) and dedup_span_removal (the transform that
+    acts on it) MUST see the same cross-doc shingle set, so the
+    definition lives once."""
+    return f"""{span_base_ctes(d)},
 shared AS (
     SELECT sh, MIN(doc_id) AS keep_doc
     FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
@@ -858,6 +866,20 @@ def _dedup_span_removal(d: str) -> str:
     size. At 100 TB every stage keys on doc_id or shingle, both already
     the partition keys of the surrounding dedup family.
     """
+    return f"""
+WITH {span_shared_ctes(d)},
+{_span_removal_core(d, "shared", "TRUE")}
+"""
+
+
+def _span_removal_core(d: str, shared_rel: str, doc_filter: str) -> str:
+    """The covered-minus-protected excision + reassembly CTE chain shared
+    by the batch transform and the incremental probe — parameterized on
+    the ``shared`` relation (corpus-global ``shared`` vs index-merged
+    ``shared_m``) and the document subset the transform rewrites (``TRUE``
+    for the batch form; the batch split for the incremental probe), the
+    _probe_core_sql convention: one text, provably identical logic on
+    both paths."""
     fanout_1, _ = dl.pos_shingle_fanout(1, d)
     tok_elem = "element_at(tko, pos)" if d == dl.SPARK else "tko[pos]"
     if d == dl.SPARK:
@@ -867,9 +889,7 @@ def _dedup_span_removal(d: str) -> str:
         )
     else:
         reassemble = "string_agg(tok, ' ' ORDER BY pos)"
-    return f"""
-WITH {span_shared_ctes(d)},
-removed AS (
+    return f"""removed AS (
     -- ONE pass over the dominant shingle-keyed join: a position is
     -- removed iff some shared-shingle occurrence covers it (covered)
     -- and NO occurrence covering it is the span's canonical keeper
@@ -880,15 +900,19 @@ removed AS (
     FROM (
         SELECT p0.doc_id, p0.pos, p0.doc_id = s.keep_doc AS is_keep
         FROM pos_sh p0
-        JOIN shared s ON p0.sh = s.sh
+        JOIN {shared_rel} s ON p0.sh = s.sh
+        WHERE {doc_filter}
     ) p
     {dl.lateral_series(SPAN_W, "off", d)}
     GROUP BY p.doc_id, p.pos + off
     HAVING NOT bool_or(is_keep)
 ),
+tk_f AS (
+    SELECT * FROM tk WHERE {doc_filter}
+),
 tok_rows AS (
     SELECT doc_id, pos, {tok_elem} AS tok
-    FROM tk
+    FROM tk_f
     {fanout_1}
 ),
 kept AS (
@@ -910,7 +934,7 @@ SELECT t.doc_id,
        CASE WHEN COALESCE(r.n_kept, 0) = {dl.array_len('t.tk', d)}
             THEN t.text_orig
             ELSE COALESCE(r.text_clean, '') END AS text_clean
-FROM tk t
+FROM tk_f t
 LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """
 
@@ -922,6 +946,131 @@ register_sql(
     f"{SPAN_W}-gram spans everywhere but a canonical doc, reassemble text "
     "in token order; emits per-doc kept/removed counts + cleaned text.",
 )
+
+
+def _span_index_stats_cte(d: str) -> str:
+    """Corpus-side per-shingle stats — exactly what the PERSISTED span
+    index stores: distinct-doc frequency (mergeable by addition across
+    disjoint accepted batches) and the canonical keeper (mergeable by
+    MIN). ``d`` unused: plain aggregate SQL, identical in both engines."""
+    from .curation import BATCH_MOD
+
+    return f"""idx_stats AS (
+    SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           MIN(doc_id) AS keep_doc
+    FROM pos_sh WHERE doc_id % {BATCH_MOD} <> 0 GROUP BY sh
+)"""
+
+
+def _span_probe_ctes(idx_rel: str, d: str) -> str:
+    """Batch-side stats + the index merge, parameterized on the index
+    relation (``idx_stats`` CTE in the self-contained registered entry /
+    DuckDB oracle; the persisted parquet view in
+    probe_span_removal_index): union doc-frequency = idx.df + batch.df
+    (disjoint doc sets, so the sum IS the distinct count), union keeper
+    = LEAST of the sides' keepers. ``d`` unused: identical SQL."""
+    from .curation import BATCH_MOD
+
+    return f"""b_stats AS (
+    SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           MIN(doc_id) AS min_doc
+    FROM pos_sh WHERE doc_id % {BATCH_MOD} = 0 GROUP BY sh
+),
+shared_m AS (
+    SELECT COALESCE(i.sh, b.sh) AS sh,
+           CASE WHEN i.keep_doc IS NULL THEN b.min_doc
+                WHEN b.min_doc IS NULL THEN i.keep_doc
+                ELSE LEAST(i.keep_doc, b.min_doc) END AS keep_doc
+    FROM {idx_rel} i FULL OUTER JOIN b_stats b ON i.sh = b.sh
+    WHERE COALESCE(i.df, 0) + COALESCE(b.df, 0) >= 2
+)"""
+
+
+def _dedup_span_removal_incremental(d: str) -> str:
+    """Incremental ExactSubstr span removal: a NEW batch (doc_id %
+    BATCH_MOD = 0, the dedup_incremental convention) is cleaned against
+    the EXISTING corpus's per-shingle index WITHOUT re-transforming the
+    corpus — the span-level twin of dedup_incremental_minhash, closing
+    the dedup family's ingest story (weekly crawls are excised against
+    last week's shingle stats, not re-paired corpus-vs-corpus).
+
+    Semantics: a batch position is excised iff a {SPAN_W}-gram covering
+    it has UNION doc-frequency >= 2 (index df + batch df — so both
+    corpus-duplicated and within-batch-duplicated spans fire) and no
+    covering occurrence elects this doc as keeper, where the union
+    keeper is LEAST(index keeper, batch min doc). On monotone ingest ids
+    (every batch id above every corpus id — the deployment invariant)
+    the corpus side's earlier outputs can never be invalidated; the
+    fixture split is interleaved, which the LEAST-merge handles exactly.
+    By construction the result equals the batch transform run on the
+    whole union, restricted to the batch docs (parity-tested).
+
+    Plan shape: the corpus side collapses to ONE per-shingle aggregate
+    (the persisted index at deployment — build/probe_span_removal_index
+    run this text against real parquet); the probe is a shingle-keyed
+    FULL OUTER merge of two bounded stats tables plus the shared
+    covered-minus-protected core over batch positions only. Nothing
+    rescans corpus text at probe time.
+    """
+    from .curation import BATCH_MOD
+
+    return f"""
+WITH {span_base_ctes(d)},
+{_span_index_stats_cte(d)},
+{_span_probe_ctes("idx_stats", d)},
+{_span_removal_core(d, "shared_m", f"doc_id % {BATCH_MOD} = 0")}
+"""
+
+
+register_sql(
+    "dedup_span_removal_incremental",
+    _dedup_span_removal_incremental,
+    doc="Incremental ExactSubstr: new-batch docs excised against the "
+    "corpus per-shingle index (union df >= 2, LEAST-merged keeper) "
+    "without re-transforming the corpus; equals the batch transform on "
+    "the union restricted to batch docs.",
+)
+
+
+def build_span_shingle_index(spark, sf_dir: str, path: str) -> None:
+    """Materialize the CORPUS side of the span-removal probe (per-shingle
+    df + keeper for non-batch docs) to parquet at ``path`` — the
+    persisted index _dedup_span_removal_incremental's docstring
+    describes, the build_minhash_band_index convention. The build
+    tokenizes ONLY corpus docs (span_base_ctes' where); appending a
+    newly accepted batch later is a merge of the same stats (df adds,
+    keeper MINs)."""
+    from .. import catalog
+    from .curation import BATCH_MOD
+
+    d = dl.SPARK
+    catalog.register_all(spark, sf_dir)
+    spark.sql(
+        f"WITH {span_base_ctes(d, f'doc_id % {BATCH_MOD} <> 0')},\n"
+        f"{_span_index_stats_cte(d)}\n"
+        "SELECT sh, df, keep_doc FROM idx_stats"
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_span_removal_index(spark, sf_dir: str, path: str) -> DataFrame:
+    """Clean a NEW batch against the PERSISTED span index at ``path``:
+    batch tokenization is computed fresh (span_base_ctes over the batch
+    split only), the corpus side is read back from parquet, and the
+    shared _span_probe_ctes/_span_removal_core text produces the cleaned
+    docs — provably the same logic the oracle-checked registered entry
+    runs (parity-tested in tests/test_curation.py)."""
+    from .. import catalog
+    from .curation import BATCH_MOD
+
+    d = dl.SPARK
+    catalog.register_all(spark, sf_dir)
+    spark.read.parquet(path).createOrReplaceTempView("idx_span_stats")
+    batch = f"doc_id % {BATCH_MOD} = 0"
+    return spark.sql(
+        f"WITH {span_base_ctes(d, batch)},\n"
+        f"{_span_probe_ctes('idx_span_stats', d)},\n"
+        f"{_span_removal_core(d, 'shared_m', batch)}"
+    )
 
 
 EDIT_BLOCK_PREFIX = 16  # chars of shared prefix that admit a candidate pair

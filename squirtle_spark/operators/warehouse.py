@@ -28,7 +28,7 @@ engines.
 
 from __future__ import annotations
 
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 
 def _scd2_dimension(d: str) -> str:
@@ -139,4 +139,103 @@ register_sql(
     "can hold a changed key are rewritten; the join itself shuffles "
     "changelog + base once on the natural key, no driver state.",
     bench=True,
+)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read CDC: the READER half, driver-checked
+# ---------------------------------------------------------------------------
+
+#: Deterministic changelog derived from ``orders`` (the cdc_merge_apply
+#: convention): one change per order, keyed by customer, totally ordered
+#: by the unique o_orderkey; 'F' orders are delete tombstones.
+_CDC_MOR_CHANGES = """
+    SELECT o_custkey AS key, o_orderkey AS seq,
+           CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+           o_totalprice AS val
+    FROM orders
+"""
+
+#: Compaction frontier: changes at or below it form the committed base
+#: snapshot, later ones the un-compacted delta-log tail. FLOOR over the
+#: double quotient is exact here (o_orderkey far below 2^53) and renders
+#: identically in both engines.
+_CDC_MOR_CUTOFF = (
+    "SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS cut FROM orders"
+)
+
+
+def _cdc_read_mor_oracle() -> str:
+    """The MOR read contract as one statement: latest-per-key over the
+    pre-compacted base UNION the tail must equal the live view, with
+    tombstones dropped only at read time (base keeps them — a compacted
+    'D' must still shadow earlier versions when the tail replays)."""
+    return f"""
+WITH changes AS ({_CDC_MOR_CHANGES}),
+cutoffs AS ({_CDC_MOR_CUTOFF}),
+base AS (
+    SELECT key, seq, op, val FROM (
+        SELECT c.key, c.seq, c.op, c.val,
+               ROW_NUMBER() OVER (PARTITION BY c.key ORDER BY c.seq DESC) AS rn
+        FROM changes c WHERE c.seq <= (SELECT cut FROM cutoffs)
+    ) t WHERE rn = 1
+),
+tail AS (
+    SELECT key, seq, op, val FROM changes
+    WHERE seq > (SELECT cut FROM cutoffs)
+),
+merged AS (
+    SELECT key, seq, op, val FROM (
+        SELECT u.key, u.seq, u.op, u.val,
+               ROW_NUMBER() OVER (PARTITION BY u.key ORDER BY u.seq DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM tail) u
+    ) t WHERE rn = 1
+)
+SELECT key, seq, val FROM merged WHERE op IS NULL OR op <> 'D'
+"""
+
+
+def _cdc_read_mor_spark(spark, sf_dir):
+    """Drive the REAL merge-on-read reader (streaming.read_cdc_mor) over a
+    deterministically-built MOR table: the pre-cutoff changes are
+    compacted into a committed ``v=N`` snapshot (maintenance.
+    versioned_write — tombstones kept, the compact_cdc_mor rule), the
+    post-cutoff tail lands as two ``log/b=*`` delta entries, and the
+    reader merges snapshot ∪ tail per key and drops tombstones — the
+    Hudi-MOR read path (reference sink contract:
+    flock/src/datasink/mod.rs:47-72, which only ever publishes full
+    snapshots; the log/compaction split is the scale lane cdc_mor_sink
+    adds). The DuckDB oracle replays the identical base/tail/merge
+    arithmetic relationally, so the driver row vouches for the reader's
+    on-storage layout handling, not just the SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming
+    from . import maintenance
+
+    table = tempfile.mkdtemp(prefix="cdc-mor-read-")
+    cut = spark.sql(_CDC_MOR_CUTOFF).first()["cut"]
+    changes = spark.sql(_CDC_MOR_CHANGES)
+    base = streaming._latest_per_key(
+        changes.where(F.col("seq") <= cut), ["key"], "seq"
+    )
+    maintenance.versioned_write(spark, base, table)
+    tail = changes.where(F.col("seq") > cut)
+    tail.where(F.col("seq") % 2 == 0).write.parquet(f"{table}/log/b=0")
+    tail.where(F.col("seq") % 2 == 1).write.parquet(f"{table}/log/b=1")
+    return streaming.read_cdc_mor(
+        spark, table, op_col="op", keys=["key"], seq_col="seq"
+    )
+
+
+register_df(
+    "cdc_read_mor",
+    _cdc_read_mor_spark,
+    oracle_body=_cdc_read_mor_oracle(),
+    doc="Merge-on-read CDC reader: committed snapshot + delta-log tail "
+    "merged per key at read time, tombstones dropped last — the reader "
+    "half of cdc_mor_sink's LSM contract, driven over a real on-disk "
+    "table (versioned snapshot + log/b=* entries).",
 )

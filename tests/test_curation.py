@@ -576,3 +576,46 @@ def test_span_removal_preserves_case_and_canonical_content(spark):
     # (3) uppercase occurrence matches case-insensitively; kept remainder
     # reassembles with its original mixed case
     assert got[5]["text_clean"] == "x Y z w v" and got[5]["n_removed"] == 5
+
+
+def test_span_index_probe_matches_registered_entry(spark, sf_dir, tmp_path):
+    """The persisted span-shingle index (build once from the corpus,
+    probe per batch) cleans new-batch docs identically to the
+    self-contained oracle-checked registry entry — both run the same
+    _span_probe_ctes/_span_removal_core text; only where the corpus
+    stats come from differs."""
+    from squirtle_spark.operators import dedup
+    from squirtle_spark.registry import load_all
+
+    idx = str(tmp_path / "span-index")
+    dedup.build_span_shingle_index(spark, sf_dir, idx)
+    probed = dedup.probe_span_removal_index(spark, sf_dir, idx)
+    registered = load_all()["dedup_span_removal_incremental"].spark_fn(spark, sf_dir)
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got = sorted((r.asDict() for r in probed.collect()), key=key)
+    exp = sorted((r.asDict() for r in registered.collect()), key=key)
+    assert len(got) > 0
+    assert got == exp
+
+
+def test_span_removal_incremental_equals_batch_on_union(spark, sf_dir):
+    """The incremental probe's contract: for every batch doc, the result
+    equals the FULL batch transform run over the whole union (corpus +
+    batch) — union df >= 2 and the LEAST-merged keeper reproduce
+    span_shared_ctes' corpus-global shared set exactly."""
+    from squirtle_spark.operators.curation import BATCH_MOD
+    from squirtle_spark.registry import load_all
+
+    qs = load_all()
+    inc = qs["dedup_span_removal_incremental"].spark_fn(spark, sf_dir)
+    full = (
+        qs["dedup_span_removal"]
+        .spark_fn(spark, sf_dir)
+        .where(f"doc_id % {BATCH_MOD} = 0")
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got = sorted((r.asDict() for r in inc.collect()), key=key)
+    exp = sorted((r.asDict() for r in full.collect()), key=key)
+    assert len(got) > 0
+    assert got == exp
