@@ -1071,3 +1071,88 @@ register_sql(
     "chars): the marginal-compression curve, measured on the actually-"
     "merged corpus via the same CTE chain as training.",
 )
+
+def _bpe_encode_docs(d: str) -> str:
+    """Per-DOCUMENT encoding under the trained tokenizer: re-derive the
+    same {BPE_TRAIN_K} merges bpe_train_merges learns (identical w0..wK
+    CTE chain — training and application can never drift), then apply
+    them in rank order to each document's own word occurrences and count
+    the resulting symbols. This is the token-counting pass a data-budget
+    or packing pipeline runs right after training (pack_concat_split's
+    sequence budget is denominated in these tokens); bpe_compression_curve
+    reports the corpus total, this emits the per-doc distribution.
+
+    Scale shape: the merges are 1-row argmax winners CROSS JOINed as
+    broadcast scalars (the bpe_train_merges / kmeans-centroid pattern);
+    the apply is a pure projection over the doc-word fan-out (the
+    double-replace chain-merges equal-symbol runs exactly as training
+    does, so counts are consistent with the curve); the count is ONE
+    doc_id-keyed aggregate. Docs with no >=2-char alpha words emit zero
+    counts and a NULL ratio rather than vanishing.
+    """
+    train_sql = _bpe_train_merges(d)
+    ctes = train_sql[
+        train_sql.index("WITH") : train_sql.index("SELECT 1 AS merge_rank")
+    ]
+    if d == dl.SPARK:
+        doc_words = (
+            "SELECT doc_id, w FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
+            "WHERE length(w) >= 2"
+        )
+        chars = "concat_ws(' ', split(w, ''))"
+    else:
+        doc_words = (
+            "SELECT doc_id, w FROM (SELECT doc_id, "
+            "UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w "
+            "FROM documents) t WHERE length(w) >= 2"
+        )
+        chars = "array_to_string(string_split(w, ''), ' ')"
+    applied = "s0"
+    for r in range(1, BPE_TRAIN_K + 1):
+        applied = (
+            f"replace(replace({applied},\n"
+            f"               ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' '),\n"
+            f"               ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' ')"
+        )
+    crosses = " ".join(
+        f"CROSS JOIN best{r} b{r}" for r in range(1, BPE_TRAIN_K + 1)
+    )
+    n_syms = lambda col: dl.array_len(dl.split_tokens(col, d), d)  # noqa: E731
+    return f"""
+{ctes},
+doc_words AS ({doc_words}),
+enc AS (
+    SELECT doc_id,
+           {n_syms("s0")} AS n0,
+           {n_syms(applied)} AS nk
+    FROM (SELECT doc_id, ' ' || {chars} || ' ' AS s0 FROM doc_words) dw
+    {crosses}
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n0) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(nk) AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_char_tokens, 0) AS n_char_tokens,
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       CASE WHEN COALESCE(p.n_bpe_tokens, 0) > 0
+            THEN CAST(p.n_char_tokens AS DOUBLE)
+                 / CAST(p.n_bpe_tokens AS DOUBLE) END AS compression
+FROM documents doc
+LEFT JOIN per_doc p ON p.doc_id = doc.doc_id
+"""
+
+
+register_sql(
+    "bpe_encode_docs",
+    _bpe_encode_docs,
+    doc="Per-document token counts under the trained BPE merges (same "
+    "CTE chain as bpe_train_merges, applied in rank order to each doc's "
+    "words): char-symbol vs post-merge counts + compression ratio.",
+)
+

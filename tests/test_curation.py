@@ -619,3 +619,27 @@ def test_span_removal_incremental_equals_batch_on_union(spark, sf_dir):
     exp = sorted((r.asDict() for r in full.collect()), key=key)
     assert len(got) > 0
     assert got == exp
+
+
+def test_bpe_encode_docs_sums_to_compression_curve(spark, sf_dir):
+    """Algebraic consistency of the BPE family: the per-doc encode counts
+    (bpe_encode_docs) summed over the corpus must equal the
+    corpus-level compression curve's endpoints — round 0 (char symbols)
+    and round BPE_TRAIN_K (all merges applied) — because all three
+    entries share the same trained-merge CTE chain and apply rule."""
+    from pyspark.sql import functions as F
+
+    from squirtle_spark.operators.text import BPE_TRAIN_K
+    from squirtle_spark.registry import load_all
+
+    qs = load_all()
+    per_doc = qs["bpe_encode_docs"].spark_fn(spark, sf_dir)
+    totals = per_doc.agg(
+        F.sum("n_char_tokens").alias("c0"), F.sum("n_bpe_tokens").alias("ck")
+    ).first()
+    curve = {
+        r["after_merges"]: r["corpus_tokens"]
+        for r in qs["bpe_compression_curve"].spark_fn(spark, sf_dir).collect()
+    }
+    assert totals["c0"] == curve[0]
+    assert totals["ck"] == curve[BPE_TRAIN_K]

@@ -208,6 +208,10 @@ def test_pq_index_cache_bounded(spark, sf_dir):
     from squirtle_spark.operators import similarity as sim
 
     catalog.register_all(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, False, sim.N_CELLS)
+    # a cache hit returns early without evicting — force the build path
+    # (earlier suite tests may already have built this index)
+    sim._PQ_INDEX.pop(key, None)
     fakes = [
         ("fake-app", 0, f"/fake/{i}", False, sim.N_CELLS)
         for i in range(sim._PQ_INDEX_MAX)
@@ -217,7 +221,6 @@ def test_pq_index_cache_bounded(spark, sf_dir):
     try:
         views = sim._pq_index_views(spark, sf_dir, ivf=False)
         assert len(sim._PQ_INDEX) <= sim._PQ_INDEX_MAX
-        key = (spark.sparkContext.applicationId, id(spark), sf_dir, False, sim.N_CELLS)
         assert sim._PQ_INDEX[key] == views
     finally:
         for k in fakes:
