@@ -353,10 +353,14 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
 
         # Full q4: the chained three-stateful-operator append pipeline
         # (stream-stream interval join → windowed per-auction max →
-        # chained per-category partials). Runs LAST because its flush
-        # sentinel mutates the staged bids dir (negative-keyed row in a
-        # reserved epoch partition — harmless, but only after every other
-        # consumer of the dir has been timed).
+        # chained per-category partials). The bids dir is ALREADY
+        # sentinel-flushed by the q5 full-query lane above (round 7: the
+        # q5 runner writes its own flush epoch), so dir mutation is no
+        # longer ordering-critical: every consumer either filters
+        # sentinels (q5 result, q11 sessions) or rejects them via join
+        # residuals (the winning-bid interval join — the sentinel's
+        # copied `expires` lies in the past). q4 still runs last so only
+        # IT pays the auction-dir flush.
         q4_aucs = sources.nexmark_auctions(spark, events_per_sec, seconds)
         n_q4 = n + q4_aucs.count()
         streaming.write_epoch_files(
@@ -520,8 +524,10 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
         run_q8("e")  # stream-stream path init
         wall_q8 = min(run_q8("f"), run_q8("g"))
 
-        # q4 chained three-stateful pipeline at 10x; runs last — its
-        # flush sentinel mutates the shared bids dir (see _stream_q5_bench).
+        # q4 chained three-stateful pipeline at 10x. The bids dir was
+        # already flushed by run_q5 above (its sentinel is filtered or
+        # residual-rejected by every later consumer — see
+        # _stream_q5_bench); q4 last keeps the auction-dir flush its own.
         q4_aucs = sources.nexmark_auctions(spark, events_per_sec, seconds)
         n_q4 = n + q4_aucs.count()
         streaming.write_epoch_files(

@@ -714,8 +714,8 @@ def _ann_pq(
 
     ``n_cells``/``n_probe`` override the module defaults for the IVF
     layer — cells should track ~sqrt(|corpus|), so a larger corpus wants
-    more, finer cells (the stress lane's 10x crossover uses 128/16 for a
-    ~12.5% scan fraction). The registered entries keep the defaults the
+    more, finer cells (the stress lane's 10x crossover uses 128/32 for a
+    ~25% scan fraction). The registered entries keep the defaults the
     DuckDB oracle replays.
 
     Spark runs three stages mirroring a real vector store's lifecycle —
@@ -1005,8 +1005,14 @@ def _pq_index_views(
         return _PQ_INDEX[key]
     global _PQ_SEQ
     while len(_PQ_INDEX) >= _PQ_INDEX_MAX:
-        old_key, old_views = next(iter(_PQ_INDEX.items()))
-        del _PQ_INDEX[old_key]
+        # Prefer evicting THIS session's oldest entry: its views (and
+        # checkpointed code table) can actually be dropped here. Evicting
+        # a foreign session's entry only discards the tracking handle —
+        # that session's views live until it ends — so it's the fallback.
+        old_key = next(
+            (k for k in _PQ_INDEX if k[1] == id(spark)), next(iter(_PQ_INDEX))
+        )
+        old_views = _PQ_INDEX.pop(old_key)
         if old_key[1] == id(spark):  # views are session-scoped
             for v in old_views:
                 spark.catalog.dropTempView(v)
@@ -1075,6 +1081,13 @@ def ann_ivfpq_topk_at(
     ~sqrt(|corpus|); the registered ``ann_ivfpq_topk`` keeps the
     oracle-replayed defaults). Same lifecycle: the (session, table,
     n_cells)-keyed index builds once, searches reuse it."""
+    from .. import catalog
+
+    # register_all pins the session's `embeddings` view to THIS sf_dir
+    # before index build/search — without it a fresh session fails to
+    # resolve the view and a session registered to a different dir would
+    # silently index the wrong table (round-7 review finding).
+    catalog.register_all(spark, sf_dir)
     views = _pq_index_views(
         spark, sf_dir, ivf=True, n_cells=n_cells, n_probe=n_probe
     )

@@ -1122,19 +1122,25 @@ def _bpe_encode_docs(d: str) -> str:
     return f"""
 {ctes},
 doc_words AS ({doc_words}),
-enc AS (
-    SELECT doc_id,
+enc_w AS (
+    -- token counts depend only on the word STRING: evaluate the
+    -- {BPE_TRAIN_K}-round replace chain once per word TYPE and join the
+    -- counts back to occurrences — the same dictionary-vs-occurrences
+    -- win the training path measured (round-7 review finding)
+    SELECT w,
            {n_syms("s0")} AS n0,
            {n_syms(applied)} AS nk
-    FROM (SELECT doc_id, ' ' || {chars} || ' ' AS s0 FROM doc_words) dw
+    FROM (SELECT DISTINCT w FROM doc_words) t0
     {crosses}
+    CROSS JOIN LATERAL (SELECT ' ' || {chars} || ' ' AS s0) sv
 ),
 per_doc AS (
-    SELECT doc_id,
+    SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(n0) AS BIGINT) AS n_char_tokens,
-           CAST(SUM(nk) AS BIGINT) AS n_bpe_tokens
-    FROM enc GROUP BY doc_id
+           CAST(SUM(e.n0) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(e.nk) AS BIGINT) AS n_bpe_tokens
+    FROM doc_words d JOIN enc_w e ON d.w = e.w
+    GROUP BY d.doc_id
 )
 SELECT doc.doc_id,
        COALESCE(p.n_words, 0) AS n_words,

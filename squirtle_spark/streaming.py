@@ -166,11 +166,16 @@ def _drain_to_parquet_sink(
 
 def capture_state_metrics(q: StreamingQuery) -> dict:
     """State-store footprint of a drained query, from the engine's own
-    StreamingQueryProgress: per-operator peak rows/bytes over the run and
-    the final batch's values. This is the number that backs every "state
-    is bounded" claim in SCALING.md — a complete-mode or unbounded-state
-    operator shows monotone growth here; a watermarked append operator
-    shows eviction (final ≤ peak)."""
+    StreamingQueryProgress: per-operator peak rows/bytes over the
+    RETAINED progress window and the final batch's values. This is the
+    number that backs every "state is bounded" claim in SCALING.md — a
+    complete-mode or unbounded-state operator shows monotone growth
+    here; a watermarked append operator shows eviction (final ≤ peak).
+    Scope: recentProgress keeps only the last
+    spark.sql.streaming.numRecentProgressUpdates (default 100) batches,
+    so a >100-batch drain whose state peaked early under-reports the
+    peak — the bench/stress lanes run well under that (final<peak
+    eviction checks stay conservative either way)."""
     ops: dict[str, dict] = {}
     for p in q.recentProgress:
         for i, so in enumerate(p.stateOperators or []):
@@ -323,11 +328,20 @@ def run_nexmark_q7_stream(
         .withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
         .withColumn("w", F.window("b_date_time", "10 seconds"))
     )
-    return bids.join(
+    winners = bids.join(
         finalized,
         (bids["w"]["start"] == finalized["win_start"])
         & (bids["price"] == finalized["maxprice"]),
     ).select("auction", "price", "bidder", "b_date_time")
+    # Materialize the (small) winners DISTRIBUTED into the result area
+    # and return a read over that: the join's bids scan captured the
+    # replay dir's file listing, and a LATER flush of the same dir
+    # (another runner call) dynamic-overwrites the sentinel part-file the
+    # listing references — a lazily-returned join would then crash at
+    # action time with FILE_NOT_EXIST (round-7 review finding). Nothing
+    # crosses the driver; the write is winners-sized, not bids-sized.
+    winners.write.mode("overwrite").parquet(f"{out}-winners")
+    return spark.read.parquet(f"{out}-winners")
 
 
 def run_nexmark_q11_stream(
