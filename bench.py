@@ -299,6 +299,10 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
 
         # Full q8: genuine stream-stream windowed join (person ⋈ auction)
         # over generated entity streams at the same event-time span.
+        # Production-shaped: flush sentinels push the frontier past the
+        # tail windows and the FINITE watermark evicts both sides' join
+        # state at drain (test_nexmark_q8_stream_evicts_state_with_flush
+        # asserts result parity + eviction for this exact configuration).
         persons = sources.nexmark_persons(spark, 10 * events_per_sec, seconds)
         auctions = sources.nexmark_auctions(spark, 10 * events_per_sec, seconds)
         n_q8 = persons.count() + auctions.count()
@@ -312,6 +316,11 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
                 ),
                 f"{tmp}/{sub}",
             )
+        for sub, ts, keys in (
+            ("p", "p_date_time", ["p_id"]),
+            ("a", "a_date_time", ["a_id", "seller"]),
+        ):
+            streaming.write_flush_epoch(spark, f"{tmp}/{sub}", ts, 3_600, keys)
 
         def run_q8(ckpt: str) -> float:
             return _timed(
@@ -321,6 +330,7 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
                     f"{tmp}/a",
                     checkpoint=_fresh(tmp, ckpt),
                     size_s=10,
+                    watermark="600 seconds",
                     files_per_trigger=30,
                 )
             )
@@ -490,7 +500,11 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
 
         wall_q11 = min(run_q11("c"), run_q11("d"))
 
-        # q8: genuine two-sided stream-stream join state at 10x volume.
+        # q8: genuine two-sided stream-stream join state at 10x volume —
+        # production-shaped (flush sentinels + finite watermark), so the
+        # recorded state metrics show EVICTION (final rows ≈ the two
+        # sentinels, not the peak), matching
+        # test_nexmark_q8_stream_evicts_state_with_flush.
         persons = sources.nexmark_persons(spark, 10 * events_per_sec, seconds)
         auctions = sources.nexmark_auctions(spark, 10 * events_per_sec, seconds)
         n_q8 = persons.count() + auctions.count()
@@ -504,6 +518,11 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
                 ),
                 f"{tmp}/{sub}",
             )
+        for sub, ts, keys in (
+            ("p", "p_date_time", ["p_id"]),
+            ("a", "a_date_time", ["a_id", "seller"]),
+        ):
+            streaming.write_flush_epoch(spark, f"{tmp}/{sub}", ts, 3_600, keys)
 
         def run_q8(ckpt: str) -> float:
             m: dict = {}
@@ -514,6 +533,7 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
                     f"{tmp}/a",
                     checkpoint=_fresh(tmp, ckpt),
                     size_s=10,
+                    watermark="600 seconds",
                     files_per_trigger=30,
                     metrics=m,
                 )

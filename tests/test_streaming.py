@@ -569,6 +569,71 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q8_stream_evicts_state_with_flush(spark, tmp_path):
+    """Production-shaped q8: flush sentinels push the event-time frontier
+    past every real window and a FINITE watermark lets Spark evict both
+    sides' stream-stream join state — asserted from the engine's own
+    stateOperators metrics (final rows a small constant, not the peak),
+    with the drained result still equal to the batch formulation. This is
+    the 'join state bounded by watermark' claim as a test, not prose: the
+    default 30-day watermark is only for oracle replays whose event span
+    is compressed into a handful of micro-batches."""
+    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
+    )
+    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
+        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
+    )
+    streaming.write_epoch_files(persons, str(tmp_path / "p"))
+    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+    for sub, ts, keys in (
+        ("p", "p_date_time", ["p_id"]),
+        ("a", "a_date_time", ["a_id", "seller"]),
+    ):
+        streaming.write_flush_epoch(spark, str(tmp_path / sub), ts, 3_600, keys)
+
+    metrics: dict = {}
+    got = streaming.run_nexmark_q8_stream(
+        spark,
+        str(tmp_path / "p"),
+        str(tmp_path / "a"),
+        checkpoint=str(tmp_path / "ckpt-q8evict"),
+        size_s=10,
+        watermark="600 seconds",
+        files_per_trigger=3,
+        metrics=metrics,
+    ).collect()
+
+    bp = (
+        persons.drop("epoch")
+        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
+        .select("p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime"))
+        .distinct()
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
+        .distinct()
+    )
+    expected = bp.join(
+        ba, (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"])
+    ).select("p_id", "name", bp["starttime"]).collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+    join_state = next(
+        (v for k, v in metrics["state_operators"].items() if "join" in k.lower()),
+        None,
+    )
+    assert join_state is not None, metrics
+    # Peak holds real rows from both sides; after the sentinel advances the
+    # frontier only the two far-future sentinel rows may survive eviction.
+    assert join_state["peak_rows"] > 10
+    assert join_state["final_rows"] <= 4, join_state
+    assert join_state["final_rows"] < join_state["peak_rows"]
+
+
 def test_nexmark_q8_outer_stream_equals_batch(spark, tmp_path):
     """Stream-stream OUTER joins (left and full): unmatched rows flush via
     the sentinel-advanced watermark and the drained DISTINCT rows must
