@@ -6,6 +6,8 @@ assert batch contents; here the assertion is equality with an independent
 engine instead of golden strings).
 """
 
+import zlib
+
 import pytest
 
 from squirtle_spark.oracle import check_query
@@ -13,12 +15,39 @@ from squirtle_spark.registry import load_all
 
 ALL = sorted(load_all())
 
+#: The full-registry sweep is ~4 min sequential and grows with the
+#: registry; shard markers let it run as N parallel pytest invocations
+#: (`pytest tests/test_oracle.py -m oracle_shard1` … shard4) with the
+#: SAME coverage — shard assignment is a stable hash of the entry name,
+#: so an entry keeps its shard as the registry grows and the union of
+#: shards is always exactly ALL.
+N_SHARDS = 4
 
-@pytest.mark.parametrize("name", ALL)
+
+def _shard(name: str) -> int:
+    return zlib.crc32(name.encode()) % N_SHARDS + 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=getattr(pytest.mark, f"oracle_shard{_shard(n)}"))
+        for n in ALL
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     res = check_query(spark, name, sf_dir)
     assert res.ok, res.message()
     assert res.rows_spark >= 0
+
+
+def test_shards_partition_registry():
+    """The shards are a partition of the registry: disjoint by
+    construction, and their union misses nothing at any size."""
+    counts = {s: sum(1 for n in ALL if _shard(n) == s) for s in range(1, N_SHARDS + 1)}
+    assert sum(counts.values()) == len(ALL)
+    # crc32 spreads evenly enough that no shard degenerates
+    assert all(c >= len(ALL) // (N_SHARDS * 2) for c in counts.values()), counts
 
 
 def test_comparator_detects_value_drift(spark, sf_dir):

@@ -3,8 +3,11 @@
 VERDICT r6 stretch item 9: the bit-equality claims for the ANN / DSIR /
 Kneser-Ney perplexity family were evidenced at sf0.01 and sf0.1; this
 adds one more decade so they are provably not small-N luck. Opt-in via
-``SPARK_GRAFT_SF1_SOAK=1`` (run once per round; result recorded in
-SCALING.md) because the build + 2x-engine replay costs minutes.
+``SPARK_GRAFT_SF1_SOAK=1`` (run once per round) because the build +
+2x-engine replay costs minutes. The run emits ``SOAK_r{N}.json`` at the
+repo root — per-entry rows/wall/pass — so the decade claim is a
+machine-checkable per-round artifact like BENCH/STRESS (VERDICT r7
+item 6), not a COVERAGE.md sentence.
 
 The fixture is documents+embeddings at 10x sf0.1 (~50k docs / 20k
 vectors — the sf1 scale for these tables), built DETERMINISTICALLY by
@@ -29,7 +32,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 #: The float-sensitive family: integer-exact ANN index replays, DECIMAL
-#: log-space scoring (DSIR), and the KN discount arithmetic.
+#: log-space scoring (DSIR), the KN discount arithmetic, and (round 8)
+#: the MinHash-band family — banding thresholds are the other
+#: float-adjacent knee (a hash collision pattern that only shows up
+#: with enough shingles crossing band boundaries).
 FAMILY = [
     "ann_cosine_topk",
     "ann_sq8_topk",
@@ -39,6 +45,8 @@ FAMILY = [
     "lm_perplexity",
     "lm_perplexity_kn",
     "vocab_coverage",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
 ]
 
 
@@ -87,7 +95,62 @@ def sf1_dir(tmp_path_factory):
     return out
 
 
+def _round_number() -> int:
+    """Next round index from the driver's own artifacts (same rule as
+    bench.py: the highest recorded round is the PREVIOUS one)."""
+    import glob
+    import re
+
+    rounds = [0]
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        for f in glob.glob(os.path.join(_REPO_ROOT, pat)):
+            m = re.search(r"_r(\d+)\.json$", f)
+            if m:
+                rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def soak_record():
+    """Accumulates per-entry results; writes SOAK_r{N}.json at teardown.
+
+    Written even on partial failure — a red soak artifact is evidence
+    too (the per-entry ``pass`` field carries the verdict)."""
+    import json
+    import time as _time
+
+    rows: list[dict] = []
+    t0 = _time.time()
+    yield rows
+    artifact = {
+        "round": _round_number(),
+        "sf_equivalent": 1.0,
+        "fixture": "documents+embeddings replicated 10x over sf0.1, rest symlinked",
+        "n_entries": len(rows),
+        "n_pass": sum(1 for r in rows if r["pass"]),
+        "total_wall_sec": round(_time.time() - t0, 1),
+        "entries": rows,
+    }
+    out = os.path.join(_REPO_ROOT, f"SOAK_r{artifact['round']:02d}.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+
+
 @pytest.mark.parametrize("name", FAMILY)
-def test_sf1_soak_float_sensitive(spark, sf1_dir, name):
+def test_sf1_soak_float_sensitive(spark, sf1_dir, soak_record, name):
+    import time as _time
+
+    t0 = _time.time()
     res = check_query(spark, name, sf1_dir)
+    soak_record.append(
+        {
+            "name": name,
+            "rows": res.rows_spark,
+            "wall_sec": round(_time.time() - t0, 2),
+            "pass": bool(res.ok),
+        }
+    )
     assert res.ok, res.message()

@@ -527,11 +527,10 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert sum(c for _, c in seen) == batch_df.count()
 
 
-def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
-    """q8 (new users who opened auctions) end-to-end as a genuine
-    stream-stream join: both replays watermark + window-assign, join on
-    (p_id = seller, same window) — drained result must equal the batch
-    formulation (dedup-per-window sides joined on window)."""
+def _q8_inputs(spark, tmp_path, flush=False):
+    """Person/auction entity streams staged as epoch files under tmp_path/p
+    and tmp_path/a (+ optional flush sentinels advancing the frontier).
+    Returns the staged batch DataFrames for computing expected results."""
     persons = sources.nexmark_persons(spark, 200, 6).withColumn(
         "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
     )
@@ -540,6 +539,53 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
     )
     streaming.write_epoch_files(persons, str(tmp_path / "p"))
     streaming.write_epoch_files(auctions, str(tmp_path / "a"))
+    if flush:
+        for sub, ts, keys in (
+            ("p", "p_date_time", ["p_id"]),
+            ("a", "a_date_time", ["a_id", "seller"]),
+        ):
+            streaming.write_flush_epoch(spark, str(tmp_path / sub), ts, 3_600, keys)
+    return persons, auctions
+
+
+def _q8_windowed_sides(persons, auctions, start_alias="starttime"):
+    """The batch q8 formulation's deduped-per-window sides."""
+    bp = (
+        persons.drop("epoch")
+        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
+        .select(
+            "p_id",
+            "name",
+            F.window("p_date_time", "10 seconds")["start"].alias(start_alias),
+        )
+        .distinct()
+    )
+    ba = (
+        auctions.drop("epoch")
+        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
+        .select(
+            "seller", F.window("a_date_time", "10 seconds")["start"].alias(start_alias)
+        )
+        .distinct()
+    )
+    return bp, ba
+
+
+def _q8_batch_expected(persons, auctions):
+    bp, ba = _q8_windowed_sides(persons, auctions)
+    return (
+        bp.join(ba, (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"]))
+        .select("p_id", "name", bp["starttime"])
+        .collect()
+    )
+
+
+def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
+    """q8 (new users who opened auctions) end-to-end as a genuine
+    stream-stream join: both replays watermark + window-assign, join on
+    (p_id = seller, same window) — drained result must equal the batch
+    formulation (dedup-per-window sides joined on window)."""
+    persons, auctions = _q8_inputs(spark, tmp_path)
 
     got = streaming.run_nexmark_q8_stream(
         spark,
@@ -550,21 +596,7 @@ def test_nexmark_q8_full_stream_equals_batch(spark, tmp_path):
         files_per_trigger=3,
     ).collect()
 
-    bp = (
-        persons.drop("epoch")
-        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
-        .select("p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime"))
-        .distinct()
-    )
-    ba = (
-        auctions.drop("epoch")
-        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
-        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
-        .distinct()
-    )
-    expected = bp.join(ba, (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"])).select(
-        "p_id", "name", bp["starttime"]
-    ).collect()
+    expected = _q8_batch_expected(persons, auctions)
     assert len(got) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
@@ -578,19 +610,7 @@ def test_nexmark_q8_stream_evicts_state_with_flush(spark, tmp_path):
     the 'join state bounded by watermark' claim as a test, not prose: the
     default 30-day watermark is only for oracle replays whose event span
     is compressed into a handful of micro-batches."""
-    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
-        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
-    )
-    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
-        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
-    )
-    streaming.write_epoch_files(persons, str(tmp_path / "p"))
-    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
-    for sub, ts, keys in (
-        ("p", "p_date_time", ["p_id"]),
-        ("a", "a_date_time", ["a_id", "seller"]),
-    ):
-        streaming.write_flush_epoch(spark, str(tmp_path / sub), ts, 3_600, keys)
+    persons, auctions = _q8_inputs(spark, tmp_path, flush=True)
 
     metrics: dict = {}
     got = streaming.run_nexmark_q8_stream(
@@ -604,21 +624,7 @@ def test_nexmark_q8_stream_evicts_state_with_flush(spark, tmp_path):
         metrics=metrics,
     ).collect()
 
-    bp = (
-        persons.drop("epoch")
-        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
-        .select("p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("starttime"))
-        .distinct()
-    )
-    ba = (
-        auctions.drop("epoch")
-        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
-        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("starttime"))
-        .distinct()
-    )
-    expected = bp.join(
-        ba, (bp["p_id"] == ba["seller"]) & (bp["starttime"] == ba["starttime"])
-    ).select("p_id", "name", bp["starttime"]).collect()
+    expected = _q8_batch_expected(persons, auctions)
     assert len(got) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
@@ -639,29 +645,8 @@ def test_nexmark_q8_outer_stream_equals_batch(spark, tmp_path):
     the sentinel-advanced watermark and the drained DISTINCT rows must
     equal the batch outer join of the deduped sides — including NULL-side
     rows in both directions for full outer."""
-    persons = sources.nexmark_persons(spark, 200, 6).withColumn(
-        "epoch", F.unix_timestamp(F.col("p_date_time").cast("timestamp")) % 100000
-    )
-    auctions = sources.nexmark_auctions(spark, 400, 6).withColumn(
-        "epoch", F.unix_timestamp(F.col("a_date_time").cast("timestamp")) % 100000
-    )
-    streaming.write_epoch_files(persons, str(tmp_path / "p"))
-    streaming.write_epoch_files(auctions, str(tmp_path / "a"))
-
-    bp = (
-        persons.drop("epoch")
-        .withColumn("p_date_time", F.col("p_date_time").cast("timestamp"))
-        .select(
-            "p_id", "name", F.window("p_date_time", "10 seconds")["start"].alias("w")
-        )
-        .distinct()
-    )
-    ba = (
-        auctions.drop("epoch")
-        .withColumn("a_date_time", F.col("a_date_time").cast("timestamp"))
-        .select("seller", F.window("a_date_time", "10 seconds")["start"].alias("w"))
-        .distinct()
-    )
+    persons, auctions = _q8_inputs(spark, tmp_path)
+    bp, ba = _q8_windowed_sides(persons, auctions, start_alias="w")
 
     for how in ("left_outer", "full_outer"):
         got = streaming.run_nexmark_q8_outer_stream(
