@@ -189,7 +189,10 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def _clusters_oracle(d: str = dl.DUCK) -> str:
+def _clusters_ctes(d: str = dl.DUCK) -> str:
+    """``WITH RECURSIVE`` prefix ending in a ``clusters(doc_id,
+    cluster_id)`` CTE — shared by the dedup_clusters oracle and the
+    cluster-keyed split (pipeline.split_by_cluster)."""
     return f"""
 WITH RECURSIVE pairs AS (
     {_ngram_jaccard(d)}
@@ -203,11 +206,16 @@ reach(node, r) AS (
     SELECT a, a FROM edges
     UNION
     SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a
-)
-SELECT node AS doc_id, MIN(r) AS cluster_id
-FROM reach
-GROUP BY node
-"""
+),
+clusters AS (
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach
+    GROUP BY node
+)"""
+
+
+def _clusters_oracle(d: str = dl.DUCK) -> str:
+    return _clusters_ctes(d) + "\nSELECT doc_id, cluster_id FROM clusters"
 
 
 register_df(

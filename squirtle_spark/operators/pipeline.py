@@ -24,7 +24,7 @@ built-ins, zero Python) so the DuckDB oracle value-checks them:
 from __future__ import annotations
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: Split fractions are encoded as 256ths via the first hex byte of
 #: md5(doc_id || salt): 0x00-0xcc train (205/256 ~ 80%), 0xcd-0xe5 val
@@ -42,15 +42,24 @@ _CHUNK_STRIDE = 48
 _PACK_BUDGET = 512
 
 
+def _split_case(key_expr: str) -> str:
+    """The 80/10/10 salted-hash CASE over an arbitrary key expression
+    (identical text in both dialects — md5 of the same string is the
+    same hex everywhere, which IS the determinism claim)."""
+    h = f"substring(md5(CAST({key_expr} AS STRING) || ':{_SPLIT_SALT}'), 1, 2)"
+    return (
+        f"CASE WHEN {h} < 'cd' THEN 'train' "
+        f"WHEN {h} < 'e6' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 def _split(d: str) -> str:
-    h = f"substring(md5(CAST(doc_id AS STRING) || ':{_SPLIT_SALT}'), 1, 2)"
     return f"""
 SELECT doc_id,
        lang,
        source,
-       CASE WHEN {h} < 'cd' THEN 'train'
-            WHEN {h} < 'e6' THEN 'val'
-            ELSE 'test' END AS split
+       {_split_case('doc_id')} AS split
 FROM documents
 """
 
@@ -269,4 +278,63 @@ register_sql(
     doc=f"GPT-style concat-and-split packing into {_SEQ_LEN}-token "
     "sequences per source shard: span manifest with per-sequence offsets "
     "for boundary-aware attention masks; docs crossing cuts span both.",
+)
+
+
+def _split_by_cluster_df(spark, sf_dir):
+    """Cluster-aware train/val/test split: the FIX for what
+    split_leakage_audit detects. Every near-duplicate connected component
+    (dedup_clusters' min-label propagation over the exact n-gram-Jaccard
+    pair graph) is assigned as a UNIT, keyed by its canonical label
+    (min doc_id), so no near-dup pair can ever straddle a split boundary
+    — structural leak-freedom, not an audited-after-the-fact property
+    (Lee et al. arXiv:2107.06499 §6.2's contamination fixed at split
+    time). Docs in no cluster key by their own doc_id with the SAME salt
+    as split_train_val_test, so only clustered docs move relative to the
+    plain split, and the canonical doc of each cluster never moves.
+
+    Scale shape: the cluster labels relation holds only CLUSTERED docs
+    (the duplicate minority); attaching it is one doc_id-keyed equi-join
+    (unique key, no skew) on top of the CC rounds dedup_clusters already
+    costs, and the split itself stays a per-row projection.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _dedup_clusters
+
+    labels = _dedup_clusters(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(cluster_id, doc_id) AS cluster_id",
+            f"{_split_case('COALESCE(cluster_id, doc_id)')} AS split",
+        )
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    from .dedup import _clusters_ctes
+
+    return (
+        _clusters_ctes(dl.DUCK)
+        + f"""
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       {_split_case('COALESCE(c.cluster_id, d.doc_id)')} AS split
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+    )
+
+
+register_df(
+    "split_by_cluster",
+    _split_by_cluster_df,
+    oracle_body=_split_by_cluster_oracle(),
+    doc="Leak-free split: near-dup connected components assigned to "
+    "train/val/test as units (cluster-canonical salted hash); "
+    "singletons keep their split_train_val_test assignment.",
 )

@@ -643,3 +643,51 @@ def test_bpe_encode_docs_sums_to_compression_curve(spark, sf_dir):
     }
     assert totals["c0"] == curve[0]
     assert totals["ck"] == curve[BPE_TRAIN_K]
+
+
+def test_split_by_cluster_is_structurally_leak_free(spark, sf_dir):
+    """The property split_by_cluster exists for: ZERO near-dup pairs
+    straddle a split boundary (split_leakage_audit's finding, fixed at
+    split time), every cluster lands in exactly one split, and docs
+    outside any cluster keep their plain split_train_val_test
+    assignment (same salt) — only clustered docs can move."""
+    from squirtle_spark.registry import load_all
+
+    qs = load_all()
+    splits = qs["split_by_cluster"].spark_fn(spark, sf_dir)
+    from squirtle_spark.operators.dedup import _ngram_jaccard
+
+    pairs = spark.sql(_ngram_jaccard(dl.SPARK)).select("doc_a", "doc_b")
+
+    sa = splits.selectExpr("doc_id AS doc_a", "split AS split_a")
+    sb = splits.selectExpr("doc_id AS doc_b", "split AS split_b")
+    straddling = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where("split_a <> split_b")
+        .count()
+    )
+    assert straddling == 0
+
+    per_cluster = (
+        splits.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where("n_splits > 1")
+        .count()
+    )
+    assert per_cluster == 0
+
+    plain = qs["split_train_val_test"].spark_fn(spark, sf_dir).select("doc_id", "split")
+    singletons = splits.where("cluster_id = doc_id")
+    moved = (
+        singletons.alias("c")
+        .join(plain.alias("p"), "doc_id")
+        .where("c.split <> p.split")
+        .count()
+    )
+    # cluster_id == doc_id also holds for each cluster's canonical doc,
+    # whose key is its own id either way — so NO doc in this set moves.
+    assert moved == 0
+    # and the clusters are non-trivial at this SF: some docs DID move
+    n_clustered = splits.where("cluster_id <> doc_id").count()
+    assert n_clustered > 0
