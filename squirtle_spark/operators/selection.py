@@ -96,26 +96,34 @@ def _dsir_select(d: str) -> str:
             SELECT ft.doc_id, ft.f, ft.n, dc.source
             FROM feats ft JOIN documents dc ON dc.doc_id = ft.doc_id
         ),
-        tgt AS (
-            SELECT f, CAST(SUM(n) AS BIGINT) AS c FROM tagged
-            WHERE source = 'src0' GROUP BY f
+        models AS (
+            -- BOTH models in one conditional-aggregation pass over
+            -- tagged. The earlier tgt/raw/DISTINCT-f formulation
+            -- referenced the gram fan-out FOUR times, and Spark INLINES
+            -- CTEs (DuckDB materializes them) — so the fan-out + its
+            -- (doc_id, f) shuffle executed 4x on the Spark side.
+            -- Equivalence: tagged's f domain == feats' (every doc has a
+            -- documents row), absent-in-source buckets aggregate to 0
+            -- exactly as the old COALESCE(c, 0) did, and the LN inputs
+            -- are the same integers.
+            SELECT f,
+                   CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS tc,
+                   CAST(SUM(CASE WHEN source <> 'src0' THEN n ELSE 0 END) AS BIGINT) AS rc
+            FROM tagged
+            GROUP BY f
         ),
-        raw AS (
-            SELECT f, CAST(SUM(n) AS BIGINT) AS c FROM tagged
-            WHERE source <> 'src0' GROUP BY f
+        totals AS (
+            SELECT CAST(SUM(tc) AS DOUBLE) AS t_total,
+                   CAST(SUM(rc) AS DOUBLE) AS r_total
+            FROM models
         ),
-        tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM tgt),
-        rt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM raw),
         llr AS (
-            SELECT fs.f,
+            SELECT m.f,
                    CAST(ROUND(
-                       LN((COALESCE(tg.c, 0) + 1.0) / (tt.total + {b}))
-                     - LN((COALESCE(rw.c, 0) + 1.0) / (rt.total + {b})),
+                       LN((m.tc + 1.0) / (tt.t_total + {b}))
+                     - LN((m.rc + 1.0) / (tt.r_total + {b})),
                    9) AS DECIMAL(18,9)) AS llr
-            FROM (SELECT DISTINCT f FROM feats) fs
-            LEFT JOIN tgt tg ON tg.f = fs.f
-            LEFT JOIN raw rw ON rw.f = fs.f
-            CROSS JOIN tt CROSS JOIN rt
+            FROM models m CROSS JOIN totals tt
         ),
         scored AS (
             SELECT t.doc_id,
