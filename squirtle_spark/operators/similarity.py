@@ -1181,3 +1181,124 @@ def stream_ann_probe(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"ANN probe stream still running after {timeout_s}s")
+
+
+#: Variants measured by ann_recall_report, in declaration order.
+_RECALL_VARIANTS = ["lsh", "ivf", "sq8", "pq", "ivfpq"]
+
+
+def _ann_recall_report(spark, sf_dir) -> DataFrame:
+    """Recall@k of every approximate ANN variant against the brute-force
+    cosine ground truth, one row per variant — lsh_quality_report's
+    contract-as-a-measured-row idea applied to the embedding index
+    family (FAISS-style index evaluation, run as a query over the same
+    deterministic pipelines, so the report itself is value-oracled).
+
+    This is the number an index-selection decision actually consumes:
+    the 10x stress lane records the ivfpq/pq LATENCY crossover, this
+    entry records what each variant's pruning GIVES UP at the current
+    corpus, per snapshot — recall regressions from a re-trained
+    codebook or re-drawn planes show up as a value diff here, not as a
+    silent quality drop in production.
+
+    Scale shape: each variant's plan is unchanged (this just unions
+    their top-k outputs, 50 rows each); the join against truth is
+    broadcast-sized (N_QUERIES x TOP_K rows) and the grand total is a
+    1-row cross join, so the report costs the sum of its inputs and
+    adds no new wide shuffle.
+    """
+    from functools import reduce
+
+    truth = _ann_brute(spark, sf_dir).select("q_id", "c_id")
+    variant_dfs = {
+        "lsh": _ann_lsh(spark, sf_dir),
+        "ivf": _ann_ivf(spark, sf_dir),
+        "sq8": spark.sql(_ann_sq8(dl.SPARK)),
+        "pq": _ann_pq_spark(spark, sf_dir),
+        "ivfpq": _ann_ivfpq_spark(spark, sf_dir),
+    }
+    found = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            df.select(F.lit(name).alias("variant"), "q_id", "c_id")
+            for name, df in variant_dfs.items()
+        ],
+    )
+    tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    hits = (
+        found.join(truth, ["q_id", "c_id"])
+        .groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    names = spark.createDataFrame(
+        [(v,) for v in _RECALL_VARIANTS], "variant string"
+    )
+    return (
+        names.crossJoin(F.broadcast(tot))
+        .join(hits, "variant", "left")
+        .select(
+            "variant",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            # n_truth = N_QUERIES x TOP_K = 50, so the ratio has <= 2
+            # decimal digits — no 4-dp midpoint, both engines' double
+            # rounding agrees.
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * 1.0 / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_report_oracle() -> str:
+    variant_bodies = {
+        "lsh": _ann_lsh_oracle(),
+        "ivf": _ann_ivf_oracle(),
+        "sq8": _ann_sq8(dl.DUCK),
+        "pq": _ann_pq(dl.DUCK),
+        "ivfpq": _ann_pq(dl.DUCK, ivf=True),
+    }
+    found_union = "\n    UNION ALL\n".join(
+        f"SELECT '{name}' AS variant, q_id, c_id FROM f_{name}"
+        for name in _RECALL_VARIANTS
+    )
+    names_values = ", ".join(f"('{v}')" for v in _RECALL_VARIANTS)
+    # each variant's full oracle nests as its own subquery scope, so
+    # their internal CTE names cannot collide
+    variant_ctes = ",\n".join(
+        f"f_{name} AS (SELECT q_id, c_id FROM ({body}\n) AS sub_{name})"
+        for name, body in variant_bodies.items()
+    )
+    return f"""
+WITH truth AS (
+    SELECT q_id, c_id FROM ({_ANN_ORACLE}) t
+),
+{variant_ctes},
+found AS (
+    {found_union}
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM found JOIN truth USING (q_id, c_id)
+    GROUP BY variant
+),
+names(variant) AS (VALUES {names_values})
+SELECT n.variant,
+       tot.n_truth,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / tot.n_truth, 4) AS recall
+FROM names n
+CROSS JOIN tot
+LEFT JOIN hits h ON h.variant = n.variant
+"""
+
+
+register_df(
+    "ann_recall_report",
+    _ann_recall_report,
+    oracle_body=_ann_recall_report_oracle(),
+    doc="Index-quality evaluation as a query: recall@k of each ANN "
+    "variant (lsh/ivf/sq8/pq/ivfpq) vs the brute-force ground truth, "
+    "one value-oracled row per variant.",
+)
