@@ -104,7 +104,17 @@ def register_df(
 #: then checked entries oldest-evidence-first so nothing coasts forever
 #: on an early-round row. The hand ledgers are reduced to pins.
 #: Pinned to the head regardless of history — judgment-call re-checks.
-_PIN_HEAD: list[str] = []
+#: Round 8: the four generators gained FULL value oracles (generation
+#: now hashes through md5_i64, which DuckDB replays — sources.py); they
+#: were the only non-green driver rows in CORRECTNESS_r07, so the
+#: upgrade should be driver-recorded THIS round, not when rotation
+#: reaches the r7 cohort.
+_PIN_HEAD: list[str] = [
+    "gen_nexmark_persons",
+    "gen_nexmark_auctions",
+    "gen_nexmark_bids",
+    "gen_ysb_ad_events",
+]
 
 #: Pinned last: rows-only-by-nature sketches whose driver row can only
 #: prove rows>0 (their real evidence is the pytest error-bound

@@ -8,17 +8,26 @@ events, reference README.md:219-228).
 
 Spark-first design: instead of a driver-side RNG loop, events are a pure
 function of ``spark.range(n)`` — every attribute derives from the row id
-via seeded xxhash64, so generation is fully distributed (any executor can
+via a seeded hash, so generation is fully distributed (any executor can
 produce any slice), reproducible under any partitioning, and scales to
 billions of events with zero driver memory. Entity ids are dense closed
 forms of (epoch, slot), so bids always reference persons/auctions that
 exist — same invariant flock's generator maintains.
+
+The hash is ``dialect.md5_i64`` (round 8; was xxhash64): bit-identical
+in DuckDB, so the ``gen_*`` registry entries carry FULL value-level
+oracles — the oracle re-generates every event from the same closed
+forms and the hashes agree byte-for-byte. At production scale the same
+structure runs on xxhash64 (cheaper, same width) when oracle replay
+isn't needed — the dialect module's standing trade.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import dialect as dl
 
 # NEXMark mix per 1000 events (README.md:219-228): slots 0-19 → person,
 # 20-79 → auction, 80-999 → bid.
@@ -31,9 +40,19 @@ BASE_TS = "2024-01-01 00:00:00"
 _STATES = ["OR", "ID", "CA", "WA", "NY", "TX", "FL", "MA", "AZ", "NV"]
 
 
-def _rand(seed: int, *cols, mod: str) -> F.Column:
-    """Deterministic pseudo-random in [0, mod): seeded xxhash64 of the id."""
-    return F.abs(F.xxhash64(F.lit(seed), *cols)) % F.expr(mod)
+def _hash_input(seed: int, tag: int) -> str:
+    """The exact string hashed per (event id, stream-of-randomness tag) —
+    one rendering, used verbatim by the Spark generator AND the DuckDB
+    oracle, so both engines hash the same bytes."""
+    return f"'{seed}|' || CAST(id AS STRING) || '|{tag}'"
+
+
+def _rand(seed: int, tag: int, mod: str) -> F.Column:
+    """Deterministic pseudo-random in [0, mod): md5_i64 of (seed, id, tag).
+
+    md5_i64 is already positive (60-bit), so no abs() is needed and the
+    modulus is bias-free for mod << 2^60."""
+    return F.expr(dl.md5_i64(_hash_input(seed, tag), dl.SPARK)) % F.expr(mod)
 
 
 def _enrich(ids: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
@@ -55,8 +74,8 @@ def _enrich(ids: DataFrame, events_per_sec: int, seed: int) -> DataFrame:
                 f" + make_interval(0, 0, 0, 0, 0, 0, (id % {events_per_sec}) * 0.001)"
             ),
         )
-        .withColumn("r1", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(1))))
-        .withColumn("r2", F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(2))))
+        .withColumn("r1", F.expr(dl.md5_i64(_hash_input(seed, 1), dl.SPARK)))
+        .withColumn("r2", F.expr(dl.md5_i64(_hash_input(seed, 2), dl.SPARK)))
     )
 
 
@@ -96,7 +115,7 @@ def nexmark_auctions(spark, events_per_sec=1000, seconds=10, seed=42) -> DataFra
         (F.col("r1") % 1000 + 1 + F.col("r2") % 500).cast("int").alias("reserve"),
         F.col("ts").alias("a_date_time"),
         F.expr("timestampadd(SECOND, CAST(r2 % 20 AS INT) + 5, ts)").alias("expires"),
-        _rand(seed, F.col("id"), F.lit(3), mod=persons_so_far).cast("long").alias("seller"),
+        _rand(seed, 3, mod=persons_so_far).cast("long").alias("seller"),
         (F.col("r2") % 20).cast("int").alias("category"),
     )
 
@@ -108,8 +127,8 @@ def _bid_projection(b: DataFrame, seed: int, include_id: bool = False) -> DataFr
     auctions_so_far = f"greatest((kilo + 1) * {AUCTIONS_PER_K}, 1)"
     persons_so_far = f"greatest((kilo + 1) * {PERSONS_PER_K}, 1)"
     cols = [
-        _rand(seed, F.col("id"), F.lit(4), mod=auctions_so_far).cast("long").alias("auction"),
-        _rand(seed, F.col("id"), F.lit(5), mod=persons_so_far).cast("long").alias("bidder"),
+        _rand(seed, 4, mod=auctions_so_far).cast("long").alias("auction"),
+        _rand(seed, 5, mod=persons_so_far).cast("long").alias("bidder"),
         (F.col("r1") % 10000 + 1).cast("int").alias("price"),
         F.col("ts").alias("b_date_time"),
     ]

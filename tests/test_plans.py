@@ -102,6 +102,7 @@ _GLOBAL_AGG_QUERIES = {
     "bpe_compression_curve",  # per-round corpus-token-total scalars (partial sums)
     "zipf_slope",  # OLS scalar over the vocab-sized frequency table
     "lsh_quality_report",  # recall scalars over the bounded pair set
+    "ann_recall_report",  # truth-total scalar over the N_QUERIES x TOP_K set
     "join_skew_report",  # skew scalars over the per-key count table
     "curation_pipeline",  # embeds lm_perplexity's corpus-total stage
     "text_length_quantiles",
