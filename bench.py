@@ -329,8 +329,7 @@ def main() -> None:
 
     # Compact stdout line (driver-parseable; full record in the detail file).
     c = canary.stats(total_reruns)
-    line = json.dumps(
-        {
+    payload = {
             "metric": "headline_total_sec",
             "value": total,
             "unit": "sec",
@@ -366,9 +365,18 @@ def main() -> None:
                 ),
             },
             "detail": detail_name,
-        }
-    )
-    assert len(line) <= 2000, f"stdout line {len(line)} chars exceeds driver capture"
+    }
+    # The driver captures a bounded stdout tail (~2,000 chars; the r7
+    # line overflowed it and left BENCH_r07.json unparseable). If the
+    # registry ever grows the line past the cap, shed optional sections
+    # — the detail file keeps everything — rather than crash or overflow.
+    line = json.dumps(payload)
+    for shed in ("drift", "streaming", "canary", "queries"):
+        if len(line) <= 2000:
+            break
+        payload.pop(shed, None)
+        payload["shed_to_detail"] = payload.get("shed_to_detail", []) + [shed]
+        line = json.dumps(payload)
     print(line)
 
 

@@ -298,8 +298,6 @@ def _split_by_cluster_df(spark, sf_dir):
     (unique key, no skew) on top of the CC rounds dedup_clusters already
     costs, and the split itself stays a per-row projection.
     """
-    from pyspark.sql import functions as F
-
     from .dedup import _dedup_clusters
 
     labels = _dedup_clusters(spark, sf_dir)

@@ -106,7 +106,7 @@ def test_socket_json_stream_live_push(spark, tmp_path):
     assert sorted(got) == sorted(expected)
 
 
-def _docker_redpanda(tmp_path):
+def _docker_redpanda():
     """Best-effort disposable single-node Redpanda via the docker CLI.
 
     Returns (bootstrap, container_id) or (None, why_not). Probes are
@@ -195,7 +195,7 @@ def test_kafka_round_trip_when_broker_available(spark, tmp_path, request):
     try:
         socket.create_connection((host, int(port or 9092)), timeout=1).close()
     except OSError:
-        started_bootstrap, detail = _docker_redpanda(tmp_path)
+        started_bootstrap, detail = _docker_redpanda()
         if started_bootstrap is None:
             pytest.skip(
                 f"no Kafka broker reachable at {bootstrap} and no docker "
