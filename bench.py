@@ -366,18 +366,24 @@ def main() -> None:
             },
             "detail": detail_name,
     }
-    # The driver captures a bounded stdout tail (~2,000 chars; the r7
-    # line overflowed it and left BENCH_r07.json unparseable). If the
-    # registry ever grows the line past the cap, shed optional sections
-    # — the detail file keeps everything — rather than crash or overflow.
+    print(_compact_line(payload))
+
+
+def _compact_line(payload: dict, cap: int = 2000) -> str:
+    """Render the stdout line, shedding optional sections to stay under
+    the driver's bounded stdout-tail capture (~2,000 chars; the r7 line
+    overflowed it and left BENCH_r07.json unparseable). If the registry
+    ever grows the line past the cap, optional sections drop in order —
+    the detail file keeps everything — rather than crash or overflow;
+    what was shed is recorded in the line itself."""
     line = json.dumps(payload)
     for shed in ("drift", "streaming", "canary", "queries"):
-        if len(line) <= 2000:
+        if len(line) <= cap:
             break
         payload.pop(shed, None)
         payload["shed_to_detail"] = payload.get("shed_to_detail", []) + [shed]
         line = json.dumps(payload)
-    print(line)
+    return line
 
 
 def _progress_latency(q) -> dict:

@@ -1,0 +1,70 @@
+"""Pure-python bench.py helpers (no Spark): the stdout-line shedding
+contract and the round/record discovery that drift attribution relies on.
+The measurement paths themselves are exercised by the per-round bench
+runs; these guard the plumbing the driver's parse depends on."""
+
+import json
+
+import bench
+
+
+def _payload(n_queries: int) -> dict:
+    return {
+        "metric": "headline_total_sec",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"query_{i:03d}": 0.123 for i in range(n_queries)},
+        "sf": 0.1,
+        "canary": {"cal_sec": 0.1, "max_sec": 0.2, "reruns": 0, "dirty_queries": 0},
+        "streaming": {"q5_events_per_sec": 10000.0},
+        "drift": {"checked": 0, "noise": 0, "plan_change": 0, "other": []},
+        "detail": "BENCH_DETAIL_r99.json",
+    }
+
+
+def test_compact_line_under_cap_sheds_nothing():
+    line = bench._compact_line(_payload(40))
+    assert len(line) <= 2000
+    parsed = json.loads(line)
+    assert "queries" in parsed and "shed_to_detail" not in parsed
+
+
+def test_compact_line_sheds_in_order_until_under_cap():
+    # ~400 queries -> ~10 KB of per-query times: queries must survive
+    # only if the line fits; optional sections go first, in order.
+    line = bench._compact_line(_payload(400))
+    assert len(line) <= 2000
+    parsed = json.loads(line)
+    # mandatory keys always survive
+    for key in ("metric", "value", "unit", "sf", "detail"):
+        assert key in parsed
+    shed = parsed["shed_to_detail"]
+    assert shed == ["drift", "streaming", "canary", "queries"][: len(shed)]
+    # and the line parses as one JSON object — the driver's whole ask
+    assert json.loads(line)["metric"] == "headline_total_sec"
+
+
+def test_round_number_is_one_past_latest_bench_artifact():
+    # the repo carries BENCH_r01..r07 (and this round's detail file);
+    # the next round index must be strictly past every recorded one
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    recorded = [
+        int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    assert bench._round_number() == max(recorded) + 1
+
+
+def test_prev_record_prefers_detail_and_carries_fingerprints():
+    rnd, times, fps = bench._prev_record()
+    assert rnd >= 6  # r6 is the oldest parseable full record in the repo
+    assert times  # some per-query seconds
+    # once a BENCH_DETAIL exists (written this round), fingerprints ride
+    # along; before that the BENCH_r fallback has none — either way the
+    # shapes line up
+    assert all(isinstance(v, (int, float)) for v in times.values())
+    assert all(isinstance(v, str) for v in fps.values())
