@@ -67,12 +67,17 @@ def _round_number() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _prev_record() -> tuple[int, dict, dict]:
-    """(round, {name: sec}, {name: fingerprint}) of the newest usable record.
+def _prev_record(sf: float) -> tuple[int, dict, dict]:
+    """(round, {name: sec}, {name: fingerprint}) of the newest usable record
+    AT THE SAME SCALE FACTOR.
 
     Prefers BENCH_DETAIL_r*.json (carries fingerprints); falls back to
     the newest BENCH_r*.json whose driver-side ``parsed`` is non-null
-    (fingerprints empty there — drift then classifies by retime alone)."""
+    (fingerprints empty there — drift then classifies by retime alone).
+    Records at a different sf are skipped: comparing sf0.01 seconds
+    against an sf0.1 run would flag every query as drifted and poison
+    every classification (a stray local run at another sf must not
+    become the baseline)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -84,9 +89,10 @@ def _prev_record() -> tuple[int, dict, dict]:
         try:
             d = json.load(open(f))
             rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
-            return rnd, d.get("queries", {}), d.get("plan_fingerprints", {})
         except (json.JSONDecodeError, OSError):
             continue
+        if d.get("sf") == sf and d.get("queries"):
+            return rnd, d["queries"], d.get("plan_fingerprints", {})
     benches = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
@@ -97,7 +103,7 @@ def _prev_record() -> tuple[int, dict, dict]:
         except (json.JSONDecodeError, OSError):
             continue
         parsed = d.get("parsed")
-        if parsed and parsed.get("queries"):
+        if parsed and parsed.get("queries") and parsed.get("sf") == sf:
             rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
             return rnd, parsed["queries"], {}
     return 0, {}, {}
@@ -263,7 +269,7 @@ def main() -> None:
     # Drift attribution: any >DRIFT_TOLERANCE swing vs the previous
     # recorded round gets ONE more measurement window (best-of-2); the
     # recorded time is the min, and the classification carries evidence.
-    prev_round, prev_times, prev_fps = _prev_record()
+    prev_round, prev_times, prev_fps = _prev_record(sf)
     drift: dict[str, dict] = {}
     for name, q in sorted(queries.items()):
         prev = prev_times.get(name)
@@ -275,7 +281,16 @@ def main() -> None:
         first = times[name]
         retime, restamp = _measure_query(spark, q, sf_dir, canary)
         total_reruns += restamp["reruns"]
-        kept = round(min(first, retime), 3)
+        # min over CLEAN windows only: a contaminated retime must not be
+        # laundered into the headline with a clean-looking stamp (and a
+        # stalled window's min can be wrong in either direction once the
+        # running calibration has moved).
+        candidates = [
+            (first, stamps[name]["dirty"]),
+            (round(retime, 3), restamp["dirty"]),
+        ]
+        clean = [v for v, dirty in candidates if not dirty]
+        kept = min(clean) if clean else min(v for v, _ in candidates)
         times[name] = kept
         kept_delta = (kept - prev) / prev
         prev_fp = prev_fps.get(name)
@@ -297,6 +312,7 @@ def main() -> None:
             "prev_sec": prev,
             "first_sec": first,
             "retime_sec": round(retime, 3),
+            "retime_stamp": restamp,
             "kept_sec": kept,
             "delta_pct": round(100 * kept_delta, 1),
             "fingerprint_prev": prev_fp,
@@ -339,7 +355,12 @@ def main() -> None:
                 "cal_sec": c["effective_calibration_sec"],
                 "max_sec": c["max_sec"],
                 "reruns": c["reruns"],
-                "dirty_queries": sum(1 for s in stamps.values() if s["dirty"]),
+                "dirty_queries": sum(
+                    1
+                    for n, s in stamps.items()
+                    if s["dirty"]
+                    or drift.get(n, {}).get("retime_stamp", {}).get("dirty")
+                ),
             },
             "streaming": {
                 k: streaming_stats[k]
@@ -359,6 +380,9 @@ def main() -> None:
                 "noise": sum(1 for d in drift.values() if d["class"] == "noise"),
                 "plan_change": sum(
                     1 for d in drift.values() if d["class"] == "plan-change"
+                ),
+                "improved": sum(
+                    1 for d in drift.values() if d["class"] == "improved"
                 ),
                 "other": sorted(
                     n for n, d in drift.items() if d["class"].startswith("regressed")

@@ -60,7 +60,7 @@ def test_round_number_is_one_past_latest_bench_artifact():
 
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
-    rnd, times, fps = bench._prev_record()
+    rnd, times, fps = bench._prev_record(sf=0.1)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
     assert times  # some per-query seconds
     # once a BENCH_DETAIL exists (written this round), fingerprints ride
@@ -68,3 +68,10 @@ def test_prev_record_prefers_detail_and_carries_fingerprints():
     # shapes line up
     assert all(isinstance(v, (int, float)) for v in times.values())
     assert all(isinstance(v, str) for v in fps.values())
+
+
+def test_prev_record_skips_other_scale_factors():
+    # an sf nobody ever benched at: no record may match — a stray
+    # local run at another sf must never poison drift attribution
+    rnd, times, fps = bench._prev_record(sf=123.456)
+    assert (rnd, times, fps) == (0, {}, {})

@@ -117,6 +117,7 @@ def _docker_redpanda():
     import subprocess
     import time
 
+    name = "squirtle-redpanda-test"
     if not shutil.which("docker"):
         return None, "no docker CLI on PATH"
     try:
@@ -127,10 +128,17 @@ def _docker_redpanda():
         return None, f"docker probe failed: {e}"
     if probe.returncode != 0:
         return None, "docker daemon not running"
+    # a FIXED container name makes cleanup possible even when `docker
+    # run`'s CLI call times out (e.g. a >120s first-time image pull):
+    # the daemon may finish the pull and start the container after the
+    # client died, and without a name there is no cid to stop — a
+    # leaked broker squatting on 9092. Pre-remove any stale instance.
+    subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
     try:
         run = subprocess.run(
             [
-                "docker", "run", "-d", "--rm", "-p", "9092:9092",
+                "docker", "run", "-d", "--rm", "--name", name,
+                "-p", "9092:9092",
                 "redpandadata/redpanda:latest",
                 "redpanda", "start", "--mode", "dev-container",
                 "--smp", "1", "--kafka-addr", "PLAINTEXT://0.0.0.0:9092",
@@ -140,18 +148,18 @@ def _docker_redpanda():
             timeout=120,
         )
     except (subprocess.TimeoutExpired, OSError) as e:
+        subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
         return None, f"docker run failed: {e}"
     if run.returncode != 0:
         return None, f"redpanda start failed: {run.stderr.decode()[:200]}"
-    cid = run.stdout.decode().strip()
     deadline = time.time() + 60
     while time.time() < deadline:
         try:
             socket.create_connection(("localhost", 9092), timeout=1).close()
-            return "localhost:9092", cid
+            return "localhost:9092", name
         except OSError:
             time.sleep(1)
-    subprocess.run(["docker", "stop", cid], capture_output=True, timeout=60)
+    subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
     return None, "redpanda container started but port 9092 never opened"
 
 
@@ -210,7 +218,23 @@ def test_kafka_round_trip_when_broker_available(spark, tmp_path, request):
         if bootstrap != f"{host}:{port or 9092}":
             stream = sources.kafka_stream(spark, bootstrap, "squirtle-test", schema)
 
-    producer = KafkaProducer(bootstrap_servers=bootstrap)
+    # TCP-port-open precedes Kafka-API readiness (Redpanda accepts the
+    # socket before it serves metadata): retry the producer's metadata
+    # probe instead of erroring on the gap, and skip — not fail — if the
+    # API never comes up.
+    import time as _time
+
+    producer = None
+    deadline = _time.time() + 45
+    last_err: Exception | None = None
+    while _time.time() < deadline and producer is None:
+        try:
+            producer = KafkaProducer(bootstrap_servers=bootstrap)
+        except Exception as e:  # kafka.errors.NoBrokersAvailable et al.
+            last_err = e
+            _time.sleep(2)
+    if producer is None:
+        pytest.skip(f"broker at {bootstrap} never served the Kafka API: {last_err}")
     for i in range(100):
         producer.send(
             "squirtle-test",

@@ -95,22 +95,17 @@ def sf1_dir(tmp_path_factory):
     return out
 
 
-def _round_number() -> int:
-    """Next round index from the driver's own artifacts (same rule as
-    bench.py: the highest recorded round is the PREVIOUS one)."""
-    import glob
-    import re
-
-    rounds = [0]
-    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
-        for f in glob.glob(os.path.join(_REPO_ROOT, pat)):
-            m = re.search(r"_r(\d+)\.json$", f)
-            if m:
-                rounds.append(int(m.group(1)))
-    return max(rounds) + 1
-
-
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _round_number() -> int:
+    """bench.py's rule, not a reimplementation: counting CORRECTNESS
+    artifacts too would stamp SOAK one round ahead whenever the soak
+    runs after the driver's mid-round correctness sweep (the driver
+    writes CORRECTNESS_r{N} mid-round but BENCH_r{N} at round end)."""
+    import bench
+
+    return bench._round_number()
 
 
 @pytest.fixture(scope="module")
@@ -144,7 +139,21 @@ def test_sf1_soak_float_sensitive(spark, sf1_dir, soak_record, name):
     import time as _time
 
     t0 = _time.time()
-    res = check_query(spark, name, sf1_dir)
+    # a CRASHED check must still leave a red row in the artifact — an
+    # entry silently absent from SOAK_r{N}.json would read as green
+    try:
+        res = check_query(spark, name, sf1_dir)
+    except Exception as e:
+        soak_record.append(
+            {
+                "name": name,
+                "rows": None,
+                "wall_sec": round(_time.time() - t0, 2),
+                "pass": False,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        )
+        raise
     soak_record.append(
         {
             "name": name,
