@@ -905,30 +905,81 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
         # the FAISS-style composition pays. Recall control: IVF-PQ's
         # top-k overlap vs plain PQ's isolates what pruning loses.
         from squirtle_spark import catalog
+        from squirtle_spark.operators import similarity
         from squirtle_spark.registry import load_all
 
         qs = load_all()
-        dir10 = f"{tmp}/sf10x"
-        os.makedirs(dir10, exist_ok=True)
-        for t in catalog.TABLES:
-            if t != "embeddings":
-                os.symlink(f"{sf_dir}/{t}.parquet", f"{dir10}/{t}.parquet")
-        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        n_emb = base_emb.count()
-        (
-            base_emb.withColumn("r", FF.explode(FF.sequence(FF.lit(0), FF.lit(9))))
-            .selectExpr(
-                f"r * {n_emb} + vec_id AS vec_id",
-                "transform(embedding, (x, i) -> CAST(x + "
-                "((vec_id * 131 + i * 17 + r * 7) % 97 - 48) * 0.002 AS FLOAT)) "
-                "AS embedding",
-                "label",
-            )
-            .write.mode("overwrite")
-            .parquet(f"{dir10}/embeddings.parquet")
-        )
 
-        def run_ann(name: str) -> float:
+        def ann_dir(mult: int) -> tuple[str, int]:
+            """{tmp}/sf{mult}x: embeddings replicated mult x with the
+            deterministic component perturbation (|delta| <= 0.096
+            regardless of r, so the IVF packed-argmin bound holds)."""
+            d = f"{tmp}/sf{mult}x"
+            os.makedirs(d, exist_ok=True)
+            for t in catalog.TABLES:
+                if t != "embeddings":
+                    os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+            base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            n_emb = base_emb.count()
+            (
+                base_emb.withColumn(
+                    "r", FF.explode(FF.sequence(FF.lit(0), FF.lit(mult - 1)))
+                )
+                .selectExpr(
+                    f"r * {n_emb} + vec_id AS vec_id",
+                    "transform(embedding, (x, i) -> CAST(x + "
+                    "((vec_id * 131 + i * 17 + r * 7) % 97 - 48) * 0.002 AS FLOAT)) "
+                    "AS embedding",
+                    "label",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{d}/embeddings.parquet")
+            )
+            return d, n_emb * mult
+
+        def ann_point(d: str, n_cells: int, n_probe: int) -> tuple[float, float, float]:
+            """(pq_wall, ivfpq_scaled_wall, recall_vs_pq) at one corpus,
+            min-of-3 (the 10x margin proved run-noisy at min-of-2 — the
+            first/second r8 recordings put the scaled-IVF win at 17% and
+            4% respectively; min-of-3 plus the 30x point below separate
+            structure from host noise)."""
+
+            def run_pq() -> float:
+                return _timed(
+                    lambda: qs["ann_pq_topk"]
+                    .spark_fn(spark, d)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+
+            def run_ivfpq() -> float:
+                return _timed(
+                    lambda: similarity.ann_ivfpq_topk_at(
+                        spark, d, n_cells=n_cells, n_probe=n_probe
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+
+            run_pq()  # index builds (cached per session+dir+geometry)
+            run_ivfpq()
+            wall_pq = min(run_pq() for _ in range(3))
+            wall_ivf = min(run_ivfpq() for _ in range(3))
+            pq_top = qs["ann_pq_topk"].spark_fn(spark, d).select("q_id", "c_id")
+            ivf_top = similarity.ann_ivfpq_topk_at(
+                spark, d, n_cells=n_cells, n_probe=n_probe
+            ).select("q_id", "c_id")
+            overlap = pq_top.join(ivf_top, ["q_id", "c_id"]).count()
+            return wall_pq, wall_ivf, overlap / max(pq_top.count(), 1)
+
+        # 10x point (round-7 comparable): cells ~ sqrt(20k) -> 128,
+        # probe 32 -> ~25% scan fraction (the registered entry's 16/8
+        # defaults scan 50%, sized for the 2k-row oracle fixture).
+        dir10, n_emb10 = ann_dir(10)
+
+        def run_ann10(name: str) -> float:
             return _timed(
                 lambda: qs[name]
                 .spark_fn(spark, dir10)
@@ -937,33 +988,15 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
                 .save()
             )
 
-        # Scale-appropriate IVF at 10x: cells ~ sqrt(20k) = 141 -> 128,
-        # probe 32 -> ~25% scan fraction (the registered entry's 16/8
-        # defaults scan 50%, sized for the 2k-row oracle fixture).
-        from squirtle_spark.operators import similarity
+        run_ann10("ann_ivfpq_topk")  # default-geometry build
+        wall_ivfpq10 = min(run_ann10("ann_ivfpq_topk"), run_ann10("ann_ivfpq_topk"))
+        wall_pq10, wall_ivfpq10s, recall_vs_pq = ann_point(dir10, 128, 32)
 
-        def run_ivfpq_scaled() -> float:
-            return _timed(
-                lambda: similarity.ann_ivfpq_topk_at(
-                    spark, dir10, n_cells=128, n_probe=32
-                )
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-
-        run_ann("ann_pq_topk")  # index builds (cached per session+dir)
-        run_ann("ann_ivfpq_topk")
-        run_ivfpq_scaled()
-        wall_pq10 = min(run_ann("ann_pq_topk"), run_ann("ann_pq_topk"))
-        wall_ivfpq10 = min(run_ann("ann_ivfpq_topk"), run_ann("ann_ivfpq_topk"))
-        wall_ivfpq10s = min(run_ivfpq_scaled(), run_ivfpq_scaled())
-        pq_top = qs["ann_pq_topk"].spark_fn(spark, dir10).select("q_id", "c_id")
-        ivf_top = similarity.ann_ivfpq_topk_at(
-            spark, dir10, n_cells=128, n_probe=32
-        ).select("q_id", "c_id")
-        overlap = pq_top.join(ivf_top, ["q_id", "c_id"]).count()
-        recall_vs_pq = overlap / max(pq_top.count(), 1)
+        # 30x point: at 60k vectors the full ADC scan is 3x the 10x one
+        # while the probed fraction stays ~25% (256 cells / 64 probed) —
+        # the pruning win becomes structural, beyond host-noise reach.
+        dir30, n_emb30 = ann_dir(30)
+        wall_pq30, wall_ivfpq30s, recall30 = ann_point(dir30, 256, 64)
 
         return {
             "metric": "stress_events_per_sec",
@@ -989,12 +1022,17 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "curation_docs": n_docs,
             "curation_wall_sec": round(wall_cur, 3),
             "curation_docs_per_sec": round(n_docs / wall_cur, 1),
-            "ann_corpus_10x_rows": n_emb * 10,
+            "ann_corpus_10x_rows": n_emb10,
             "ann_pq_10x_wall_sec": round(wall_pq10, 3),
             "ann_ivfpq_10x_wall_sec": round(wall_ivfpq10, 3),
             "ann_ivfpq_scaled_10x_wall_sec": round(wall_ivfpq10s, 3),
             "ann_ivfpq_scaled_cells_probe": [128, 32],
             "ann_ivfpq_scaled_recall_vs_pq": round(recall_vs_pq, 4),
+            "ann_corpus_30x_rows": n_emb30,
+            "ann_pq_30x_wall_sec": round(wall_pq30, 3),
+            "ann_ivfpq_scaled_30x_wall_sec": round(wall_ivfpq30s, 3),
+            "ann_ivfpq_30x_cells_probe": [256, 64],
+            "ann_ivfpq_30x_recall_vs_pq": round(recall30, 4),
             "state_operators": state_metrics,
         }
     finally:
