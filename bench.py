@@ -248,7 +248,17 @@ def main() -> None:
         spark.table(t).count()
 
     if "--stress" in sys.argv:
-        print(json.dumps(_stress_bench(spark)))
+        stress = _stress_bench(spark)
+        # Same bounded-stdout discipline as the headline line: the
+        # stress payload crossed 1,600 chars when the 30x ANN point
+        # landed, and one more lane would overflow a 2,000-char tail
+        # capture. Full record always on disk; the printed line sheds
+        # the bulkiest section first if it must.
+        rnd = _round_number()
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, f"STRESS_DETAIL_r{rnd:02d}.json"), "w") as f:
+            json.dump(stress, f, indent=1)
+        print(_compact_line(stress, shed_order=("state_operators",)))
         return
 
     canary = Canary(spark)
@@ -291,6 +301,7 @@ def main() -> None:
         ]
         clean = [v for v, dirty in candidates if not dirty]
         kept = min(clean) if clean else min(v for v, _ in candidates)
+        kept_window_dirty = not clean  # recorded value came from a hot window
         times[name] = kept
         kept_delta = (kept - prev) / prev
         prev_fp = prev_fps.get(name)
@@ -313,6 +324,7 @@ def main() -> None:
             "first_sec": first,
             "retime_sec": round(retime, 3),
             "retime_stamp": restamp,
+            "kept_window_dirty": kept_window_dirty,
             "kept_sec": kept,
             "delta_pct": round(100 * kept_delta, 1),
             "fingerprint_prev": prev_fp,
@@ -355,11 +367,18 @@ def main() -> None:
                 "cal_sec": c["effective_calibration_sec"],
                 "max_sec": c["max_sec"],
                 "reruns": c["reruns"],
+                # dirtiness of the window the RECORDED value came from:
+                # a drift retime that replaced a dirty first window with
+                # a clean measurement cleans the query; a discarded dirty
+                # retime doesn't contaminate it
                 "dirty_queries": sum(
                     1
                     for n, s in stamps.items()
-                    if s["dirty"]
-                    or drift.get(n, {}).get("retime_stamp", {}).get("dirty")
+                    if (
+                        drift[n]["kept_window_dirty"]
+                        if n in drift
+                        else s["dirty"]
+                    )
                 ),
             },
             "streaming": {
@@ -393,15 +412,22 @@ def main() -> None:
     print(_compact_line(payload))
 
 
-def _compact_line(payload: dict, cap: int = 2000) -> str:
+def _compact_line(
+    payload: dict,
+    cap: int = 2000,
+    shed_order: tuple[str, ...] = ("drift", "streaming", "canary", "queries"),
+) -> str:
     """Render the stdout line, shedding optional sections to stay under
     the driver's bounded stdout-tail capture (~2,000 chars; the r7 line
-    overflowed it and left BENCH_r07.json unparseable). If the registry
+    overflowed it and left BENCH_r07.json unparseable). If the payload
     ever grows the line past the cap, optional sections drop in order —
     the detail file keeps everything — rather than crash or overflow;
-    what was shed is recorded in the line itself."""
+    what was shed is recorded in the line itself. The caller's dict is
+    left untouched (shedding works on a copy), so the full payload can
+    still be persisted after rendering."""
+    payload = dict(payload)
     line = json.dumps(payload)
-    for shed in ("drift", "streaming", "canary", "queries"):
+    for shed in shed_order:
         if len(line) <= cap:
             break
         payload.pop(shed, None)

@@ -44,6 +44,23 @@ def test_compact_line_sheds_in_order_until_under_cap():
     assert json.loads(line)["metric"] == "headline_total_sec"
 
 
+def test_compact_line_does_not_mutate_caller_and_takes_custom_order():
+    # the stress path persists the SAME payload dict after rendering —
+    # shedding must work on a copy, and the shed order is caller-chosen
+    p = {
+        "metric": "stress_events_per_sec",
+        "value": 1.0,
+        "state_operators": {"q8": {"peak_rows": 1}},
+        "big": "y" * 3000,
+    }
+    line = bench._compact_line(p, shed_order=("state_operators", "big"))
+    assert len(line) <= 2000
+    assert "state_operators" in p and "big" in p  # caller dict intact
+    parsed = json.loads(line)
+    assert parsed["shed_to_detail"] == ["state_operators", "big"]
+    assert parsed["metric"] == "stress_events_per_sec"
+
+
 def test_round_number_is_one_past_latest_bench_artifact():
     # the repo carries BENCH_r01..r07 (and this round's detail file);
     # the next round index must be strictly past every recorded one

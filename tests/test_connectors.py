@@ -120,6 +120,18 @@ def _docker_redpanda():
     name = "squirtle-redpanda-test"
     if not shutil.which("docker"):
         return None, "no docker CLI on PATH"
+
+    def _rm_f():
+        """Best-effort container removal: a wedged daemon hanging the
+        cleanup call must surface as a skip (the function's (None, why)
+        contract), never as an uncaught TimeoutExpired."""
+        try:
+            subprocess.run(
+                ["docker", "rm", "-f", name], capture_output=True, timeout=60
+            )
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+
     try:
         probe = subprocess.run(
             ["docker", "info"], capture_output=True, timeout=20
@@ -133,7 +145,7 @@ def _docker_redpanda():
     # the daemon may finish the pull and start the container after the
     # client died, and without a name there is no cid to stop — a
     # leaked broker squatting on 9092. Pre-remove any stale instance.
-    subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
+    _rm_f()
     try:
         run = subprocess.run(
             [
@@ -148,7 +160,7 @@ def _docker_redpanda():
             timeout=120,
         )
     except (subprocess.TimeoutExpired, OSError) as e:
-        subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
+        _rm_f()
         return None, f"docker run failed: {e}"
     if run.returncode != 0:
         return None, f"redpanda start failed: {run.stderr.decode()[:200]}"
@@ -159,7 +171,7 @@ def _docker_redpanda():
             return "localhost:9092", name
         except OSError:
             time.sleep(1)
-    subprocess.run(["docker", "rm", "-f", name], capture_output=True, timeout=60)
+    _rm_f()
     return None, "redpanda container started but port 9092 never opened"
 
 
@@ -210,11 +222,15 @@ def test_kafka_round_trip_when_broker_available(spark, tmp_path, request):
                 f"stand-in ({detail})"
             )
         bootstrap, container_id = started_bootstrap, detail
-        request.addfinalizer(
-            lambda: subprocess.run(
-                ["docker", "stop", container_id], capture_output=True, timeout=60
-            )
-        )
+        def _stop_container():
+            try:
+                subprocess.run(
+                    ["docker", "stop", container_id], capture_output=True, timeout=60
+                )
+            except (subprocess.TimeoutExpired, OSError):
+                pass  # teardown must not error on a wedged daemon
+
+        request.addfinalizer(_stop_container)
         if bootstrap != f"{host}:{port or 9092}":
             stream = sources.kafka_stream(spark, bootstrap, "squirtle-test", schema)
 
