@@ -244,3 +244,65 @@ register_df(
     "partials + late batch merged by re-aggregation; oracle is the "
     "from-scratch recompute, proving merge(partials) == recompute.",
 )
+
+
+_DAY_S = 86400
+
+
+def _time_weighted_avg(d: str) -> str:
+    """Time-weighted average per (user, day) over irregular samples —
+    the TimescaleDB `time_weight('LOCF', ...)` composition, the member
+    of the temporal family the grid ops don't cover (gapfill densifies
+    COUNTS onto a grid; this integrates the VALUE as a step function,
+    so a sensor that reports rarely but holds a level for hours is
+    averaged by TIME HELD, not by sample count).
+
+    Each sample's value is held from its arrival to the next sample
+    (LEAD over (user, day), ties broken by event_id — deterministic
+    under any partitioning) and the day's last sample holds to day end;
+    the span before the first sample has no prior observation and is
+    excluded, like the bucket-local LOCF form. The integral accumulates
+    as DECIMAL(18,6) x DECIMAL(10,0) seconds — exact, so both engines
+    agree bit-for-bit — and converts to DOUBLE once, with NO re-round
+    (one decimal->double conversion, one IEEE division).
+
+    Scale shape: one window pass and one grouped agg, both keyed on
+    (user_id, day) — the same single keyed shuffle every other member
+    of this family pays; no fan-out, no grid join.
+    """
+    t = dl.epoch_s("ts", d)
+    return f"""
+WITH samples AS (
+    SELECT user_id,
+           {dl.intdiv(t, str(_DAY_S), d)} AS day_idx,
+           {t} AS t,
+           event_id,
+           value
+    FROM events
+),
+held AS (
+    SELECT user_id, day_idx, value,
+           COALESCE(
+               LEAD(t) OVER (PARTITION BY user_id, day_idx
+                             ORDER BY t, event_id),
+               (day_idx + 1) * {_DAY_S}
+           ) - t AS dt
+    FROM samples
+)
+SELECT user_id,
+       day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       {dl.bsum('dt', d)} AS held_seconds,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(dt AS DECIMAL(10,0)))
+            AS DOUBLE) / SUM(dt) AS twa
+FROM held
+GROUP BY user_id, day_idx
+"""
+
+
+register_sql(
+    "time_weighted_avg",
+    _time_weighted_avg,
+    doc="Per-(user, day) time-weighted average of irregular samples "
+    "(LOCF hold to next sample / day end; exact DECIMAL integral).",
+)

@@ -301,3 +301,50 @@ def test_range_join_equals_bruteforce(spark):
         assert got == want, (left_t, right_t, got, want)
 
     check()
+
+
+def test_time_weighted_avg_planted_holds(spark):
+    """Constructed series with known integrals: user 1 holds 10.0 for 30s
+    then 20.0 until day end; user 2 samples once mid-day. The TWA must be
+    the time-held integral, not the sample mean — the operator's reason
+    to exist (sample mean of user 1 would be 15.0)."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.operators import timeseries
+
+    base = datetime(2024, 1, 1)  # day_idx boundary (epoch % 86400 == 0)
+    day_end = base + timedelta(days=1)
+    rows = [
+        # user 1: value 10 at +100s, value 20 at +130s (held to day end)
+        (0, base + timedelta(seconds=100), 7, "e", 10.0),
+        (1, base + timedelta(seconds=130), 7, "e", 20.0),
+        # user 2: a single sample at noon, held 12h
+        (2, base + timedelta(hours=12), 8, "e", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        out = {
+            r["user_id"]: r
+            for r in spark.sql(timeseries._time_weighted_avg(dl.SPARK)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    u1 = out[7]
+    held = int((day_end - (base + timedelta(seconds=100))).total_seconds())
+    assert u1["held_seconds"] == held
+    expected = (10.0 * 30 + 20.0 * (held - 30)) / held
+    assert abs(u1["twa"] - expected) < 1e-9
+    assert u1["twa"] != 15.0  # NOT the sample mean
+
+    u2 = out[8]
+    assert u2["n_samples"] == 1
+    assert u2["held_seconds"] == 12 * 3600
+    assert abs(u2["twa"] - 4.0) < 1e-12
