@@ -306,3 +306,62 @@ register_sql(
     doc="Per-(user, day) time-weighted average of irregular samples "
     "(LOCF hold to next sample / day end; exact DECIMAL integral).",
 )
+
+
+def _counter_delta_sum(d: str) -> str:
+    """Reset-aware counter aggregation per (user, day) — the
+    TimescaleDB/Prometheus `counter_agg`/`increase()` semantics, the
+    monotonic-counter companion to time_weighted_avg's gauge integral.
+
+    Counters (bytes sent, requests served) only grow, except when the
+    emitting process restarts and the series drops to near zero. The
+    true increase over a bucket is the sum of positive deltas: a drop
+    (LAG > current) marks a reset, contributing the post-reset value
+    (current counts from 0) instead of a negative delta. Each day's
+    first sample contributes nothing (no prior observation — bucket-
+    local, like the TWA's leading span). n_resets is reported so a
+    flapping emitter is visible, not silently smoothed.
+
+    Exactness: deltas are DECIMAL(18,6) differences summed exactly,
+    one DOUBLE conversion at the end — both engines bit-agree. Scale
+    shape: the family's single (user_id, day) keyed shuffle — one
+    window pass, one grouped agg, nothing else.
+    """
+    t = dl.epoch_s("ts", d)
+    return f"""
+WITH samples AS (
+    SELECT user_id,
+           {dl.intdiv(t, str(_DAY_S), d)} AS day_idx,
+           {t} AS t,
+           event_id,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+),
+deltas AS (
+    SELECT user_id, day_idx, v,
+           LAG(v) OVER (PARTITION BY user_id, day_idx
+                        ORDER BY t, event_id) AS prev
+    FROM samples
+)
+SELECT user_id,
+       day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_deltas,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resets,
+       CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,6))
+                     WHEN v >= prev THEN v - prev
+                     ELSE v END) AS DOUBLE) AS counter_increase
+FROM deltas
+GROUP BY user_id, day_idx
+"""
+
+
+register_sql(
+    "counter_delta_sum",
+    _counter_delta_sum,
+    doc="Reset-aware counter increase per (user, day): sum of positive "
+    "deltas, drops counted as restarts from zero (counter_agg/"
+    "increase() semantics; exact DECIMAL deltas).",
+)

@@ -348,3 +348,37 @@ def test_time_weighted_avg_planted_holds(spark):
     assert u2["n_samples"] == 1
     assert u2["held_seconds"] == 12 * 3600
     assert abs(u2["twa"] - 4.0) < 1e-12
+
+
+def test_counter_delta_sum_handles_resets(spark):
+    """Constructed counter with one restart: 100 -> 150 -> 10 -> 40.
+    True increase = 50 (+150-100) + 10 (restart: counts from 0) + 30 =
+    90; a naive last-minus-first would report -60."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.operators import timeseries
+
+    base = datetime(2024, 1, 1)
+    vals = [100.0, 150.0, 10.0, 40.0]
+    rows = [
+        (i, base + timedelta(seconds=10 * (i + 1)), 7, "e", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        out = spark.sql(timeseries._counter_delta_sum(dl.SPARK)).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 4 and r["n_deltas"] == 3
+    assert r["n_resets"] == 1
+    assert abs(r["counter_increase"] - 90.0) < 1e-12
