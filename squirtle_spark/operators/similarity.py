@@ -1073,6 +1073,50 @@ def _ann_ivfpq_spark(spark, sf_dir) -> DataFrame:
     return spark.sql(query_sql)
 
 
+def index_content_fingerprint(spark, sf_dir: str) -> str:
+    """Value-level checksum of the PQ-family index state this session
+    holds for ``sf_dir`` — codebook, encoded code table and coarse
+    centroids, for both the plain-PQ and default-geometry IVF-PQ
+    entries when built (entries not yet built contribute nothing).
+
+    Purpose (VERDICT r8 item 4): the bench's plan fingerprint proves
+    the SHAPE of a query was unchanged across rounds, but the PQ search
+    plans read session-built temp views, whose CONTENT the plan hash
+    cannot see. The index build is deterministic by construction
+    (md5-seeded codebook init, integer-exact Lloyd step), so this
+    checksum should be constant on fixed data — recording it makes that
+    an artifact-checkable fact: a cross-round wall swing with identical
+    plan AND identical index content (and clean canaries) has no
+    code-side input left to blame, which is what lets the drift
+    classifier stamp ``environment`` instead of ``regressed-same-plan``.
+    Cost: one bounded agg per index view (codebook K*M rows, centroids
+    N_CELLS rows, codes |corpus| rows — the same order as one ADC scan),
+    run once per bench round, not per measurement."""
+    import hashlib
+
+    parts: list[str] = []
+    for ivf in (False, True):
+        key = (
+            spark.sparkContext.applicationId,
+            id(spark),
+            sf_dir,
+            ivf,
+            N_CELLS,
+        )
+        views = _PQ_INDEX.get(key)
+        if not views:
+            continue
+        for role, v in zip(("cb", "codes", "cents"), views):
+            if not ivf and role == "cents":
+                continue  # plain PQ registers no centroid view
+            r = spark.sql(
+                f"SELECT COUNT(*) AS c, SUM(CAST(hash(*) AS BIGINT)) AS h "
+                f"FROM {v}"
+            ).first()
+            parts.append(f"{int(ivf)}:{role}:{r['c']}:{r['h']}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def ann_ivfpq_topk_at(
     spark, sf_dir: str, *, n_cells: int, n_probe: int
 ) -> DataFrame:

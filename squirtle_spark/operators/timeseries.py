@@ -261,7 +261,14 @@ def _time_weighted_avg(d: str) -> str:
     (LEAD over (user, day), ties broken by event_id — deterministic
     under any partitioning) and the day's last sample holds to day end;
     the span before the first sample has no prior observation and is
-    excluded, like the bucket-local LOCF form. The integral accumulates
+    excluded, like the bucket-local LOCF form. BUCKET-LOCAL means
+    exactly that: a level held across midnight is credited to the day
+    it was SET in (the last sample holds to ITS day's end and the next
+    day starts fresh at its own first sample), so this is the
+    independent-buckets composition, not TimescaleDB's rollup-across-
+    buckets `time_weight` — a consumer wanting cross-boundary
+    attribution should carry the prior day's closing level in as a
+    synthetic midnight sample. The integral accumulates
     as DECIMAL(18,6) x DECIMAL(10,0) seconds — exact, so both engines
     agree bit-for-bit — and converts to DOUBLE once, with NO re-round
     (one decimal->double conversion, one IEEE division).
@@ -309,9 +316,10 @@ register_sql(
 
 
 def _counter_delta_sum(d: str) -> str:
-    """Reset-aware counter aggregation per (user, day) — the
-    TimescaleDB/Prometheus `counter_agg`/`increase()` semantics, the
-    monotonic-counter companion to time_weighted_avg's gauge integral.
+    """Reset-aware counter aggregation per (user, day) — the BUCKET-
+    LOCAL form of Prometheus `increase()` / TimescaleDB `counter_agg`
+    reset handling, the monotonic-counter companion to
+    time_weighted_avg's gauge integral.
 
     Counters (bytes sent, requests served) only grow, except when the
     emitting process restarts and the series drops to near zero. The
@@ -319,8 +327,13 @@ def _counter_delta_sum(d: str) -> str:
     (LAG > current) marks a reset, contributing the post-reset value
     (current counts from 0) instead of a negative delta. Each day's
     first sample contributes nothing (no prior observation — bucket-
-    local, like the TWA's leading span). n_resets is reported so a
-    flapping emitter is visible, not silently smoothed.
+    local, like the TWA's leading span), so an increase that CROSSES
+    midnight is not attributed to either day here — that is a stated
+    difference from Prometheus, whose range vectors extrapolate across
+    the boundary; `counter_delta_sum_continuous` below keeps the
+    cross-boundary deltas by lagging over the full per-user series.
+    n_resets is reported so a flapping emitter is visible, not
+    silently smoothed.
 
     Exactness: deltas are DECIMAL(18,6) differences summed exactly,
     one DOUBLE conversion at the end — both engines bit-agree. Scale
@@ -361,7 +374,64 @@ GROUP BY user_id, day_idx
 register_sql(
     "counter_delta_sum",
     _counter_delta_sum,
-    doc="Reset-aware counter increase per (user, day): sum of positive "
-    "deltas, drops counted as restarts from zero (counter_agg/"
-    "increase() semantics; exact DECIMAL deltas).",
+    doc="Reset-aware counter increase per (user, day), bucket-local: "
+    "sum of positive deltas within the day, drops counted as restarts "
+    "from zero (exact DECIMAL deltas; cross-midnight deltas excluded "
+    "by construction — see counter_delta_sum_continuous).",
+)
+
+
+def _counter_delta_sum_continuous(d: str) -> str:
+    """Reset-aware counter increase with CROSS-BOUNDARY attribution —
+    the closer match to Prometheus `increase()`: deltas are computed
+    over the full per-user series (LAG over (user_id), not (user_id,
+    day)), so an increase spanning midnight is kept, attributed to the
+    day of the EARLIER sample (the delta accrued starting there; any
+    fixed attribution rule is defensible, this one needs no
+    apportioning arithmetic and stays exact). Every sample after a
+    user's first contributes exactly one delta to exactly one day —
+    unlike the bucket-local form, which silently drops one delta per
+    (user, day) after the first.
+
+    Scale shape: the window partitions by user_id alone — a coarser
+    key than (user_id, day), still a single keyed shuffle; days for
+    one user land in one partition's window pass, which is the price
+    of cross-boundary semantics and is bounded by per-user history
+    (salt by time-range first if one user's history outgrows an
+    executor).
+    """
+    t = dl.epoch_s("ts", d)
+    return f"""
+WITH samples AS (
+    SELECT user_id,
+           {t} AS t,
+           event_id,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+),
+deltas AS (
+    SELECT user_id, v,
+           LAG(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev,
+           LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+    FROM samples
+)
+SELECT user_id,
+       {dl.intdiv('prev_t', str(_DAY_S), d)} AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       CAST(SUM(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resets,
+       CAST(SUM(CASE WHEN v >= prev THEN v - prev ELSE v END)
+            AS DOUBLE) AS counter_increase
+FROM deltas
+WHERE prev IS NOT NULL
+GROUP BY user_id, {dl.intdiv('prev_t', str(_DAY_S), d)}
+"""
+
+
+register_sql(
+    "counter_delta_sum_continuous",
+    _counter_delta_sum_continuous,
+    doc="Reset-aware counter increase with cross-midnight deltas kept "
+    "(LAG over the full per-user series; each delta attributed to the "
+    "earlier sample's day — the Prometheus increase()-shaped variant).",
 )

@@ -362,11 +362,11 @@ def run_nexmark_q11_stream(
     Complete mode re-emits the CURRENT session set each micro-batch
     (sessions merge as bids arrive), so the drained result equals batch
     ``nexmark_q11`` exactly — including the final, still-open sessions.
-    On an unbounded deployment the append+watermark variant is the
-    operational choice (emit sessions as the watermark closes them; the
-    open tail is unreadable by definition there), with state bounded by
-    gap + lateness; complete mode here is the always-current
-    materialization, state bounded by the active-session count.
+    Complete mode is the always-current materialization: state holds (and
+    every batch re-emits) EVERY session ever seen, so it only fits
+    dashboards over bounded session populations. The operational,
+    state-bounded variant is ``run_nexmark_q11_append_stream`` below —
+    use that on an unbounded deployment.
     """
     stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
     if "epoch" in stream.columns:
@@ -400,6 +400,75 @@ def run_nexmark_q11_stream(
         rows,
         "bidder BIGINT, bid_count BIGINT, starttime TIMESTAMP, endtime TIMESTAMP",
     )
+
+
+def run_nexmark_q11_append_stream(
+    spark: SparkSession,
+    bids_path: str,
+    *,
+    checkpoint: str,
+    gap_s: int = 10,
+    delay: str = "600 seconds",
+    flush_advance_s: int = 3_600,
+    files_per_trigger: int = 15,
+    timeout_s: int = 300,
+    result_path: str | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """NEXMark q11 as a WATERMARKED APPEND stream — the operational
+    session lane, and the closer semantic match to the reference: its
+    session handler *emits a session when the gap times out*
+    (flock-function/src/aws/window/session.rs:106-140 drains the
+    per-key arena on gap expiry), which is exactly append-mode
+    session_window — each session emits ONCE, when the watermark passes
+    its end, and its state row is evicted. State is bounded by the
+    ACTIVE sessions inside gap + lateness, independent of how many
+    sessions the stream has ever produced — unlike the complete-mode
+    runner above, whose state and per-batch re-emission grow with the
+    total session count (a per-batch O(total-sessions) write at scale).
+
+    Mechanics are the q5/q8 recipe: a finite replay needs the flush
+    sentinel (write_flush_epoch) to push the event-time frontier past
+    the tail sessions, and the sentinel must flow THROUGH the streaming
+    aggregation — a pre-agg key filter is deterministic, so Catalyst
+    would push it below the EventTimeWatermark node and the filtered
+    sentinel would never advance the frontier. The sentinel's own
+    bidder=-1 session sits unexpired in state (it IS the frontier) and
+    is dropped from the drained result. Finalized sessions land in an
+    append-mode parquet file sink; nothing crosses the driver.
+
+    With the sentinel advancing the watermark past every real session's
+    end + gap, the drained result equals the batch q11 exactly — the
+    stream==batch test pins this, and ``metrics`` records eviction
+    (final state rows ≈ 1 sentinel session, not the peak).
+    """
+    write_flush_epoch(
+        spark, bids_path, "b_date_time", flush_advance_s, ["auction", "bidder"]
+    )
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    sessions = (
+        _with_event_time(stream, "b_date_time")
+        .withWatermark("b_date_time", delay)
+        .groupBy(F.col("bidder"), F.session_window("b_date_time", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("bid_count"))
+        .select(
+            "bidder",
+            "bid_count",
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+        )
+    )
+    out = result_path or f"{checkpoint}-out"
+    _drain_to_parquet_sink(
+        sessions, checkpoint=checkpoint, path=out, timeout_s=timeout_s, metrics=metrics
+    )
+    return _read_result_sink(
+        spark,
+        out,
+        "bidder BIGINT, bid_count BIGINT, starttime TIMESTAMP, endtime TIMESTAMP",
+    ).where(F.col("bidder") >= 0)
 
 
 def _q8_windowed_sides(

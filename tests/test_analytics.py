@@ -382,3 +382,60 @@ def test_counter_delta_sum_handles_resets(spark):
     assert r["n_samples"] == 4 and r["n_deltas"] == 3
     assert r["n_resets"] == 1
     assert abs(r["counter_increase"] - 90.0) < 1e-12
+
+
+def test_counter_delta_sum_continuous_keeps_midnight_delta(spark):
+    """The two counter variants differ EXACTLY at a bucket boundary: a
+    counter stepping 100 -> 160 across midnight. Bucket-local drops the
+    +60 (day 2's first sample has no in-day prior); the continuous
+    variant keeps it, attributed to the EARLIER sample's day. A reset
+    across the boundary must likewise count as a restart on the earlier
+    day, not vanish."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.operators import timeseries
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 7: +50 within day 0, then +60 ACROSS midnight
+        (0, base + timedelta(hours=23), 7, "e", 100.0),
+        (1, base + timedelta(hours=23, minutes=30), 7, "e", 150.0),
+        (2, base + timedelta(hours=24, minutes=30), 7, "e", 210.0),
+        # user 8: restart ACROSS midnight (200 -> 5)
+        (3, base + timedelta(hours=23), 8, "e", 200.0),
+        (4, base + timedelta(hours=25), 8, "e", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        local = spark.sql(timeseries._counter_delta_sum(dl.SPARK)).collect()
+        cont = spark.sql(
+            timeseries._counter_delta_sum_continuous(dl.SPARK)
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    day0 = int((base + timedelta(hours=23)).timestamp()) // 86400
+
+    # bucket-local: user 7 day 0 sees only the +50; the midnight +60 and
+    # user 8's cross-boundary reset are invisible (one-delta days drop out
+    # entirely for user 8 and day 1 of user 7 — prev IS NULL rows)
+    loc = {(r["user_id"], r["day_idx"]): r for r in local}
+    assert abs(loc[(7, day0)]["counter_increase"] - 50.0) < 1e-12
+    assert loc[(7, day0 + 1)]["counter_increase"] == 0.0
+    assert loc[(8, day0)]["counter_increase"] == 0.0
+    assert sum(r["n_resets"] for r in local) == 0
+
+    # continuous: the +60 lands on day 0 (earlier sample's day) and the
+    # user-8 restart is a counted reset contributing the post-reset value
+    con = {(r["user_id"], r["day_idx"]): r for r in cont}
+    assert abs(con[(7, day0)]["counter_increase"] - 110.0) < 1e-12
+    assert (7, day0 + 1) not in con  # no post-midnight start sample pair
+    assert con[(8, day0)]["n_resets"] == 1
+    assert abs(con[(8, day0)]["counter_increase"] - 5.0) < 1e-12

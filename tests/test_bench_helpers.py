@@ -77,18 +77,31 @@ def test_round_number_is_one_past_latest_bench_artifact():
 
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
-    rnd, times, fps = bench._prev_record(sf=0.1)
+    rnd, times, fps, aux = bench._prev_record(sf=0.1)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
+    assert rnd < bench._round_number()  # never its own round (ADVICE r8)
     assert times  # some per-query seconds
     # once a BENCH_DETAIL exists (written this round), fingerprints ride
     # along; before that the BENCH_r fallback has none — either way the
     # shapes line up
     assert all(isinstance(v, (int, float)) for v in times.values())
     assert all(isinstance(v, str) for v in fps.values())
+    assert all(isinstance(v, str) for v in aux.values())
 
 
 def test_prev_record_skips_other_scale_factors():
     # an sf nobody ever benched at: no record may match — a stray
     # local run at another sf must never poison drift attribution
-    rnd, times, fps = bench._prev_record(sf=123.456)
-    assert (rnd, times, fps) == (0, {}, {})
+    rnd, times, fps, aux = bench._prev_record(sf=123.456)
+    assert (rnd, times, fps, aux) == (0, {}, {}, {})
+
+
+def test_rounds_glob_skips_nonnumeric_names(tmp_path, monkeypatch):
+    # an editor backup or hand-named file matching the glob must be
+    # SKIPPED, not crash the sort key (ADVICE r8: the unguarded
+    # re.search(...).group(1) aborted the whole run post-measurement)
+    for n in ("BENCH_r03.json", "BENCH_rX.json", "BENCH_r.json"):
+        (tmp_path / n).write_text("{}")
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    got = bench._rounds_glob("BENCH_r*.json")
+    assert got == [(3, str(tmp_path / "BENCH_r03.json"))]

@@ -769,6 +769,64 @@ def test_nexmark_q11_full_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
 
+def test_nexmark_q11_append_stream_equals_batch_and_evicts(spark, tmp_path):
+    """q11's APPEND-mode lane (the reference's actual semantic: sessions
+    emit on gap timeout, flock-function session.rs:106-140): with the
+    flush sentinel pushing the frontier past every real session end, the
+    drained closed-session set must equal the batch session computation
+    EXACTLY, and the session state store must evict — final rows a small
+    constant (the sentinel's own never-expiring session), not the peak.
+    This is the state-bounded claim the complete-mode runner cannot
+    make, measured from the engine's own stateOperators metrics."""
+    bids = sources.nexmark_bids(spark, 200, 12).withColumn(
+        "epoch", F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+    )
+    data_dir = str(tmp_path / "bids")
+    streaming.write_epoch_files(bids, data_dir)
+
+    metrics: dict = {}
+    got = streaming.run_nexmark_q11_append_stream(
+        spark,
+        data_dir,
+        checkpoint=str(tmp_path / "ckpt-q11append"),
+        gap_s=3,
+        delay="5 seconds",
+        files_per_trigger=3,
+        metrics=metrics,
+    ).collect()
+
+    batch = bids.drop("epoch").withColumn(
+        "b_date_time", F.col("b_date_time").cast("timestamp")
+    )
+    expected = (
+        batch.groupBy("bidder", F.session_window("b_date_time", "3 seconds"))
+        .agg(F.count("*").alias("bid_count"))
+        .select(
+            "bidder",
+            "bid_count",
+            F.col("session_window.start").alias("starttime"),
+            F.col("session_window.end").alias("endtime"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+    sess_state = next(
+        (
+            v
+            for k, v in metrics["state_operators"].items()
+            if "session" in k.lower()
+        ),
+        None,
+    )
+    assert sess_state is not None, metrics
+    assert sess_state["peak_rows"] > 10
+    # only the sentinel's far-future session may survive eviction
+    assert sess_state["final_rows"] <= 2, sess_state
+    assert sess_state["final_rows"] < sess_state["peak_rows"]
+
+
 def test_stateful_ema_transform_with_state(spark, tmp_path):
     """transformWithState-based per-key EMA: the last emission per key
     must equal the batch EMA folded over the key's full ordered history."""
