@@ -411,6 +411,54 @@ register_df(
 )
 
 
+def _q12_virtual_clock(d: str) -> str:
+    """q12's DETERMINISTIC twin: the same per-bidder 10 s tumbling
+    processing-time count, computed under an INJECTED virtual clock
+    instead of the host's (VERDICT r8 item 9 — upgrading q12's semantics
+    from the rows-only + partition-invariant pair to a full value
+    oracle, with ``nexmark_q12`` itself left untouched as the honest
+    wall-clock form).
+
+    The virtual clock models ingestion: a bid's processing (arrival)
+    time is its event time plus a bounded deterministic queueing delay —
+    md5(auction|bidder|price|event-second) % 5 seconds, the same
+    replayable-hash trick the generators use — so bids near a window
+    boundary genuinely land on either side (the part of q12 the
+    event-time queries can't exercise) while both engines place every
+    bid identically. Window boundaries are second-grain BIGINTs
+    (win = arrival // 10 * 10), no timestamp construction to disagree
+    on. The streaming state machine is driven under this same clock by
+    test_proc_window_count_virtual_clock_equals_sql_twin, which pins
+    machine == SQL twin on planted rows.
+    """
+    t = dl.epoch_s("b_date_time", d)
+    h = dl.md5_i64(
+        f"concat_ws('|', auction, bidder, price, CAST({t} AS STRING))", d
+    )
+    arr = f"{t} + ({h} % 5)"
+    win = f"{dl.intdiv('arrival_s', '10', d)} * 10"
+    return f"""
+WITH arrivals AS (
+    SELECT bidder, {arr} AS arrival_s
+    FROM bid
+)
+SELECT bidder,
+       CAST(COUNT(*) AS BIGINT) AS bid_count,
+       {win} AS win_start_s,
+       {win} + 10 AS win_end_s
+FROM arrivals
+GROUP BY bidder, {win}
+"""
+
+
+register_sql(
+    "nexmark_q12_virtual_clock",
+    _q12_virtual_clock,
+    doc="q12 under an injected deterministic clock (event time + md5 "
+    "queueing delay): full value oracle for the proc-window semantics.",
+)
+
+
 def _q13(d: str) -> str:
     """q13: bounded side-input join (benchmarks/src/nexmark/query/q13.sql)."""
     return """

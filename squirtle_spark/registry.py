@@ -104,17 +104,12 @@ def register_df(
 #: then checked entries oldest-evidence-first so nothing coasts forever
 #: on an early-round row. The hand ledgers are reduced to pins.
 #: Pinned to the head regardless of history — judgment-call re-checks.
-#: Round 8: the four generators gained FULL value oracles (generation
-#: now hashes through md5_i64, which DuckDB replays — sources.py); they
-#: were the only non-green driver rows in CORRECTNESS_r07, so the
-#: upgrade should be driver-recorded THIS round, not when rotation
-#: reaches the r7 cohort.
-_PIN_HEAD: list[str] = [
-    "gen_nexmark_persons",
-    "gen_nexmark_auctions",
-    "gen_nexmark_bids",
-    "gen_ysb_ad_events",
-]
+#: Round 9: EMPTY. Round 8's generator pins did their job (all four
+#: value-oracle upgrades were driver-recorded green in CORRECTNESS_r08)
+#: and holding them would burn 4 of the 50 slots on the freshest
+#: evidence in the registry while the r5 cohort is the oldest; the
+#: mechanical rotation now allocates every slot.
+_PIN_HEAD: list[str] = []
 
 #: Pinned last: rows-only-by-nature sketches whose driver row can only
 #: prove rows>0 (their real evidence is the pytest error-bound

@@ -24,6 +24,30 @@ def _recall(approx, exact):
     return hits / total
 
 
+#: Per-variant recall@k floors at registry scale, gated on the
+#: ann_recall_report's OWN rows (VERDICT r8 item 8): the report is what
+#: an index-selection decision reads, so a bad codebook retrain or
+#: re-drawn plane set must fail CI here — as a named floor violation —
+#: rather than surface as a value diff a human has to notice. Floors
+#: match the per-variant tests below (measured fixture values carry
+#: comfortable margins: sq8 0.98, ivf ~0.6+, pq 0.48, lsh ~0.4+,
+#: ivfpq ~0.3+ probing 8/16 cells of near-orthogonal random vectors).
+RECALL_FLOORS = {"lsh": 0.3, "ivf": 0.5, "sq8": 0.9, "pq": 0.35, "ivfpq": 0.2}
+
+
+def test_recall_report_rows_clear_floors(spark, sf_dir):
+    qs = load_all()
+    rows = {r["variant"]: r for r in qs["ann_recall_report"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == set(RECALL_FLOORS)
+    for variant, floor in RECALL_FLOORS.items():
+        r = rows[variant]
+        assert r["n_truth"] > 0
+        assert r["recall"] >= floor, (
+            f"{variant} recall@k {r['recall']:.2f} below its {floor} floor "
+            f"({r['n_hit']}/{r['n_truth']} hits) — index-build regression"
+        )
+
+
 def test_ivf_recall_vs_brute(spark, sf_dir):
     qs = load_all()
     exact = _topk_sets(qs["ann_cosine_topk"].spark_fn(spark, sf_dir))
