@@ -465,6 +465,7 @@ def main() -> None:
                     "q5_full_query_events_per_sec",
                     "q5_microbatch_latency_p50_sec",
                     "q5_microbatch_latency_p95_sec",
+                    "q11_full_query_events_per_sec",
                     "q8_full_query_events_per_sec",
                     "ysb_events_per_sec",
                     "q4_full_query_events_per_sec",
@@ -620,6 +621,28 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
             )
         )
 
+        # Full q11 (r9): the APPEND-mode session lane end-to-end —
+        # sessions emit once as the watermark closes them, state evicts.
+        # The bids dir already carries q5's flush sentinel; this runner's
+        # own write_flush_epoch refreshes the same reserved epoch
+        # partition idempotently.
+        def run_q11() -> float:
+            return _timed(
+                lambda: streaming.run_nexmark_q11_append_stream(
+                    spark,
+                    f"{tmp}/bids",
+                    checkpoint=_fresh(tmp, "ckpt-q11"),
+                    gap_s=10,
+                    files_per_trigger=15,
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        run_q11()  # session-window state-store path init
+        wall_q11 = guarded(run_q11)
+
         # Full q8: genuine stream-stream windowed join (person ⋈ auction)
         # over generated entity streams at the same event-time span.
         # Production-shaped: flush sentinels push the frontier past the
@@ -726,6 +749,8 @@ def _stream_q5_bench(spark, events_per_sec: int = 1000, seconds: int = 60, canar
             "q5_latency_batches": lat["n_batches"],
             "q5_full_query_wall_sec": round(wall_full, 3),
             "q5_full_query_events_per_sec": round(n / wall_full, 1),
+            "q11_full_query_wall_sec": round(wall_q11, 3),
+            "q11_full_query_events_per_sec": round(n / wall_q11, 1),
             "q8_events": n_q8,
             "q8_full_query_wall_sec": round(wall_q8, 3),
             "q8_full_query_events_per_sec": round(n_q8 / wall_q8, 1),

@@ -266,9 +266,9 @@ def _time_weighted_avg(d: str) -> str:
     it was SET in (the last sample holds to ITS day's end and the next
     day starts fresh at its own first sample), so this is the
     independent-buckets composition, not TimescaleDB's rollup-across-
-    buckets `time_weight` — a consumer wanting cross-boundary
-    attribution should carry the prior day's closing level in as a
-    synthetic midnight sample. The integral accumulates
+    buckets `time_weight` — `time_weighted_avg_continuous` below is
+    that rollup form, crediting every day a hold covers with its in-day
+    fraction. The integral accumulates
     as DECIMAL(18,6) x DECIMAL(10,0) seconds — exact, so both engines
     agree bit-for-bit — and converts to DOUBLE once, with NO re-round
     (one decimal->double conversion, one IEEE division).
@@ -312,6 +312,90 @@ register_sql(
     _time_weighted_avg,
     doc="Per-(user, day) time-weighted average of irregular samples "
     "(LOCF hold to next sample / day end; exact DECIMAL integral).",
+)
+
+
+def _day_fanout(d: str) -> str:
+    """FROM-clause fan-out producing every day in [d_lo, d_hi] — the
+    per-row lateral the gapfill grid uses, at day grain. Bounded by the
+    days a single hold spans, never a calendar cross join."""
+    if d == dl.SPARK:
+        return "LATERAL VIEW explode(sequence(d_lo, d_hi)) _g AS day_idx"
+    return ", unnest(generate_series(d_lo, d_hi)) AS _g(day_idx)"
+
+
+def _time_weighted_avg_continuous(d: str) -> str:
+    """Time-weighted average with CROSS-BOUNDARY attribution — the
+    TimescaleDB rollup-across-buckets composition, completing the pair
+    with `time_weighted_avg` the same way `counter_delta_sum_continuous`
+    completes `counter_delta_sum`: a level held ACROSS midnight credits
+    every day it covers, each with its in-day fraction of the hold.
+
+    Each sample's value is held from its time to the user's NEXT sample
+    over the FULL series (LAG/LEAD over user_id alone, ties broken by
+    event_id); the user's last sample holds to its own day's end (no
+    extrapolation past observed data), and the span before the first
+    sample is excluded as before. Each hold [t, t_end) is clipped to the
+    days it spans via a bounded lateral fan-out (days-per-hold rows, not
+    a calendar join), so day coverage is exact: a day fully inside a
+    hold reports held_seconds = 86400. The WHERE t_end > t guard drops
+    zero-length holds (duplicate timestamps) BEFORE the fan-out — Spark's
+    sequence(lo, hi) generates a DESCENDING sequence when lo > hi rather
+    than an empty one, so an unguarded zero-length hold would fan out to
+    a phantom negative-width span.
+
+    Exactness: DECIMAL(18,6) value x DECIMAL(10,0) clipped seconds,
+    summed exactly, one DOUBLE conversion, one IEEE division — both
+    engines bit-agree. Scale shape: one user-keyed window pass, a
+    bounded per-row fan-out, one (user, day) grouped agg — the window
+    partitions by user_id alone (coarser than the bucket-local form's
+    (user, day)), the stated price of cross-boundary semantics.
+    """
+    t = dl.epoch_s("ts", d)
+    return f"""
+WITH samples AS (
+    SELECT user_id, {t} AS t, event_id,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+),
+held AS (
+    SELECT user_id, v, t,
+           COALESCE(
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+               ({dl.intdiv('t', str(_DAY_S), d)} + 1) * {_DAY_S}
+           ) AS t_end
+    FROM samples
+),
+bounded AS (
+    SELECT user_id, v, t, t_end,
+           {dl.intdiv('t', str(_DAY_S), d)} AS d_lo,
+           {dl.intdiv('(t_end - 1)', str(_DAY_S), d)} AS d_hi
+    FROM held
+    WHERE t_end > t
+),
+spans AS (
+    SELECT user_id, v,
+           CAST(day_idx AS BIGINT) AS day_idx,
+           GREATEST(t, day_idx * {_DAY_S}) AS s,
+           LEAST(t_end, (day_idx + 1) * {_DAY_S}) AS e
+    FROM bounded {_day_fanout(d)}
+)
+SELECT user_id,
+       day_idx,
+       {dl.bsum('e - s', d)} AS held_seconds,
+       CAST(SUM(v * CAST(e - s AS DECIMAL(10,0))) AS DOUBLE)
+           / SUM(e - s) AS twa
+FROM spans
+GROUP BY user_id, day_idx
+"""
+
+
+register_sql(
+    "time_weighted_avg_continuous",
+    _time_weighted_avg_continuous,
+    doc="Time-weighted average with cross-midnight holds credited to "
+    "every day they cover (bounded per-hold day fan-out; exact DECIMAL "
+    "integral — the rollup-across-buckets TWA).",
 )
 
 

@@ -350,6 +350,63 @@ def test_time_weighted_avg_planted_holds(spark):
     assert abs(u2["twa"] - 4.0) < 1e-12
 
 
+def test_time_weighted_avg_continuous_credits_midnight_span(spark):
+    """The two TWA variants differ EXACTLY at a bucket boundary: a level
+    of 10.0 set at 23:00 and held until the next sample (20.0 at 01:00
+    next day). Bucket-local credits day 1 only from its own first
+    sample (23h of 20.0, held_seconds 82,800); the continuous rollup
+    credits day 1 the full 24h — one midnight-crossing hour of 10.0
+    plus 23h of 20.0 — and both agree on day 0 (10.0 for its last
+    hour). Exact integrals, so the expected values are closed-form."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.operators import timeseries
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base + timedelta(hours=23), 7, "e", 10.0),
+        (1, base + timedelta(hours=25), 7, "e", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        local = {
+            r["day_idx"]: r
+            for r in spark.sql(timeseries._time_weighted_avg(dl.SPARK)).collect()
+        }
+        cont = {
+            r["day_idx"]: r
+            for r in spark.sql(
+                timeseries._time_weighted_avg_continuous(dl.SPARK)
+            ).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    day0 = int(base.timestamp()) // 86400
+
+    # day 0: identical in both variants — 10.0 held for its last hour
+    for out in (local, cont):
+        assert out[day0]["held_seconds"] == 3600
+        assert abs(out[day0]["twa"] - 10.0) < 1e-12
+
+    # day 1 bucket-local: starts at its own first sample (01:00)
+    assert local[day0 + 1]["held_seconds"] == 23 * 3600
+    assert abs(local[day0 + 1]["twa"] - 20.0) < 1e-12
+
+    # day 1 continuous: full coverage — 1h of 10.0 carried across
+    # midnight + 23h of 20.0
+    assert cont[day0 + 1]["held_seconds"] == 86400
+    expected = (10.0 * 3600 + 20.0 * 23 * 3600) / 86400
+    assert abs(cont[day0 + 1]["twa"] - expected) < 1e-12
+
+
 def test_counter_delta_sum_handles_resets(spark):
     """Constructed counter with one restart: 100 -> 150 -> 10 -> 40.
     True increase = 50 (+150-100) + 10 (restart: counts from 0) + 30 =
