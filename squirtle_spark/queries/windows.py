@@ -226,3 +226,134 @@ register_sql(
     "numeric RANGE on epoch seconds, equal-ts rows as frame peers, "
     "exact DECIMAL sums.",
 )
+
+
+STAGGER_S = TUMBLE_S  # 6-hour stagger windows, same grain as tumbling
+
+
+def _win_stagger(d: str) -> str:
+    """Stagger window, keyed-offset form — the reference DECLARES a
+    Stagger variant (flock/src/stream/window.rs:104-110: "addresses the
+    issue of related records not falling into the same time-restricted
+    window") but never implements it anywhere in its codebase; this and
+    ``stagger_reanchored`` below close even that declared-only gap.
+
+    Keyed-offset semantics: each key's window grid is anchored at ITS
+    first event (win k = [t0 + k*S, t0 + (k+1)*S)), so a burst that
+    straddles the global tumbling boundary stays together as long as it
+    started with the key's grid. Fully declarative — one keyed window
+    pass for the per-key MIN, then a grouped count on the derived
+    bucket; the same single (user_id)-keyed shuffle the frame windows
+    pay, no recursion, no fan-out. This is the form that runs unchanged
+    at 100 TB, and the one to prefer when the "first event after close
+    re-anchors" subtlety doesn't matter.
+    """
+    t = dl.epoch_s("ts", d)
+    idx = dl.intdiv("(t - t0)", str(STAGGER_S), d)
+    return f"""
+WITH anchored AS (
+    SELECT user_id, {t} AS t,
+           MIN({t}) OVER (PARTITION BY user_id) AS t0
+    FROM events
+)
+SELECT user_id,
+       CAST(t0 + {idx} * {STAGGER_S} AS BIGINT) AS win_start_s,
+       CAST(t0 + ({idx} + 1) * {STAGGER_S} AS BIGINT) AS win_end_s,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM anchored
+GROUP BY user_id, t0, {idx}
+"""
+
+
+register_sql(
+    "win_stagger",
+    _win_stagger,
+    doc="Stagger window (keyed-offset tumbling): per-key grid anchored "
+    "at the key's first event — the declarative scale form of the "
+    "reference's declared-but-unimplemented Stagger variant.",
+)
+
+
+def _stagger_reanchored_spark(spark, sf_dir):
+    """Stagger window, strict RE-ANCHORING form (the Kinesis Analytics
+    semantic): a key's first event OPENS a window [t, t+S); events
+    inside it join that window; the first event AT OR AFTER the close
+    opens a new window anchored at ITS time — so window starts are
+    data-dependent (a recurrence over the key's ordered history), not a
+    grid. Not expressible as a fixed composition of Spark window
+    functions; implemented as the sanctioned custom-operator fallback —
+    an Arrow-batched ``applyInPandas`` per-key scan (one (user_id)-keyed
+    shuffle; per-key cost linear in its history; NOT row-at-a-time
+    Python — the plan shows FlatMapGroupsInPandas, and the
+    BatchEvalPython gate stays green). Per-key history must fit an
+    executor, the stated bound every per-key-ordered operator here
+    shares. The DuckDB oracle replays the recurrence exactly with a
+    recursive CTE (anchors: seed = MIN(t), step = MIN(t >= a + S)),
+    which is viable at oracle scale and proves the Python scan's
+    verdicts value-for-value.
+    """
+    import pandas as pd
+
+    ev = spark.table("events").selectExpr(
+        "user_id", f"{dl.epoch_s('ts', dl.SPARK)} AS t"
+    )
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t", kind="mergesort")
+        anchor = None
+        counts: dict[int, int] = {}
+        for x in pdf["t"].to_numpy():
+            x = int(x)
+            if anchor is None or x >= anchor + STAGGER_S:
+                anchor = x
+            counts[anchor] = counts.get(anchor, 0) + 1
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "win_start_s": list(counts.keys()),
+                "win_end_s": [a + STAGGER_S for a in counts.keys()],
+                "cnt": list(counts.values()),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        assign,
+        "user_id BIGINT, win_start_s BIGINT, win_end_s BIGINT, cnt BIGINT",
+    )
+
+
+def _stagger_reanchored_oracle() -> str:
+    t = dl.epoch_s("ts", dl.DUCK)
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT user_id, {t} AS t FROM events
+),
+anchors AS (
+    SELECT user_id, MIN(t) AS a FROM pts GROUP BY user_id
+    UNION ALL
+    SELECT nxt.user_id, nxt.next_a AS a FROM (
+        SELECT x.user_id AS user_id,
+               (SELECT MIN(p.t) FROM pts p
+                WHERE p.user_id = x.user_id AND p.t >= x.a + {STAGGER_S}) AS next_a
+        FROM anchors x
+    ) nxt WHERE nxt.next_a IS NOT NULL
+)
+SELECT p.user_id,
+       CAST(x.a AS BIGINT) AS win_start_s,
+       CAST(x.a + {STAGGER_S} AS BIGINT) AS win_end_s,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pts p JOIN anchors x
+  ON x.user_id = p.user_id AND p.t >= x.a AND p.t < x.a + {STAGGER_S}
+GROUP BY p.user_id, x.a
+"""
+
+
+register_df(
+    "stagger_reanchored",
+    _stagger_reanchored_spark,
+    oracle_body=_stagger_reanchored_oracle(),
+    doc="Stagger window, strict re-anchoring semantics (first event "
+    "after close opens the next window): Arrow-batched per-key scan on "
+    "Spark, recursive-CTE replay as the DuckDB value oracle.",
+)

@@ -350,6 +350,49 @@ def test_time_weighted_avg_planted_holds(spark):
     assert abs(u2["twa"] - 4.0) < 1e-12
 
 
+def test_stagger_variants_differ_on_reanchor(spark):
+    """The two stagger forms must agree while events stay on the first
+    window and diverge exactly at re-anchoring: events at offsets
+    {0, 0.5S, 1.2S, 1.4S}. Keyed-offset keeps the t0 grid (second
+    window STARTS at t0+S even though nothing arrived then); strict
+    re-anchoring opens the second window at 1.2S, the first event after
+    the close — the Kinesis stagger semantic. Both must partition the
+    events."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.queries import windows as W
+
+    S = W.STAGGER_S
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), 7, "e", 1.0)
+        for i, off in enumerate([0, S // 2, S + S // 5, S + 2 * S // 5])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        grid = {
+            (r["win_start_s"], r["cnt"])
+            for r in spark.sql(W._win_stagger(dl.SPARK)).collect()
+        }
+        rean = {
+            (r["win_start_s"], r["cnt"])
+            for r in W._stagger_reanchored_spark(spark, None).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    t0 = int(base.timestamp())
+    assert grid == {(t0, 2), (t0 + S, 2)}
+    assert rean == {(t0, 2), (t0 + S + S // 5, 2)}
+
+
 def test_time_weighted_avg_continuous_credits_midnight_span(spark):
     """The two TWA variants differ EXACTLY at a bucket boundary: a level
     of 10.0 set at 23:00 and held until the next sample (20.0 at 01:00
