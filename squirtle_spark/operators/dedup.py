@@ -304,6 +304,79 @@ def _mh_pipeline_ctes(d: str) -> str:
         bands AS ({_mh_bands_body("sig", d)})""")
 
 
+#: Session-materialized MinHash pipeline (sh / sig / bands) per
+#: (application, session, sf_dir) — the PQ-index lifecycle applied to
+#: fuzzy dedup. Spark INLINES multi-referenced CTEs, so the
+#: self-contained SQL forms re-execute the shingle → minhash pipeline
+#: once per reference (the incremental probe's physical plan showed 13
+#: separate corpus scans and 17 explode nodes before this existed —
+#: at 100 TB that is a ~6x redundant corpus read, the same defect class
+#: as r8's dsir_select fix). Materializing the three stages ONCE per
+#: session+table and pointing the probe SQL at the materialized views
+#: collapses the plan to one pipeline execution; the DuckDB oracles
+#: keep the self-contained CTE text (DuckDB materializes multi-
+#: referenced CTEs itself, so both engines now run the SAME work
+#: shape). FIFO-bounded like _PQ_INDEX; unique view names per build so
+#: a session switching sf_dirs never reads a stale index.
+_MH_VIEWS: dict[tuple, tuple[str, str, str]] = {}
+_MH_VIEWS_MAX = 8
+_MH_SEQ = 0
+
+
+def _mh_pipeline_views(spark, sf_dir: str) -> tuple[str, str, str]:
+    """(sh, sig, bands) temp-view names over the eagerly-materialized
+    MinHash pipeline for this (session, sf_dir) — built once, reused by
+    every later fuzzy-dedup query in the session. The stage-wise build
+    mirrors build_minhash_band_index exactly (each stage reads the
+    previous stage's materialized output), so this IS the deployment
+    shape the persisted-index docstrings describe, held on the session's
+    block manager instead of parquet."""
+    from .. import catalog
+    from .curation import shingle_rows
+
+    catalog.register_all(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if key in _MH_VIEWS:
+        return _MH_VIEWS[key]
+    global _MH_SEQ
+    while len(_MH_VIEWS) >= _MH_VIEWS_MAX:
+        old_key = next(
+            (k for k in _MH_VIEWS if k[1] == id(spark)), next(iter(_MH_VIEWS))
+        )
+        old_views = _MH_VIEWS.pop(old_key)
+        if old_key[1] == id(spark):
+            for v in old_views:
+                spark.catalog.dropTempView(v)
+    prefix = f"mh_{_MH_SEQ}"
+    _MH_SEQ += 1
+    views = (f"{prefix}_sh", f"{prefix}_sig", f"{prefix}_bands")
+    d = dl.SPARK
+    sh = spark.sql(shingle_rows(d, "TRUE", SHINGLE_W)).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView(views[0])
+    sig = spark.sql(
+        f"WITH hashed AS ({_mh_hashed_body(views[0], d)})\n"
+        f"{_mh_sig_body('hashed', d)}"
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView(views[1])
+    bands = spark.sql(_mh_bands_body(views[1], d)).localCheckpoint(eager=True)
+    bands.createOrReplaceTempView(views[2])
+    _MH_VIEWS[key] = views
+    return views
+
+
+def mh_alias_ctes(spark, sf_dir: str) -> str:
+    """CTE aliases binding the canonical ``sh``/``sig``/``bands`` names
+    to the session-materialized views, so the probe/verify SQL text that
+    the oracles also run stays byte-identical — multi-references now
+    inline to a checkpointed-table scan, not a pipeline recompute."""
+    sh_v, sig_v, bands_v = _mh_pipeline_views(spark, sf_dir)
+    return (
+        f"sh AS (SELECT * FROM {sh_v}),\n"
+        f"sig AS (SELECT * FROM {sig_v}),\n"
+        f"bands AS (SELECT * FROM {bands_v})"
+    )
+
+
 def verified_pairs_ctes() -> str:
     """The LSH candidate→exact-verify core as CTEs appended after
     :func:`_mh_pipeline_ctes`: banded-bucket self-join candidates
@@ -351,9 +424,12 @@ def _minhash_lsh(d: str) -> str:
     the property that keeps this runnable at 100 TB. All hashes are
     md5-based so DuckDB replays the pipeline bit-identically (the
     xxhash64 variant is a drop-in when oracle replay isn't needed — same
-    plan, cheaper hash). At cluster scale the shingle CTE (referenced by
-    signature build and verify) would be checkpointed once; Spark inlines
-    CTEs, and locally recompute is cheaper than the write.
+    plan, cheaper hash). This function renders the SELF-CONTAINED form —
+    the DuckDB oracle (which materializes multi-referenced CTEs) and any
+    single-shot caller; the registered Spark side
+    (_minhash_lsh_spark) cuts the same text from the session-
+    materialized sh/sig/bands views instead, because Spark INLINES
+    multi-referenced CTEs and would re-run the pipeline per reference.
 
     Scope note: shingle_rows emits only full-width word 3-grams, so
     documents shorter than SHINGLE_W words produce no shingles and are
@@ -372,9 +448,29 @@ def _minhash_lsh(d: str) -> str:
         """)
 
 
-register_sql(
+def _minhash_lsh_spark(spark, sf_dir) -> DataFrame:
+    """Spark side of dedup_minhash_lsh over the session-materialized
+    pipeline (_mh_pipeline_views): the candidate/verify text is the
+    SAME the oracle runs, but `sh`/`sig`/`bands` alias checkpointed
+    views, so the shingle → minhash pipeline executes once instead of
+    once per CTE reference (Spark inlines multi-referenced CTEs)."""
+    import textwrap
+
+    return spark.sql(
+        textwrap.dedent(f"""
+        WITH {mh_alias_ctes(spark, sf_dir)},
+        {verified_pairs_ctes()}
+        SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        FROM pairs
+        WHERE jac >= {NEARDUP_JACCARD_FLOOR}
+        """)
+    )
+
+
+register_df(
     "dedup_minhash_lsh",
-    _minhash_lsh,
+    _minhash_lsh_spark,
+    oracle_body=_minhash_lsh(dl.DUCK),
     doc="MinHash-LSH near-dup pairs: banded buckets → candidate join → exact-Jaccard verify.",
     bench=True,
 )
@@ -492,9 +588,38 @@ def _dedup_incremental_minhash(d: str) -> str:
         """)
 
 
-register_sql(
+def _dedup_incremental_minhash_spark(spark, sf_dir) -> DataFrame:
+    """Spark side of dedup_incremental_minhash over the session-
+    materialized pipeline: the batch/corpus split and the probe text are
+    byte-identical to the oracle's, but cut from checkpointed
+    `sh`/`sig`/`bands` views — before this the probe's physical plan
+    re-executed the shingle → minhash pipeline per reference (13 corpus
+    scans, 17 explodes), a ~6x redundant read at 100 TB."""
+    import textwrap
+
+    from .curation import BATCH_MOD
+
+    split = "\n".join(
+        f"{part}_{side} AS (SELECT * FROM {part} "
+        f"WHERE doc_id % {BATCH_MOD} {op} 0),"
+        for part in ("bands", "sh", "sig")
+        for side, op in (("b", "="), ("c", "<>"))
+    )
+    return spark.sql(
+        textwrap.dedent(f"""
+        WITH {mh_alias_ctes(spark, sf_dir)},
+        {split}
+        {_probe_core_sql(bands_b="bands_b", bands_c="bands_c",
+                         sh_b="sh_b", sh_c="sh_c",
+                         sig_b="sig_b", sig_c="sig_c")}
+        """)
+    )
+
+
+register_df(
     "dedup_incremental_minhash",
-    _dedup_incremental_minhash,
+    _dedup_incremental_minhash_spark,
+    oracle_body=_dedup_incremental_minhash(dl.DUCK),
     doc="New batch probed against the corpus MinHash band index: bucket "
     "equi-join candidates, exact-Jaccard verify, accept/reject verdicts.",
     bench=True,
@@ -1226,9 +1351,48 @@ FROM j
 """
 
 
-register_sql(
+def _lsh_quality_report_spark(spark, sf_dir) -> DataFrame:
+    """Spark side of lsh_quality_report: the `found` leg runs through
+    the session-materialized MinHash views (so the report costs one
+    ngram-truth pass + one candidate/verify pass, instead of
+    re-deriving the shingle pipeline per nested reference — its plan
+    carried 10 corpus scans before this)."""
+    found = _minhash_lsh_spark(spark, sf_dir)
+    found.createOrReplaceTempView("_lshq_found")
+    d = dl.SPARK
+    return spark.sql(
+        f"""
+WITH truth AS (
+    SELECT doc_a, doc_b, jaccard FROM ({_ngram_jaccard(d)}) t
+),
+found AS (
+    SELECT doc_a, doc_b FROM _lshq_found
+),
+j AS (
+    SELECT t.jaccard,
+           CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+    FROM truth t
+    LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_found_pairs,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall_all,
+       CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_strong,
+       CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN hit ELSE 0 END) AS BIGINT)
+           AS n_found_strong,
+       ROUND(CAST(SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN hit ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN jaccard >= {STRONG_JACCARD} THEN 1 ELSE 0 END), 4)
+           AS recall_strong
+FROM j
+"""
+    )
+
+
+register_df(
     "lsh_quality_report",
-    _lsh_quality_report,
+    _lsh_quality_report_spark,
+    oracle_body=_lsh_quality_report(dl.DUCK),
     doc="LSH self-evaluation: verified-pair recall vs exact Jaccard ground "
     "truth, overall and above the banding knee — the approximation "
     "contract as a measured row.",

@@ -121,9 +121,43 @@ def _split_leakage(d: str) -> str:
         """)
 
 
-register_sql(
+def _split_leakage_spark(spark, sf_dir):
+    """Spark side over the session-materialized MinHash pipeline
+    (dedup._mh_pipeline_views): identical candidate/verify/split text,
+    with `sh`/`sig`/`bands` aliased to checkpointed views so the
+    shingle → minhash pipeline runs once, not once per CTE reference."""
+    import textwrap
+
+    from .dedup import (
+        LSH_DUP_THRESHOLD,
+        NEARDUP_JACCARD_FLOOR,
+        mh_alias_ctes,
+        verified_pairs_ctes,
+    )
+
+    d = dl.SPARK
+    return spark.sql(
+        textwrap.dedent(f"""
+        WITH {mh_alias_ctes(spark, sf_dir)},
+        {verified_pairs_ctes()},
+        splits AS ({_split(d)})
+        SELECT p.doc_a, p.doc_b,
+               sa.split AS split_a, sb.split AS split_b,
+               round(p.jac, 4) AS jaccard,
+               CASE WHEN p.jac >= {LSH_DUP_THRESHOLD} THEN 'dup'
+                    ELSE 'near' END AS severity
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        WHERE p.jac >= {NEARDUP_JACCARD_FLOOR} AND sa.split <> sb.split
+        """)
+    )
+
+
+register_df(
     "split_leakage_audit",
-    _split_leakage,
+    _split_leakage_spark,
+    oracle_body=_split_leakage(dl.DUCK),
     doc="Near-dup pairs straddling the train/val/test split (LSH candidates, "
     "exact-Jaccard verified, severity-tiered) — in-corpus contamination audit.",
 )
