@@ -256,6 +256,55 @@ def invalidate(spark: SparkSession) -> None:
     _REGISTERED.pop(spark.sparkContext.applicationId, None)
 
 
+#: Session-materialized relation cache: (application, session, sf_dir,
+#: name) → temp-view name over an eagerly-checkpointed build. Spark
+#: INLINES multi-referenced CTEs, so any query whose SQL references an
+#: expensive derived relation k times executes it k times; registered
+#: entries route such relations through here so the relation builds ONCE
+#: per (session, table) and later references scan the checkpointed rows
+#: (the PQ-index train/encode/search lifecycle, generalized). FIFO-
+#: bounded; unique view names per build so a session switching sf_dirs
+#: can never read a stale relation. The DuckDB oracles keep their
+#: self-contained CTE text — DuckDB materializes multi-referenced CTEs
+#: itself, so both engines run the same work shape.
+_MATVIEWS: dict[tuple, str] = {}
+_MATVIEW_MAX = 24
+_MATVIEW_SEQ = 0
+
+
+def session_matview(
+    spark: SparkSession, name: str, sf_dir: str, build_sql: str
+) -> str:
+    """Temp-view name for the materialized ``build_sql`` relation,
+    building it on first use per (session, sf_dir, ``name``).
+
+    ``name`` must be unique per relation DEFINITION — callers own the
+    namespace. The build always runs against the canonical catalog
+    (``register_all(force=True)``), so a test that planted a fixture
+    view without invalidating cannot poison the cache under the real
+    sf_dir's key."""
+    global _MATVIEW_SEQ
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
+    if key in _MATVIEWS:
+        return _MATVIEWS[key]
+    register_all(spark, sf_dir, force=True)
+    while len(_MATVIEWS) >= _MATVIEW_MAX:
+        # prefer evicting THIS session's oldest entry: its view can
+        # actually be dropped here; a foreign session's views live until
+        # that session ends, so evicting its key only drops the handle
+        old_key = next(
+            (k for k in _MATVIEWS if k[1] == id(spark)), next(iter(_MATVIEWS))
+        )
+        old_view = _MATVIEWS.pop(old_key)
+        if old_key[1] == id(spark):
+            spark.catalog.dropTempView(old_view)
+    view = f"mv{_MATVIEW_SEQ}_{name}"
+    _MATVIEW_SEQ += 1
+    spark.sql(build_sql).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    _MATVIEWS[key] = view
+    return view
+
+
 def oracle_cte_prefix() -> str:
     """``WITH …`` prefix defining all derived views for a DuckDB oracle query.
 

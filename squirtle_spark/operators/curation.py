@@ -33,7 +33,7 @@ from __future__ import annotations
 import textwrap
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: Word-shingle width for decontamination / incremental dedup. 5-grams
 #: are the classic eval-overlap unit (loose enough to catch paraphrase
@@ -79,12 +79,31 @@ def shingle_rows(d: str, pred: str, w: int = SHINGLE_W) -> str:
     """
 
 
-def _decontaminate(d: str) -> str:
+def corpus_shingle_view(spark, sf_dir) -> str:
+    """Temp-view name over the session-materialized corpus-wide word
+    {SHINGLE_W}-gram shingle relation (DISTINCT (doc_id, shingle), all
+    docs) — built once per (session, table) via catalog.session_matview
+    and sliced by doc_id predicates at the consumers
+    (dedup_incremental's batch/corpus split, decontamination's
+    train/eval split, source_overlap_matrix's source tagging): Spark
+    inlines multi-referenced CTEs, so the self-contained forms were
+    re-tokenizing the corpus once per slice."""
+    from .. import catalog
+
+    return catalog.session_matview(
+        spark, "cur_sh5", sf_dir, shingle_rows(dl.SPARK, "TRUE")
+    )
+
+
+def _decontaminate_body(train_sh: str, eval_sh: str) -> str:
+    """Overlap count over pre-sliced train/eval shingle relations —
+    shared verbatim by the self-contained oracle text and the Spark
+    side's materialized-view form (slices are pure doc_id predicates, so
+    pre- vs post-shingling filtering is the same relation)."""
     return textwrap.dedent(f"""
-        WITH train_sh AS ({shingle_rows(d, f"doc_id % {EVAL_MOD} <> 0")}),
+        WITH train_sh AS ({train_sh}),
         eval_sh AS (
-            SELECT DISTINCT shingle
-            FROM ({shingle_rows(d, f"doc_id % {EVAL_MOD} = 0")}) e
+            SELECT DISTINCT shingle FROM ({eval_sh}) e
         )
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
@@ -94,22 +113,42 @@ def _decontaminate(d: str) -> str:
     """)
 
 
-register_sql(
+def _decontaminate(d: str) -> str:
+    return _decontaminate_body(
+        shingle_rows(d, f"doc_id % {EVAL_MOD} <> 0"),
+        shingle_rows(d, f"doc_id % {EVAL_MOD} = 0"),
+    )
+
+
+def _decontaminate_spark(spark, sf_dir):
+    sh5 = corpus_shingle_view(spark, sf_dir)
+    return spark.sql(
+        _decontaminate_body(
+            f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {EVAL_MOD} <> 0",
+            f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {EVAL_MOD} = 0",
+        )
+    )
+
+
+register_df(
     "decontaminate_ngram_overlap",
-    _decontaminate,
+    _decontaminate_spark,
+    oracle_body=_decontaminate(dl.DUCK),
     doc=f"Training docs sharing a word {SHINGLE_W}-gram with the eval set "
     "(benchmark-leakage scrub; eval shingle set broadcasts at scale).",
     bench=True,
 )
 
 
-def _dedup_incremental(d: str) -> str:
+def _dedup_incremental_body(corpus_idx: str, batch_sh: str) -> str:
+    """Containment verdicts over pre-sliced corpus/batch shingle
+    relations — shared verbatim by the oracle text and the Spark side's
+    materialized-view form."""
     return textwrap.dedent(f"""
         WITH corpus_idx AS (
-            SELECT DISTINCT shingle
-            FROM ({shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0")}) c
+            SELECT DISTINCT shingle FROM ({corpus_idx}) c
         ),
-        batch_sh AS ({shingle_rows(d, f"doc_id % {BATCH_MOD} = 0")}),
+        batch_sh AS ({batch_sh}),
         sizes AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM batch_sh GROUP BY doc_id
@@ -136,9 +175,27 @@ def _dedup_incremental(d: str) -> str:
     """)
 
 
-register_sql(
+def _dedup_incremental(d: str) -> str:
+    return _dedup_incremental_body(
+        shingle_rows(d, f"doc_id % {BATCH_MOD} <> 0"),
+        shingle_rows(d, f"doc_id % {BATCH_MOD} = 0"),
+    )
+
+
+def _dedup_incremental_spark(spark, sf_dir):
+    sh5 = corpus_shingle_view(spark, sf_dir)
+    return spark.sql(
+        _dedup_incremental_body(
+            f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {BATCH_MOD} <> 0",
+            f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {BATCH_MOD} = 0",
+        )
+    )
+
+
+register_df(
     "dedup_incremental",
-    _dedup_incremental,
+    _dedup_incremental_spark,
+    oracle_body=_dedup_incremental(dl.DUCK),
     doc="New-batch docs vs existing corpus shingle index "
     f"(reject at >= {CONTAIN_THRESHOLD} containment; incremental dedup).",
     bench=True,
@@ -383,14 +440,22 @@ def _source_overlap_matrix(d: str) -> str:
     """
     toks = dl.split_tokens("lower(trim(text))", d)
     fanout, one = dl.pos_shingle_fanout(SHINGLE_W, d)
-    return f"""
-WITH sh AS (
+    sh = f"""
     SELECT DISTINCT source, shingle
     FROM (
         SELECT source, {one} AS shingle
         FROM (SELECT source, {toks} AS tk FROM documents) t
         {fanout}
-    ) u
+    ) u"""
+    return _source_overlap_body(sh)
+
+
+def _source_overlap_body(sh: str) -> str:
+    """Pair/containment computation over a (source, shingle) relation —
+    shared verbatim by the oracle text and the Spark side's
+    materialized-view form."""
+    return f"""
+WITH sh AS ({sh}
 ),
 tot AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
@@ -415,9 +480,30 @@ JOIN tot tb ON p.src_b = tb.source
 """
 
 
-register_sql(
+def _source_overlap_spark(spark, sf_dir):
+    """Spark side over a session-materialized (source, shingle) relation
+    (derived from the shared doc-level shingle view + one doc_id join):
+    the self-contained form references `sh` three times and Spark would
+    re-tokenize the corpus per reference."""
+    from .. import catalog
+
+    sh5 = corpus_shingle_view(spark, sf_dir)
+    src_sh = catalog.session_matview(
+        spark,
+        "src_sh5",
+        sf_dir,
+        f"SELECT DISTINCT d.source, s.shingle FROM {sh5} s "
+        f"JOIN documents d ON d.doc_id = s.doc_id",
+    )
+    return spark.sql(
+        _source_overlap_body(f"SELECT source, shingle FROM {src_sh}")
+    )
+
+
+register_df(
     "source_overlap_matrix",
-    _source_overlap_matrix,
+    _source_overlap_spark,
+    oracle_body=_source_overlap_matrix(dl.DUCK),
     doc="Pairwise source-contamination matrix: distinct shared shingles + "
     "containment per source pair, met only through the shingle key.",
 )

@@ -304,64 +304,37 @@ def _mh_pipeline_ctes(d: str) -> str:
         bands AS ({_mh_bands_body("sig", d)})""")
 
 
-#: Session-materialized MinHash pipeline (sh / sig / bands) per
-#: (application, session, sf_dir) — the PQ-index lifecycle applied to
-#: fuzzy dedup. Spark INLINES multi-referenced CTEs, so the
-#: self-contained SQL forms re-execute the shingle → minhash pipeline
-#: once per reference (the incremental probe's physical plan showed 13
-#: separate corpus scans and 17 explode nodes before this existed —
-#: at 100 TB that is a ~6x redundant corpus read, the same defect class
-#: as r8's dsir_select fix). Materializing the three stages ONCE per
-#: session+table and pointing the probe SQL at the materialized views
-#: collapses the plan to one pipeline execution; the DuckDB oracles
-#: keep the self-contained CTE text (DuckDB materializes multi-
-#: referenced CTEs itself, so both engines now run the SAME work
-#: shape). FIFO-bounded like _PQ_INDEX; unique view names per build so
-#: a session switching sf_dirs never reads a stale index.
-_MH_VIEWS: dict[tuple, tuple[str, str, str]] = {}
-_MH_VIEWS_MAX = 8
-_MH_SEQ = 0
-
-
 def _mh_pipeline_views(spark, sf_dir: str) -> tuple[str, str, str]:
     """(sh, sig, bands) temp-view names over the eagerly-materialized
-    MinHash pipeline for this (session, sf_dir) — built once, reused by
-    every later fuzzy-dedup query in the session. The stage-wise build
-    mirrors build_minhash_band_index exactly (each stage reads the
-    previous stage's materialized output), so this IS the deployment
-    shape the persisted-index docstrings describe, held on the session's
-    block manager instead of parquet."""
+    MinHash pipeline for this (session, sf_dir) — built once via the
+    shared catalog.session_matview cache, reused by every later
+    fuzzy-dedup query in the session. Spark INLINES multi-referenced
+    CTEs, so the self-contained SQL forms were re-executing the
+    shingle → minhash pipeline once per reference (the incremental
+    probe's physical plan showed 13 separate corpus scans and 17
+    explode nodes — a ~6x redundant corpus read at 100 TB, the same
+    defect class as r8's dsir_select fix). The stage-wise build mirrors
+    build_minhash_band_index exactly (each stage reads the previous
+    stage's materialized output), so this IS the deployment shape the
+    persisted-index docstrings describe, held on the session's block
+    manager instead of parquet."""
     from .. import catalog
     from .curation import shingle_rows
 
-    catalog.register_all(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
-    if key in _MH_VIEWS:
-        return _MH_VIEWS[key]
-    global _MH_SEQ
-    while len(_MH_VIEWS) >= _MH_VIEWS_MAX:
-        old_key = next(
-            (k for k in _MH_VIEWS if k[1] == id(spark)), next(iter(_MH_VIEWS))
-        )
-        old_views = _MH_VIEWS.pop(old_key)
-        if old_key[1] == id(spark):
-            for v in old_views:
-                spark.catalog.dropTempView(v)
-    prefix = f"mh_{_MH_SEQ}"
-    _MH_SEQ += 1
-    views = (f"{prefix}_sh", f"{prefix}_sig", f"{prefix}_bands")
     d = dl.SPARK
-    sh = spark.sql(shingle_rows(d, "TRUE", SHINGLE_W)).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView(views[0])
-    sig = spark.sql(
-        f"WITH hashed AS ({_mh_hashed_body(views[0], d)})\n"
-        f"{_mh_sig_body('hashed', d)}"
-    ).localCheckpoint(eager=True)
-    sig.createOrReplaceTempView(views[1])
-    bands = spark.sql(_mh_bands_body(views[1], d)).localCheckpoint(eager=True)
-    bands.createOrReplaceTempView(views[2])
-    _MH_VIEWS[key] = views
-    return views
+    sh = catalog.session_matview(
+        spark, "mh_sh", sf_dir, shingle_rows(d, "TRUE", SHINGLE_W)
+    )
+    sig = catalog.session_matview(
+        spark,
+        "mh_sig",
+        sf_dir,
+        f"WITH hashed AS ({_mh_hashed_body(sh, d)})\n{_mh_sig_body('hashed', d)}",
+    )
+    bands = catalog.session_matview(
+        spark, "mh_bands", sf_dir, _mh_bands_body(sig, d)
+    )
+    return sh, sig, bands
 
 
 def mh_alias_ctes(spark, sf_dir: str) -> str:

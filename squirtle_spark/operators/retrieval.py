@@ -24,7 +24,7 @@ the same shuffle-by-token the dedup/decontamination family already pays:
 from __future__ import annotations
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: Fixed lexical query — terms chosen from the synthetic corpus vocabulary.
 BM25_TERMS = ["hash", "join", "window", "stream"]
@@ -263,12 +263,6 @@ def _hard_negatives(d: str) -> str:
     """
     toks = dl.split_tokens("lower(text)", d)
     un = dl.unnest_fn(d)
-    idf = "LN(CAST(1 AS DOUBLE) + (c.n_docs - df.df + 0.5) / (df.df + 0.5))"
-    sat = (
-        f"(tf.tf * ({BM25_K1} + 1)) "
-        f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dln.dlen / c.avgdl))"
-    )
-    contrib = f"CAST(ROUND({idf} * {sat}, 9) AS DECIMAL(18,9))"
     return f"""
 WITH tk AS (
     SELECT doc_id, {toks} AS tk FROM documents
@@ -281,7 +275,25 @@ tf AS (
     FROM (SELECT doc_id, {un}(tk) AS tok FROM tk) x
     GROUP BY doc_id, tok
 ),
-c AS (
+fp AS (
+    SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+),
+{_hard_negatives_core(d)}
+"""
+
+
+def _hard_negatives_core(d: str) -> str:
+    """Candidate join + scoring over the ``tf``/``dln``/``fp`` base
+    relations (c → df → kept → qterms → pair_scores → negs → ranked →
+    final SELECT) — shared verbatim by the self-contained oracle text
+    and the Spark side's materialized-view form."""
+    idf = "LN(CAST(1 AS DOUBLE) + (c.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    sat = (
+        f"(tf.tf * ({BM25_K1} + 1)) "
+        f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dln.dlen / c.avgdl))"
+    )
+    contrib = f"CAST(ROUND({idf} * {sat}, 9) AS DECIMAL(18,9))"
+    return f"""c AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(dlen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
     FROM dln
@@ -292,9 +304,6 @@ df AS (
 kept AS (
     SELECT df.tok, df.df FROM df CROSS JOIN c
     WHERE df.df <= CAST({HN_DF_FRAC} * c.n_docs AS BIGINT)
-),
-fp AS (
-    SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
 ),
 qterms AS (
     SELECT DISTINCT tf.doc_id AS q_id, tf.tok
@@ -337,9 +346,62 @@ FROM ranked WHERE rank <= {HN_TOPK}
 """
 
 
-register_sql(
+def corpus_token_views(spark, sf_dir) -> tuple[str, str, str]:
+    """(tf, dln, fp) temp-view names over the session-materialized
+    corpus token statistics — the inverted-index artifact a retrieval
+    deployment persists (token frequencies, doc lengths, content
+    fingerprints), built once per (session, table) via
+    catalog.session_matview and reused by every retrieval query."""
+    from .. import catalog
+
+    d = dl.SPARK
+    toks = dl.split_tokens("lower(text)", d)
+    un = dl.unnest_fn(d)
+    tf = catalog.session_matview(
+        spark,
+        "ret_tf",
+        sf_dir,
+        f"SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM (SELECT doc_id, {un}({toks}) AS tok FROM documents) x "
+        f"GROUP BY doc_id, tok",
+    )
+    dln = catalog.session_matview(
+        spark,
+        "ret_dlen",
+        sf_dir,
+        f"SELECT doc_id, CAST({dl.array_len(toks, d)} AS BIGINT) AS dlen "
+        f"FROM documents",
+    )
+    fp = catalog.session_matview(
+        spark,
+        "ret_fp",
+        sf_dir,
+        "SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents",
+    )
+    return tf, dln, fp
+
+
+def _hard_negatives_spark(spark, sf_dir):
+    """Spark side of hard_negatives over the session-materialized corpus
+    token statistics: the tokenize + (doc, tok) aggregation builds once
+    and every reference (df derivation, query terms, candidate join)
+    scans the checkpointed rows — the inline form re-executed it per
+    reference (9 corpus scans in the plan)."""
+    tf_v, dln_v, fp_v = corpus_token_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH tf AS (SELECT * FROM {tf_v}),
+dln AS (SELECT * FROM {dln_v}),
+fp AS (SELECT * FROM {fp_v}),
+{_hard_negatives_core(dl.SPARK)}
+"""
+    )
+
+
+register_df(
     "hard_negatives",
-    _hard_negatives,
+    _hard_negatives_spark,
+    oracle_body=_hard_negatives(dl.DUCK),
     doc="DPR-style BM25 hard-negative mining: inverted-token candidate "
     "join (df-pruned, never query x corpus), exact-dup positives "
     "excluded, DECIMAL-exact scores, top-k per query.",

@@ -18,7 +18,7 @@ from __future__ import annotations
 import textwrap
 
 from .. import dialect as dl
-from ..registry import register_sql
+from ..registry import register_df, register_sql
 
 #: Hashed-feature space size. The paper uses 10k buckets at web scale;
 #: 2048 keeps every bucket populated at test SF while preserving the
@@ -73,10 +73,24 @@ def _dsir_select(d: str) -> str:
     disagree — decimal→nearest-double is deterministic, a second
     rounding of that double is not.
     """
+    return textwrap.dedent(f"""
+        WITH {_dsir_tagged_ctes(d)},
+        {_dsir_scoring_body(d)}
+    """)
+
+
+def _dsir_tagged_ctes(d: str) -> str:
+    """CTE chain ``grams``/``feats``/``tagged``: the DSIR feature table —
+    per-(doc, hashed-n-gram-bucket) counts tagged with the doc's source.
+    This is the relation a real DSIR deployment persists (the paper's
+    feature-extraction artifact); the registered Spark side materializes
+    it once per session via catalog.session_matview, because the scoring
+    body references it twice and Spark would inline (re-execute) the
+    gram fan-out per reference."""
     f_expr = dl.md5_i64(f"'{_DSIR_SALT}|' || gram", d)
     b = DSIR_BUCKETS
-    return textwrap.dedent(f"""
-        WITH grams AS (
+    return textwrap.dedent(f"""\
+        grams AS (
             {_gram_rows(d, 1)}
             UNION ALL
             {_gram_rows(d, 2)}
@@ -95,7 +109,15 @@ def _dsir_select(d: str) -> str:
         tagged AS (
             SELECT ft.doc_id, ft.f, ft.n, dc.source
             FROM feats ft JOIN documents dc ON dc.doc_id = ft.doc_id
-        ),
+        )""")
+
+
+def _dsir_scoring_body(d: str) -> str:
+    """Model fit + scoring over ``tagged`` (models → llr → scored →
+    final SELECT) — shared verbatim by the self-contained oracle text
+    and the Spark side's materialized-view form."""
+    b = DSIR_BUCKETS
+    return textwrap.dedent(f"""\
         models AS (
             -- BOTH models in one conditional-aggregation pass over
             -- tagged. The earlier tgt/raw/DISTINCT-f formulation
@@ -147,9 +169,29 @@ def _dsir_select(d: str) -> str:
     """)
 
 
-register_sql(
+def _dsir_select_spark(spark, sf_dir):
+    """Spark side of dsir_select over the session-materialized feature
+    table: ``tagged`` builds once (gram fan-out + ONE (doc_id, f)
+    shuffle) and both its references — the model fit and the scoring
+    join — scan the checkpointed rows; the previous inline form
+    re-executed the fan-out per reference (9 corpus scans in the plan)."""
+    from .. import catalog
+
+    view = catalog.session_matview(
+        spark,
+        "dsir_tagged",
+        sf_dir,
+        f"WITH {_dsir_tagged_ctes(dl.SPARK)}\nSELECT * FROM tagged",
+    )
+    return spark.sql(
+        f"WITH tagged AS (SELECT * FROM {view}),\n{_dsir_scoring_body(dl.SPARK)}"
+    )
+
+
+register_df(
     "dsir_select",
-    _dsir_select,
+    _dsir_select_spark,
+    oracle_body=_dsir_select(dl.DUCK),
     doc="DSIR data selection (arXiv:2302.03169): hashed-n-gram importance "
     "weight of each raw-pool doc vs the target corpus, DECIMAL-exact.",
     bench=True,
@@ -189,7 +231,7 @@ def _top_gram_ctes(d: str, w: int) -> str:
         )"""
 
 
-def _gopher_repetition(d: str) -> str:
+def _gopher_repetition(d: str, tk_src: str | None = None) -> str:
     """Gopher repetition filters (arXiv:2112.11446 §A.1.1): per document,
     the fraction of characters in the most frequent word {{2,3}}-gram and
     the fraction of tokens covered by word 5-grams that repeat WITHIN the
@@ -211,11 +253,13 @@ def _gopher_repetition(d: str) -> str:
     token join, so the ratios are integer-derived and engine-exact.
     """
     toks = dl.split_tokens("lower(trim(text))", d)
+    if tk_src is None:
+        tk_src = f"SELECT doc_id, {toks} AS tk FROM documents"
     join_sp = "concat_ws(' ', tk)" if d == dl.SPARK else "array_to_string(tk, ' ')"
     fanout5, one5 = dl.pos_shingle_fanout(5, d)
     return textwrap.dedent(f"""
         WITH tk AS (
-            SELECT doc_id, {toks} AS tk FROM documents
+            {tk_src}
         ),
         base AS (
             SELECT doc_id,
@@ -282,9 +326,31 @@ def _gopher_repetition(d: str) -> str:
     """)
 
 
-register_sql(
+def _gopher_repetition_spark(spark, sf_dir):
+    """Spark side over the session-materialized token-array relation:
+    `tk` is referenced by the char base, both top-gram widths and the
+    5-gram positional fan-out, and Spark inlines multi-referenced CTEs —
+    the self-contained form re-tokenized the corpus 5x per run."""
+    from .. import catalog
+
+    toks = dl.split_tokens("lower(trim(text))", dl.SPARK)
+    view = catalog.session_matview(
+        spark,
+        "tok_arr",
+        sf_dir,
+        f"SELECT doc_id, {toks} AS tk FROM documents",
+    )
+    return spark.sql(
+        _gopher_repetition(
+            dl.SPARK, tk_src=f"SELECT doc_id, tk FROM {view}"
+        )
+    )
+
+
+register_df(
     "gopher_repetition",
-    _gopher_repetition,
+    _gopher_repetition_spark,
+    oracle_body=_gopher_repetition(dl.DUCK),
     doc="Gopher repetition filters (arXiv:2112.11446): top-{2,3}-gram "
     "character fraction + intra-doc duplicated-5-gram token coverage, "
     "gated at the paper's thresholds.",
