@@ -850,7 +850,41 @@ shared AS (
 )"""
 
 
-def _dedup_spans(d: str) -> str:
+def span_shared_ctes_spark(spark, sf_dir: str) -> str:
+    """Spark-side prologue: the same ``tk``/``pos_sh``/``shared`` names,
+    with tk and pos_sh aliased to session-materialized views
+    (catalog.session_matview) — the span family references pos_sh from
+    both the doc-frequency pass and the position join, and tk from both
+    the fan-out and the reassembly/final select, so the inline form
+    re-tokenized the corpus per reference."""
+    from .. import catalog
+
+    d = dl.SPARK
+    toks = dl.split_tokens("lower(trim(text))", d)
+    toks_orig = dl.split_tokens("text", d)
+    fanout, one = dl.pos_shingle_fanout(SPAN_W, d)
+    tk_v = catalog.session_matview(
+        spark,
+        "span_tk",
+        sf_dir,
+        f"SELECT doc_id, {toks} AS tk, {toks_orig} AS tko, "
+        f"TRIM(text) AS text_orig FROM documents",
+    )
+    pos_v = catalog.session_matview(
+        spark,
+        "span_pos_sh",
+        sf_dir,
+        f"SELECT doc_id, pos, {one} AS sh FROM {tk_v} {fanout}",
+    )
+    return f"""tk AS (SELECT * FROM {tk_v}),
+pos_sh AS (SELECT * FROM {pos_v}),
+shared AS (
+    SELECT sh, MIN(doc_id) AS keep_doc
+    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+)"""
+
+
+def _dedup_spans(d: str, prologue: str | None = None) -> str:
     """Exact duplicate-SPAN detection (Lee et al., arXiv:2107.06499): for
     every document, how much of it is covered by word {SPAN_W}-grams that
     also occur in at least one OTHER document — the substring-level dedup
@@ -877,7 +911,7 @@ def _dedup_spans(d: str) -> str:
     """
     w = SPAN_W
     return f"""
-WITH {span_shared_ctes(d)},
+WITH {prologue or span_shared_ctes(d)},
 dup AS (
     SELECT p.doc_id, p.pos
     FROM pos_sh p JOIN shared s ON p.sh = s.sh
@@ -920,9 +954,16 @@ LEFT JOIN cov c ON t.doc_id = c.doc_id
 """
 
 
-register_sql(
+def _dedup_spans_spark(spark, sf_dir) -> DataFrame:
+    return spark.sql(
+        _dedup_spans(dl.SPARK, prologue=span_shared_ctes_spark(spark, sf_dir))
+    )
+
+
+register_df(
     "dedup_spans",
-    _dedup_spans,
+    _dedup_spans_spark,
+    oracle_body=_dedup_spans(dl.DUCK),
     doc="Duplicate-span coverage per document (exact substring-level dedup "
     "signal): cross-doc 5-gram doc-frequency -> interval union by "
     "gaps-and-islands; RefinedWeb-style 30% gate.",
@@ -930,7 +971,7 @@ register_sql(
 )
 
 
-def _dedup_span_removal(d: str) -> str:
+def _dedup_span_removal(d: str, prologue: str | None = None) -> str:
     """Duplicate-span REMOVAL (Lee et al. arXiv:2107.06499 ExactSubstr):
     the transform that acts on what dedup_spans reports. Every word
     {SPAN_W}-gram occurring in >= 2 documents (case-insensitive match,
@@ -973,7 +1014,7 @@ def _dedup_span_removal(d: str) -> str:
     the partition keys of the surrounding dedup family.
     """
     return f"""
-WITH {span_shared_ctes(d)},
+WITH {prologue or span_shared_ctes(d)},
 {_span_removal_core(d, "shared", "TRUE")}
 """
 
@@ -1045,9 +1086,18 @@ LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """
 
 
-register_sql(
+def _dedup_span_removal_spark(spark, sf_dir) -> DataFrame:
+    return spark.sql(
+        _dedup_span_removal(
+            dl.SPARK, prologue=span_shared_ctes_spark(spark, sf_dir)
+        )
+    )
+
+
+register_df(
     "dedup_span_removal",
-    _dedup_span_removal,
+    _dedup_span_removal_spark,
+    oracle_body=_dedup_span_removal(dl.DUCK),
     doc="ExactSubstr span removal (Lee et al.): excise cross-doc duplicated "
     f"{SPAN_W}-gram spans everywhere but a canonical doc, reassemble text "
     "in token order; emits per-doc kept/removed counts + cleaned text.",

@@ -938,7 +938,33 @@ register_sql(
 BPE_TRAIN_K = 3
 
 
-def _bpe_train_merges(d: str) -> str:
+def _bpe_words0(d: str) -> str:
+    """The BPE training corpus w0: distinct-word FREQUENCY table
+    (Sennrich's dictionary form), words as space-separated character
+    symbols. Training on word types, not occurrences, means pair counts
+    weight by word frequency (SUM(wn) == the occurrence count exactly)
+    while every downstream transform / fan-out touches only |word types|
+    rows — measured 2.9s -> 1.7s at sf0.1 with identical output (the
+    equality is algebraic)."""
+    if d == dl.SPARK:
+        chars = "concat_ws(' ', split(w, ''))"
+        counts = (
+            "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM ("
+            "SELECT w FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
+            "WHERE length(w) >= 2) o GROUP BY w"
+        )
+    else:
+        chars = "array_to_string(string_split(w, ''), ' ')"
+        counts = (
+            "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM "
+            "(SELECT UNNEST(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2 GROUP BY w"
+        )
+    return f"SELECT ' ' || {chars} || ' ' AS s, wn FROM ({counts}) base"
+
+
+def _bpe_train_merges(d: str, w0_src: str | None = None) -> str:
     """BPE tokenizer TRAINING, {BPE_TRAIN_K} merges unrolled in one plan
     (Sennrich et al. 2016 §3.2): start from character symbols, then per
     round: count adjacent symbol pairs corpus-wide -> take the most
@@ -964,29 +990,7 @@ def _bpe_train_merges(d: str) -> str:
     round-trips (the winning pair travels as a broadcast scalar, the
     kmeans-centroid pattern).
     """
-    if d == dl.SPARK:
-        chars = "concat_ws(' ', split(w, ''))"
-    else:
-        chars = "array_to_string(string_split(w, ''), ' ')"
-    # Train on the distinct-word FREQUENCY table (Sennrich's dictionary
-    # form), not word occurrences: pair counts weight by word frequency
-    # (SUM(wn) == the occurrence count exactly), while every transform /
-    # fan-out downstream touches only |word types| rows — measured 2.9s -> 1.7s
-    # at sf0.1 with identical output (the equality is algebraic).
-    words0 = (
-        f"SELECT ' ' || {chars} || ' ' AS s, wn FROM ("
-        + (
-            "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM ("
-            "SELECT w FROM documents "
-            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS w "
-            "WHERE length(w) >= 2) o GROUP BY w"
-            if d == dl.SPARK
-            else "SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM "
-            "(SELECT UNNEST(string_split_regex(lower(text), "
-            "'[^a-z]+')) AS w FROM documents) t WHERE length(w) >= 2 GROUP BY w"
-        )
-        + ") base"
-    )
+    words0 = w0_src if w0_src is not None else _bpe_words0(d)
     fanout, one = dl.pos_shingle_fanout(2, d)
     rounds = []
     for r in range(1, BPE_TRAIN_K + 1):
@@ -1024,9 +1028,29 @@ ORDER BY merge_rank
 """
 
 
-register_sql(
+def _bpe_w0_src(spark, sf_dir) -> str:
+    """w0 source over the session-materialized word-frequency table: the
+    BPE chain's rounds each reference the previous round's corpus, and
+    under Spark's CTE inlining every round re-derived w0 from a fresh
+    corpus scan (7 scans in the training plan); the word-type table is
+    Sennrich's dictionary — built once, a few 10k rows, every round then
+    costs |word types| work."""
+    from .. import catalog
+
+    view = catalog.session_matview(spark, "bpe_w0", sf_dir, _bpe_words0(dl.SPARK))
+    return f"SELECT s, wn FROM {view}"
+
+
+def _bpe_train_merges_spark(spark, sf_dir):
+    return spark.sql(
+        _bpe_train_merges(dl.SPARK, w0_src=_bpe_w0_src(spark, sf_dir))
+    )
+
+
+register_df(
     "bpe_train_merges",
-    _bpe_train_merges,
+    _bpe_train_merges_spark,
+    oracle_body=_bpe_train_merges(dl.DUCK),
     doc=f"BPE tokenizer training, {BPE_TRAIN_K} merges unrolled in one "
     "plan: corpus pair count -> deterministic argmax -> apply merge -> "
     "recount; winners reflect prior rounds' merges.",
@@ -1034,7 +1058,7 @@ register_sql(
 )
 
 
-def _bpe_compression_curve(d: str) -> str:
+def _bpe_compression_curve(d: str, w0_src: str | None = None) -> str:
     """ENCODE-side effect of BPE training: corpus token count after each
     of bpe_train_merges' rounds (round 0 = character symbols). The curve
     a tokenizer team actually watches — each merge's marginal compression
@@ -1047,7 +1071,7 @@ def _bpe_compression_curve(d: str) -> str:
     """
     # Rebuild the same CTE chain as _bpe_train_merges, then fold each
     # round's corpus to one row.
-    train_sql = _bpe_train_merges(d)
+    train_sql = _bpe_train_merges(d, w0_src)
     ctes = train_sql[train_sql.index("WITH") : train_sql.index("SELECT 1 AS merge_rank")]
     per_round = "\nUNION ALL\n".join(
         f"SELECT {r} AS after_merges, "
@@ -1064,15 +1088,22 @@ SELECT after_merges, corpus_tokens FROM curve ORDER BY after_merges
 """
 
 
-register_sql(
+def _bpe_compression_curve_spark(spark, sf_dir):
+    return spark.sql(
+        _bpe_compression_curve(dl.SPARK, _bpe_w0_src(spark, sf_dir))
+    )
+
+
+register_df(
     "bpe_compression_curve",
-    _bpe_compression_curve,
+    _bpe_compression_curve_spark,
+    oracle_body=_bpe_compression_curve(dl.DUCK),
     doc="Corpus token count after each learned BPE merge (round 0 = "
     "chars): the marginal-compression curve, measured on the actually-"
     "merged corpus via the same CTE chain as training.",
 )
 
-def _bpe_encode_docs(d: str) -> str:
+def _bpe_encode_docs(d: str, w0_src: str | None = None) -> str:
     """Per-DOCUMENT encoding under the trained tokenizer: re-derive the
     same {BPE_TRAIN_K} merges bpe_train_merges learns (identical w0..wK
     CTE chain — training and application can never drift), then apply
@@ -1090,7 +1121,7 @@ def _bpe_encode_docs(d: str) -> str:
     doc_id-keyed aggregate. Docs with no >=2-char alpha words emit zero
     counts and a NULL ratio rather than vanishing.
     """
-    train_sql = _bpe_train_merges(d)
+    train_sql = _bpe_train_merges(d, w0_src)
     ctes = train_sql[
         train_sql.index("WITH") : train_sql.index("SELECT 1 AS merge_rank")
     ]
@@ -1154,9 +1185,14 @@ LEFT JOIN per_doc p ON p.doc_id = doc.doc_id
 """
 
 
-register_sql(
+def _bpe_encode_docs_spark(spark, sf_dir):
+    return spark.sql(_bpe_encode_docs(dl.SPARK, _bpe_w0_src(spark, sf_dir)))
+
+
+register_df(
     "bpe_encode_docs",
-    _bpe_encode_docs,
+    _bpe_encode_docs_spark,
+    oracle_body=_bpe_encode_docs(dl.DUCK),
     doc="Per-document token counts under the trained BPE merges (same "
     "CTE chain as bpe_train_merges, applied in rank order to each doc's "
     "words): char-symbol vs post-merge counts + compression ratio.",
