@@ -68,7 +68,7 @@ register_sql(
 )
 
 
-def _ngram_jaccard(d: str) -> str:
+def _ngram_jaccard(d: str, sh_src: str | None = None) -> str:
     """Exact word-3-gram Jaccard near-dup pairs, dialect-shared SQL.
 
     This is the exact ground truth the MinHash-LSH pipeline approximates —
@@ -86,8 +86,10 @@ def _ngram_jaccard(d: str) -> str:
 
     from .curation import shingle_rows
 
+    if sh_src is None:
+        sh_src = shingle_rows(d, "TRUE", SHINGLE_W)
     return textwrap.dedent(f"""
-        WITH sh_rows AS ({shingle_rows(d, "TRUE", SHINGLE_W)}),
+        WITH sh_rows AS ({sh_src}),
         sizes AS (
             SELECT doc_id, COUNT(*) AS n_sh FROM sh_rows GROUP BY doc_id
         ),
@@ -110,9 +112,23 @@ def _ngram_jaccard(d: str) -> str:
         """)
 
 
-register_sql(
+def _ngram_jaccard_spark(spark, sf_dir) -> DataFrame:
+    """Spark side over the session-materialized w={SHINGLE_W} shingle
+    relation (the same mh_sh view the LSH family cuts from): sh_rows is
+    referenced by the size pass and both sides of the intersection
+    self-join, so the inline form re-tokenized the corpus 3x."""
+    sh_v, _, _ = _mh_pipeline_views(spark, sf_dir)
+    return spark.sql(
+        _ngram_jaccard(
+            dl.SPARK, sh_src=f"SELECT doc_id, shingle FROM {sh_v}"
+        )
+    )
+
+
+register_df(
     "dedup_ngram_jaccard",
-    _ngram_jaccard,
+    _ngram_jaccard_spark,
+    oracle_body=_ngram_jaccard(dl.DUCK),
     doc="Exact n-gram Jaccard near-dup pairs (value-level oracle for the LSH path).",
 )
 
@@ -137,7 +153,10 @@ def _dedup_clusters(spark, sf_dir) -> DataFrame:
     (one tiny count per round); all data movement stays distributed.
     DuckDB's recursive CTE is the oracle.
     """
-    pairs = spark.sql(_ngram_jaccard(dl.SPARK)).select("doc_a", "doc_b")
+    sh_v, _, _ = _mh_pipeline_views(spark, sf_dir)
+    pairs = spark.sql(
+        _ngram_jaccard(dl.SPARK, sh_src=f"SELECT doc_id, shingle FROM {sh_v}")
+    ).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1383,10 +1402,12 @@ def _lsh_quality_report_spark(spark, sf_dir) -> DataFrame:
     found = _minhash_lsh_spark(spark, sf_dir)
     found.createOrReplaceTempView("_lshq_found")
     d = dl.SPARK
+    sh_v, _, _ = _mh_pipeline_views(spark, sf_dir)
+    truth_sql = _ngram_jaccard(d, sh_src=f"SELECT doc_id, shingle FROM {sh_v}")
     return spark.sql(
         f"""
 WITH truth AS (
-    SELECT doc_a, doc_b, jaccard FROM ({_ngram_jaccard(d)}) t
+    SELECT doc_a, doc_b, jaccard FROM ({truth_sql}) t
 ),
 found AS (
     SELECT doc_a, doc_b FROM _lshq_found
