@@ -131,6 +131,32 @@ def test_single_partition_only_in_global_aggs(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_no_redundant_base_table_scans(spark, sf_dir):
+    """Repo-wide (r9): no registered query may scan the SAME base parquet
+    table three or more times. Spark inlines multi-referenced CTEs, so a
+    SQL body referencing an expensive derived relation k times executes
+    it k times — dedup_incremental_minhash's plan carried 13 corpus
+    scans before r9's catalog.session_matview conversions; this gate
+    keeps a future entry (or a refactor of a converted one) from
+    silently reintroducing the redundant-read class. Two scans stay
+    legal: genuine two-slice patterns (a table joined to a projection of
+    itself) don't warrant a materialization."""
+    import re
+    from collections import Counter
+
+    for name, q in load_all().items():
+        if q.oracle is None and name not in {"nexmark_q12"}:
+            continue
+        plan = _executed_plan(q.spark_fn(spark, sf_dir))
+        tables = re.findall(r"FileScan parquet [^\[]*?(\w+)\.parquet", plan)
+        worst = max(Counter(tables).values(), default=0)
+        assert worst <= 2, (
+            f"{name} scans a base table {worst}x — multi-referenced "
+            f"derived relation inlined; route it through "
+            f"catalog.session_matview"
+        )
+
+
 def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     """The pure range predicate must ride the bucket equi-join: any
     BroadcastNestedLoopJoin here is O(|L|·|R|) comparisons at scale."""
