@@ -35,7 +35,7 @@ BM25_TOPK = 50
 POSTINGS_CAP = 20
 
 
-def _bm25_topk(d: str) -> str:
+def _bm25_topk(d: str, tf_src: str | None = None, dl_src: str | None = None) -> str:
     toks = dl.split_tokens("lower(text)", d)
     un = dl.unnest_fn(d)
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
@@ -50,21 +50,26 @@ def _bm25_topk(d: str) -> str:
         for t in BM25_TERMS
     )
     total = " + ".join(f"s_{t}" for t in BM25_TERMS)  # fixed fold order
+    if dl_src is None:
+        dl_src = (
+            f"SELECT doc_id, CAST({dl.array_len(toks, d)} AS BIGINT) AS dlen "
+            f"FROM documents"
+        )
+    if tf_src is None:
+        # self-contained: tokens filtered to the query terms BEFORE the
+        # grouped count, so grouped state is |query| rows per doc
+        tf_src = f"""SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, {un}({toks}) AS tok FROM documents) x
+        WHERE tok IN ({terms})
+    ) hits GROUP BY doc_id, tok"""
     return f"""
-WITH tk AS (
-    SELECT doc_id, {toks} AS tk FROM documents
-),
-dl AS (
-    SELECT doc_id, CAST({dl.array_len('tk', d)} AS BIGINT) AS dlen FROM tk
-),
-hits AS (
-    SELECT doc_id, tok
-    FROM (SELECT doc_id, {un}(tk) AS tok FROM tk) x
-    WHERE tok IN ({terms})
+WITH dl AS (
+    {dl_src}
 ),
 tf AS (
-    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-    FROM hits GROUP BY doc_id, tok
+    {tf_src}
 ),
 df AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
@@ -96,9 +101,28 @@ LIMIT {BM25_TOPK}
 """
 
 
-register_sql(
+def _bm25_view_srcs(spark, sf_dir) -> tuple[str, str]:
+    """(tf_src, dl_src) over the session-materialized corpus token
+    statistics: bm25's filtered tf is a `tok IN (terms)` slice of the
+    full ret_tf relation (grouping before vs after the doc-level filter
+    is the same relation — tf is per (doc, tok))."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_v, dln_v, _ = corpus_token_views(spark, sf_dir)
+    return (
+        f"SELECT doc_id, tok, tf FROM {tf_v} WHERE tok IN ({terms})",
+        f"SELECT doc_id, dlen FROM {dln_v}",
+    )
+
+
+def _bm25_topk_spark(spark, sf_dir):
+    tf_src, dl_src = _bm25_view_srcs(spark, sf_dir)
+    return spark.sql(_bm25_topk(dl.SPARK, tf_src=tf_src, dl_src=dl_src))
+
+
+register_df(
     "bm25_topk",
-    _bm25_topk,
+    _bm25_topk_spark,
+    oracle_body=_bm25_topk(dl.DUCK),
     doc="Okapi BM25 top-k lexical retrieval (fixed query terms): filtered "
     "token tf + term df + corpus avgdl; fixed-order score fold for "
     "cross-engine bit-equality.",
