@@ -1,0 +1,351 @@
+"""User-facing Query API — the reference's front door, Spark-native.
+
+Flock's user surface is a ``Query`` object: SQL text + table schemas + a
+window spec + a sink, with a query type of OLAP or Streaming
+(flock/src/query.rs:82-103, QueryType at :67-74, Window enum at
+flock/src/stream/window.rs:80-113). A user of the reference hands that
+object to a launcher; everything downstream (planning, staging, payload
+transport) is engine-internal. This module reproduces exactly that
+surface so a flock user can port their call sites one-to-one:
+
+- :class:`Window` — ElementWise / Tumbling / Hopping / Session, in
+  seconds (flock counts epochs; an epoch is 1 s — datasource/epoch.rs).
+- :class:`Query` — SQL + the stream view it reads + window + sink.
+- :func:`run_olap` — batch execution over the fixture catalog (flock's
+  `QueryType::OLAP`; DataFusion collect → here Catalyst).
+- :func:`run_streaming` — per-window plan firing over an epoch-file
+  replay (flock's `QueryType::Streaming`): the SQL runs once per fired
+  window over exactly that window's rows, like flock's window handlers
+  (flock-function/src/aws/window/{elementwise,tumbling,hopping}.rs).
+
+Execution notes (Spark-first, not a transport port):
+
+- Window *assignment* is distributed (native ``window()`` — event-time,
+  watermark-compatible); window *data* is buffered as parquet by a
+  streaming foreachBatch sink, partitioned by window start, so no row
+  ever passes through the driver. Fired-window *results* likewise go to
+  a per-invocation parquet result sink and come back as a lazily-read
+  DataFrame (flock datasink/mod.rs:118-140 — results reach the sink,
+  never the client), so the union of fired windows is executor-resident
+  end to end; callers .collect() only in tests.
+- Firing runs the user SQL per closed window as an ordinary batch plan
+  (Catalyst-optimized, AQE on). A bounded replay fires every window at
+  drain; flock fires eagerly per window close — same outputs, same
+  per-window inputs, different latency profile. For the declared
+  streaming queries where eager incremental firing matters (q5/q7/q8/
+  q11/YSB), streaming.py's native stateful formulations are the
+  production path; THIS runner exists for the reference's general
+  contract: *arbitrary* SQL per window.
+- Sessions/global windows are per-key, not per-time-slice; the native
+  ``session_window``/state-store paths in streaming.py cover them (and
+  q11/q12), so :func:`run_streaming` rejects those kinds rather than
+  pretending per-slice firing fits.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import catalog, streaming
+
+
+@dataclass(frozen=True)
+class Window:
+    """Streaming window spec (flock/src/stream/window.rs:80-113)."""
+
+    kind: str  #: "elementwise" | "tumbling" | "hopping"
+    size_s: int = 1
+    slide_s: int | None = None  #: hopping only; None => tumbling
+
+    @staticmethod
+    def elementwise() -> "Window":
+        return Window("elementwise")
+
+    @staticmethod
+    def tumbling(size_s: int) -> "Window":
+        return Window("tumbling", size_s)
+
+    @staticmethod
+    def hopping(size_s: int, slide_s: int) -> "Window":
+        return Window("hopping", size_s, slide_s)
+
+
+@dataclass(frozen=True)
+class Query:
+    """SQL + the stream table it reads + window + sink (flock Query parity).
+
+    ``sink`` ∈ {"memory", "noop", "parquet"} — flock datasink/mod.rs:47-72
+    maps Blackhole→noop and S3/EFS→parquet; memory is the test sink.
+    """
+
+    sql: str
+    view: str = "bid"  #: temp-view name the SQL reads the (stream) table as
+    window: Window | None = None  #: None => OLAP (batch) query
+    sink: str = "memory"
+    ts_col: str = "b_date_time"  #: event-time column for window assignment
+
+
+def _fresh_results_dir(workdir: str) -> str:
+    """Next unused ``results-NNN`` dir under workdir — one per invocation.
+
+    The streaming checkpoint is shared across invocations (that is what
+    makes a restart fire only NEW windows), so the result sink cannot be:
+    a restarted run must return only the windows IT fired, not re-read a
+    predecessor's output. Deterministic counter, no timestamps."""
+    n = 0
+    while True:
+        path = os.path.join(workdir, f"results-{n:03d}")
+        try:
+            # atomic claim: makedirs(exist_ok=False) either creates-and-owns
+            # the dir or raises — two concurrent invocations sharing a
+            # workdir can no longer race the exists() check into one dir
+            os.makedirs(path)
+            return path
+        except FileExistsError:
+            n += 1
+
+
+def run_olap(spark: SparkSession, query: Query, sf_dir: str) -> DataFrame:
+    """Batch execution over the fixture catalog (QueryType::OLAP)."""
+    if query.window is not None:
+        raise ValueError(
+            "query declares a Window (streaming semantics); running it as "
+            "OLAP would silently ignore the windowing — use run_streaming"
+        )
+    catalog.register_all(spark, sf_dir)
+    return spark.sql(query.sql)
+
+
+def run_streaming(
+    spark: SparkSession,
+    query: Query,
+    epochs_path: str | dict[str, tuple[str, str]],
+    *,
+    workdir: str,
+    files_per_trigger: int = 1,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Per-window plan firing over an epoch-file replay (QueryType::Streaming).
+
+    ``epochs_path`` is either one path (the SQL reads ``query.view``) or,
+    for multi-stream queries (q8's person ⋈ auction), a dict
+    ``{view: (path, ts_col)}`` — every stream is window-assigned on its
+    own event time and the SQL fires once per window over ALL views'
+    slices, exactly flock's tumbling handler re-grouping both sides per
+    window (flock-function/src/aws/window/tumbling.rs, queries/q8.rs).
+
+    Returns the union of per-window results with a ``win_start`` column
+    (elementwise: one firing per micro-batch, ``win_start`` = batch id).
+    """
+    if query.window is None:
+        raise ValueError("streaming execution needs a Window; use run_olap")
+    w = query.window
+    if w.kind not in ("elementwise", "tumbling", "hopping"):
+        raise NotImplementedError(
+            f"window kind {w.kind!r}: per-key session/global windows run on the "
+            "native state-store paths (streaming.session_agg / stateful_*)"
+        )
+    multi = isinstance(epochs_path, dict)
+    if multi and w.kind == "elementwise":
+        raise NotImplementedError(
+            "elementwise multi-stream: independent file streams have no "
+            "shared micro-batch; use tumbling(1) for per-epoch joint firing"
+        )
+
+    # Fired-window results go to a parquet result sink, NEVER through the
+    # driver (flock datasink/mod.rs:118-140 — results go to the sink, not
+    # the client; at 100× the union of fired windows outgrows any driver).
+    # Each invocation gets its OWN results dir (the checkpoint is shared,
+    # so a restart fires only new windows and must return only those).
+    results_dir = _fresh_results_dir(workdir)
+    # Streaming state (checkpoints, window buffers) is keyed by a hash of
+    # the full query/window spec: two DIFFERENT queries sharing a workdir
+    # previously shared state keyed only by view name — the second one
+    # silently reused the first one's consumed-files checkpoint and
+    # window-partitioned buffer (wrong windows, or nothing at all).
+    import hashlib
+
+    spec = hashlib.md5(
+        f"{query.sql}|{query.view}|{w.kind}|{w.size_s}|{w.slide_s}".encode()
+    ).hexdigest()[:10]
+
+    def _parquet_safe(df: DataFrame) -> DataFrame:
+        # parquet rejects NullType columns (SELECT NULL AS flag); cast them
+        # to string so the result-sink route accepts everything the old
+        # driver-collect route did
+        from pyspark.sql.types import NullType
+
+        for f in df.schema.fields:
+            if isinstance(f.dataType, NullType):
+                df = df.withColumn(f.name, F.col(f.name).cast("string"))
+        return df
+
+    if w.kind == "elementwise":
+        stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
+        if "epoch" in stream.columns:
+            stream = stream.drop("epoch")
+        checkpoint = os.path.join(workdir, f"checkpoint-{spec}")
+        # Each micro-batch IS the window: fire the SQL on it directly
+        # (flock elementwise.rs:30-186 — per-epoch independent execution).
+        fired_any: dict = {}
+
+        def fire(batch_df: DataFrame, epoch_id: int) -> None:
+            # foreachBatch hands a DataFrame bound to an isolated micro-batch
+            # session; the view and SQL must live THERE, or `view` would
+            # resolve against the outer session's catalog.
+            batch_df.createOrReplaceTempView(query.view)
+            out = _parquet_safe(
+                batch_df.sparkSession.sql(query.sql).withColumn(
+                    "win_start", F.lit(epoch_id).cast("long")
+                )
+            )
+            out.write.mode("append").parquet(results_dir)
+            fired_any["yes"] = True
+
+        q = (
+            stream.writeStream.foreachBatch(fire)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError("elementwise replay still running")
+        if not fired_any:
+            # Zero micro-batches fired (empty epoch dir): derive the output
+            # schema by planning the SQL over an empty slice of the stream.
+            # The empty view shadows any same-named catalog view in the OUTER
+            # session; drop it and invalidate so a later run_olap in this
+            # session doesn't silently resolve e.g. `bid` to an empty table.
+            empty = spark.createDataFrame([], stream.schema)
+            empty.createOrReplaceTempView(query.view)
+            try:
+                schema = _parquet_safe(
+                    spark.sql(query.sql).withColumn(
+                        "win_start", F.lit(0).cast("long")
+                    )
+                ).schema
+            finally:
+                spark.catalog.dropTempView(query.view)
+                catalog.invalidate(spark)
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(results_dir)
+
+    # tumbling/hopping: distributed window ASSIGNMENT on event time, rows
+    # buffered to parquet partitioned by window start (never the driver),
+    # then one batch plan per closed window (collect-then-fire,
+    # flock tumbling.rs:31-188 / hopping.rs:31-99; a hopping row lands in
+    # size/slide windows — flock keeps a deque of epochs, we replicate
+    # rows at assignment, same window contents).
+    sources = (
+        dict(epochs_path) if multi else {query.view: (epochs_path, query.ts_col)}
+    )
+    size = f"{w.size_s} seconds"
+
+    def _win_counts(path: str) -> dict:
+        # per-window row counts of a buffer dir ({} when absent): the
+        # before/after diff below decides which windows THIS invocation
+        # fires — a restart must return only windows its own replay
+        # advanced, not re-fire the whole buffered history (the
+        # elementwise path's documented rerun contract, now shared)
+        try:
+            return {
+                r["win_start"]: r["count"]
+                for r in spark.read.parquet(path)
+                .groupBy("win_start")
+                .count()
+                .collect()
+            }
+        except Exception:
+            return {}
+
+    buffers: dict[str, DataFrame] = {}
+    pre_counts: dict[str, dict] = {}
+    post_counts: dict[str, dict] = {}
+    for view, (path, ts_col) in sources.items():
+        stream = streaming.replay_stream(spark, path, files_per_trigger)
+        if "epoch" in stream.columns:
+            stream = stream.drop("epoch")
+        assigned = streaming._with_event_time(stream, ts_col)
+        pre_counts[view] = _win_counts(
+            os.path.join(workdir, f"window-buffer-{spec}-{view}")
+        )
+        # slide_s=None on a hand-built hopping Window means tumbling (the
+        # dataclass's documented fallback) — not the literal "None seconds"
+        slide_s = w.slide_s if w.slide_s is not None else w.size_s
+        win = (
+            F.window(ts_col, size, f"{slide_s} seconds")
+            if w.kind == "hopping"
+            else F.window(ts_col, size)
+        )
+        buffer_dir = os.path.join(workdir, f"window-buffer-{spec}-{view}")
+        sink_q = (
+            assigned.withColumn("win_start", win["start"])
+            .writeStream.format("parquet")
+            .option("path", buffer_dir)
+            .option(
+                "checkpointLocation",
+                os.path.join(workdir, f"checkpoint-{spec}-{view}"),
+            )
+            .partitionBy("win_start")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sink_q.awaitTermination(timeout_s):
+            sink_q.stop()
+            raise TimeoutError(f"window buffering for {view!r} still running")
+        post_counts[view] = _win_counts(buffer_dir)
+        buffers[view] = spark.read.parquet(buffer_dir)
+
+    starts = sorted(
+        {
+            ws
+            for view, post in post_counts.items()
+            for ws, n in post.items()
+            if pre_counts.get(view, {}).get(ws) != n
+        }
+    )
+    fired = False
+    try:
+        for start in starts:
+            for view, buf in buffers.items():
+                buf.where(F.col("win_start") == start).drop(
+                    "win_start"
+                ).createOrReplaceTempView(view)
+            out = _parquet_safe(
+                spark.sql(query.sql).withColumn(
+                    "win_start", F.lit(start).cast("timestamp")
+                )
+            )
+            # Each firing appends its window's result to the parquet result
+            # sink — flock likewise emits per-window batches to the sink as
+            # they fire (datasink/mod.rs:118-140), never to the client.
+            out.write.mode("append").parquet(results_dir)
+            fired = True
+    finally:
+        # The stream table names shadow the catalog's derived views; drop
+        # them and force the next register_all to rebuild everything.
+        for view in buffers:
+            spark.catalog.dropTempView(view)
+        catalog.invalidate(spark)
+    if not fired:
+        return spark.createDataFrame([], "win_start timestamp")
+    return spark.read.parquet(results_dir)
+
+
+def sink_result(result: DataFrame, query: Query, *, workdir: str):
+    """Dispatch a (batch) result to the query's declared sink."""
+    if query.sink == "memory":
+        return result.collect()
+    if query.sink == "noop":
+        result.foreach(lambda _: None)
+        return None
+    if query.sink == "parquet":
+        path = os.path.join(workdir, "out")
+        result.write.mode("overwrite").parquet(path)
+        return path
+    raise ValueError(f"unknown sink {query.sink!r}")

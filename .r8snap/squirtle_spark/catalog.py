@@ -249,201 +249,11 @@ def register_all(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     _REGISTERED[key] = sf_dir
 
 
-#: Callbacks run by invalidate() so sibling caches keyed on session state
-#: (the PQ index in operators/similarity.py) drop with the catalog instead
-#: of serving stale materializations — registered at import time by the
-#: owning module (no circular import).
-_INVALIDATION_HOOKS: list = []
-
-
-def register_invalidation_hook(fn) -> None:
-    """Register ``fn(spark)`` to run whenever invalidate() is called."""
-    _INVALIDATION_HOOKS.append(fn)
-
-
 def invalidate(spark: SparkSession) -> None:
     """Forget this session's registration so the next register_all rebuilds
     every view — call after anything clobbers a catalog temp view (e.g.
-    api.run_streaming registering window slices under a stream table name)
-    OR after the parquet contents under a registered sf_dir are rewritten
-    (session_matview assumes fixed fixture data; see its docstring).
-
-    Also drops this session's materialized relations (and, via hooks, the
-    PQ index): a matview checkpointed from the old data would otherwise
-    keep serving stale rows forever, since its key — (appId, id(spark),
-    sf_dir, name) — is unchanged by a same-dir rewrite (ADVICE r9)."""
+    api.run_streaming registering window slices under a stream table name)."""
     _REGISTERED.pop(spark.sparkContext.applicationId, None)
-    clear_matviews(spark)
-    for fn in _INVALIDATION_HOOKS:
-        fn(spark)
-
-
-#: Session-materialized relation cache: (application, session, sf_dir,
-#: name) → (temp-view name, materialized DataFrame) over an eagerly-
-#: materialized build. Spark INLINES multi-referenced CTEs, so any query
-#: whose SQL references an expensive derived relation k times executes it
-#: k times; registered entries route such relations through here so the
-#: relation builds ONCE per (session, table) and later references scan
-#: the materialized rows (the PQ-index train/encode/search lifecycle,
-#: generalized). FIFO-bounded; unique view names per build so a session
-#: switching sf_dirs can never read a stale relation. The DuckDB oracles
-#: keep their self-contained CTE text — DuckDB materializes multi-
-#: referenced CTEs itself, so both engines run the same work shape.
-_MATVIEWS: dict[tuple, tuple[str, DataFrame]] = {}
-_MATVIEW_MAX = 24
-_MATVIEW_SEQ = 0
-
-#: HOW a matview (and the PQ index, which routes through materialize())
-#: is pinned. ``local`` — eager localCheckpoint: fastest, but lineage is
-#: TRUNCATED onto executor-local blocks, so on a real cluster one lost
-#: executor makes every downstream consumer unrecoverable; right for
-#: single-JVM local runs, wrong for a 1000-executor deployment.
-#: ``reliable`` — eager reliable checkpoint() into the job's checkpoint
-#: dir (set one via configure_matview / $SPARK_GRAFT_CHECKPOINT_DIR;
-#: HDFS/S3 on a cluster): blocks survive executor loss, tasks re-read
-#: from the checkpoint store. ``persist`` — persist(MEMORY_AND_DISK_2)
-#: keeping LINEAGE: a lost block is either served by the second replica
-#: or recomputed from source; no external store needed. Deployment rule
-#: in SCALING.md. Resolved from $SPARK_GRAFT_MATVIEW_MODE (default
-#: ``local``) or set explicitly with configure_matview().
-MATVIEW_MODES = ("local", "reliable", "persist")
-_MATVIEW_MODE: str | None = None
-_CHECKPOINT_DIR: str | None = None
-
-
-def configure_matview(mode: str, checkpoint_dir: str | None = None) -> None:
-    """Select the matview reliability mode ("local"|"reliable"|"persist").
-
-    ``checkpoint_dir`` is required context for "reliable" (falls back to
-    $SPARK_GRAFT_CHECKPOINT_DIR, then a session-local temp dir — the
-    temp-dir fallback is only sound on local[*])."""
-    global _MATVIEW_MODE, _CHECKPOINT_DIR
-    if mode not in MATVIEW_MODES:
-        raise ValueError(f"matview mode {mode!r} not in {MATVIEW_MODES}")
-    _MATVIEW_MODE = mode
-    if checkpoint_dir:
-        _CHECKPOINT_DIR = checkpoint_dir
-
-
-def matview_mode() -> str:
-    import os
-
-    return _MATVIEW_MODE or os.environ.get("SPARK_GRAFT_MATVIEW_MODE", "local")
-
-
-def materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` under the configured reliability mode.
-
-    Single choke point for every session-lifetime materialization (the
-    matview cache below and the PQ index in operators/similarity.py), so
-    the local-vs-cluster reliability decision is one knob, not N call
-    sites."""
-    mode = matview_mode()
-    if mode == "local":
-        return df.localCheckpoint(eager=True)
-    if mode == "reliable":
-        import os
-        import tempfile
-
-        sc = spark.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            d = _CHECKPOINT_DIR or os.environ.get(
-                "SPARK_GRAFT_CHECKPOINT_DIR"
-            ) or tempfile.mkdtemp(prefix="squirtle-ckpt-")
-            sc.setCheckpointDir(d)
-        return df.checkpoint(eager=True)
-    # persist: replicated memory/disk cache, lineage KEPT (recompute or
-    # second replica covers executor loss); count() forces materialization
-    from pyspark import StorageLevel
-
-    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
-    out.count()
-    return out
-
-
-def _unpersist_matview(df: DataFrame) -> None:
-    """Best-effort release of a matview's blocks on eviction.
-
-    persist-mode frames release through the CacheManager; checkpointed
-    frames hold RDD-level blocks the CacheManager doesn't know, reachable
-    through the analyzed LogicalRDD. Failures are swallowed — an evicted
-    handle whose blocks linger until RDD GC is a space leak bounded by
-    _MATVIEW_MAX, not a correctness issue."""
-    try:
-        df.unpersist()
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
-def clear_matviews(spark: SparkSession) -> None:
-    """Drop + unpersist every materialized relation THIS session owns.
-
-    Foreign sessions' entries are left alone (their temp views can only
-    be dropped by their own session). Used by invalidate() and available
-    to hosts that want the block manager clean before a memory-sensitive
-    phase. (Measured r10: matview blocks do NOT slow the streaming bench
-    lanes — an aged session ran q5 ~25% FASTER than a fresh one because
-    JIT warm depth dominates — so bench.py deliberately does not call
-    this.)"""
-    for key in [k for k in _MATVIEWS if k[1] == id(spark)]:
-        view, df = _MATVIEWS.pop(key)
-        try:
-            spark.catalog.dropTempView(view)
-        except Exception:
-            pass
-        _unpersist_matview(df)
-
-
-def session_matview(
-    spark: SparkSession, name: str, sf_dir: str, build_sql: str
-) -> str:
-    """Temp-view name for the materialized ``build_sql`` relation,
-    building it on first use per (session, sf_dir, ``name``).
-
-    ``name`` must be unique per relation DEFINITION — callers own the
-    namespace. The build always runs against the canonical catalog
-    (``register_all(force=True)``), so a test that planted a fixture
-    view without invalidating cannot poison the cache under the real
-    sf_dir's key.
-
-    ASSUMES FIXED FIXTURE DATA under ``sf_dir`` for the session's
-    lifetime: the cache key cannot see a same-path parquet rewrite. A
-    host that rewrites data in place must call invalidate(), which
-    drops this session's matviews (and the PQ index)."""
-    global _MATVIEW_SEQ
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
-    if key in _MATVIEWS:
-        return _MATVIEWS[key][0]
-    register_all(spark, sf_dir, force=True)
-    evictable = [
-        k
-        for k, (v, _) in _MATVIEWS.items()
-        # never evict a view the in-flight build reads (ADVICE r9: a
-        # staged pipeline holds earlier stages' views by name in
-        # build_sql; evicting one mid-chain fails the build with
-        # TABLE_OR_VIEW_NOT_FOUND). View names are mv{seq}_{name} —
-        # unique tokens, substring match cannot false-positive.
-        if v not in build_sql
-    ]
-    while len(_MATVIEWS) >= _MATVIEW_MAX and evictable:
-        # prefer evicting THIS session's oldest entry: its view can
-        # actually be dropped here; a foreign session's views live until
-        # that session ends, so evicting its key only drops the handle
-        old_key = next(
-            (k for k in evictable if k[1] == id(spark)), evictable[0]
-        )
-        evictable.remove(old_key)
-        old_view, old_df = _MATVIEWS.pop(old_key)
-        if old_key[1] == id(spark):
-            spark.catalog.dropTempView(old_view)
-            _unpersist_matview(old_df)
-    view = f"mv{_MATVIEW_SEQ}_{name}"
-    _MATVIEW_SEQ += 1
-    mat = materialize(spark, spark.sql(build_sql))
-    mat.createOrReplaceTempView(view)
-    _MATVIEWS[key] = (view, mat)
-    return view
 
 
 def oracle_cte_prefix() -> str:

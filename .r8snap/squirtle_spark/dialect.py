@@ -1,0 +1,233 @@
+"""Two-dialect SQL emission (Spark SQL + DuckDB).
+
+The correctness gate runs every query twice — once on Spark, once on DuckDB
+over the same parquet fixtures — and compares row counts, schemas and an
+order-insensitive value hash. To keep the two sides from drifting, each
+query is written ONCE as a dialect-parameterized body; the handful of
+functions that genuinely differ between Spark SQL and DuckDB are isolated
+here.
+
+Hard-won dialect facts (verified against pyspark 4.1 / duckdb 1.0):
+
+- ``CAST(x AS STRING)`` works in both (STRING is a VARCHAR alias in DuckDB).
+- ``CAST(double AS INT)`` TRUNCATES in Spark but ROUNDS in DuckDB — always
+  go through ``FLOOR`` first (:func:`to_int`).
+- ``SUM(int)`` returns BIGINT in Spark but HUGEINT in DuckDB — cast.
+- Sums over DOUBLE are order-dependent; both engines are IEEE-correct but
+  accumulate in different orders. Aggregate through DECIMAL (exact, hence
+  order-independent) and cast the final result to DOUBLE (:func:`dsum`).
+- Spark ``unix_timestamp`` truncates sub-second; DuckDB ``epoch`` keeps it.
+  ``FLOOR`` on the DuckDB side makes them agree for positive timestamps.
+- Decimal→DOUBLE casts are only correctly rounded in BOTH engines when the
+  scaled integer fits in 2^53 (DuckDB computes int128→double / 10^scale —
+  two roundings). Reduce high-scale decimal sums to DECIMAL(38,6) before
+  casting (both engines round half-up, and value/10^6 stays exact): see
+  the ``CAST(CAST(SUM(..) AS DECIMAL(38,6)) AS DOUBLE)`` pattern in tpch.py.
+- All fixture timestamps are treated as TIMESTAMP_NTZ on the Spark side so
+  that both engines hand back naive (wall-clock UTC) values.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duckdb"
+
+
+def to_int(x: str, d: str) -> str:
+    """double → int with truncation semantics in BOTH dialects."""
+    return f"CAST(FLOOR({x}) AS INT)"
+
+
+def bsum(x: str, d: str) -> str:
+    """SUM(integer expr) normalized to BIGINT in both dialects."""
+    return f"CAST(SUM({x}) AS BIGINT)"
+
+
+def dsum(x: str, d: str, prec: str = "DECIMAL(20,4)") -> str:
+    """Order-independent sum of a double expr, returned as DOUBLE.
+
+    Routing the accumulation through DECIMAL makes the result exact, hence
+    identical no matter which partition/merge order Spark or DuckDB use.
+    """
+    return f"CAST(SUM(CAST({x} AS {prec})) AS DOUBLE)"
+
+
+def davg(x: str, d: str, prec: str = "DECIMAL(20,4)") -> str:
+    """Order-independent average of a double expr (exact sum / count)."""
+    return f"(CAST(SUM(CAST({x} AS {prec})) AS DOUBLE) / COUNT(*))"
+
+
+def secadd(ts: str, n: str, d: str) -> str:
+    """timestamp + n seconds, n an integer SQL expression."""
+    if d == SPARK:
+        return f"timestampadd(SECOND, {n}, {ts})"
+    return f"({ts} + INTERVAL (CAST({n} AS BIGINT)) SECOND)"
+
+
+def epoch_s(ts: str, d: str) -> str:
+    """Whole seconds since epoch (BIGINT, floor semantics) of a naive ts."""
+    if d == SPARK:
+        return f"unix_timestamp(CAST({ts} AS TIMESTAMP))"
+    return f"CAST(FLOOR(epoch({ts})) AS BIGINT)"
+
+
+def ts_from_s(secs: str, d: str) -> str:
+    """BIGINT epoch-seconds → naive timestamp."""
+    if d == SPARK:
+        return f"CAST(timestamp_seconds({secs}) AS TIMESTAMP_NTZ)"
+    return f"(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST({secs} AS BIGINT)) SECOND)"
+
+
+def intdiv(a: str, b: str, d: str) -> str:
+    if d == SPARK:
+        return f"({a} DIV {b})"
+    return f"({a} // {b})"
+
+
+def tumble_start(ts: str, size_s: int, d: str) -> str:
+    """Start of the epoch-aligned tumbling window containing ``ts``.
+
+    Matches Spark's ``window(ts, '<size> seconds')`` bucketing (aligned to
+    1970-01-01) so the DuckDB oracle can replay Spark's native windows.
+    Mirrors flock's epoch-bucketed windows (flock/src/stream/window.rs:80-113).
+    """
+    e = epoch_s(ts, d)
+    return ts_from_s(f"({intdiv(e, str(size_s), d)} * {size_s})", d)
+
+
+def hop_bucket(ts: str, slide_s: int, d: str) -> str:
+    """Index of the slide-aligned bucket containing ``ts`` (for hopping windows)."""
+    return intdiv(epoch_s(ts, d), str(slide_s), d)
+
+
+def ts_lit(s: str, d: str) -> str:
+    """Naive timestamp literal."""
+    if d == SPARK:
+        return f"TIMESTAMP_NTZ '{s}'"
+    return f"TIMESTAMP '{s}'"
+
+
+def datefmt(ts: str, kind: str, d: str) -> str:
+    """Format a timestamp as a partition string; kind in {'date', 'hm'}."""
+    pats = {
+        SPARK: {"date": "yyyy-MM-dd", "hm": "HH:mm"},
+        DUCK: {"date": "%Y-%m-%d", "hm": "%H:%M"},
+    }
+    fn = "date_format" if d == SPARK else "strftime"
+    return f"{fn}({ts}, '{pats[d][kind]}')"
+
+
+def md5_i64(expr: str, d: str) -> str:
+    """Deterministic 60-bit positive BIGINT hash of a string expression,
+    bit-identical across engines (verified: both parse the first 15 hex
+    chars of md5 to the same integer). The cross-engine replacement for
+    xxhash64 wherever the oracle must replay a hash-dependent pipeline;
+    at production scale the same structure runs on xxhash64 (cheaper,
+    same width) when oracle replay isn't needed."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def bxor(a: str, b: str, d: str) -> str:
+    """Bitwise XOR of two BIGINTs."""
+    if d == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
+
+
+def shiftr(x: str, n: str, d: str) -> str:
+    """Bitwise right shift (arithmetic in both engines; callers keep
+    operands non-negative so the distinction never bites)."""
+    if d == SPARK:
+        return f"shiftright({x}, {n})"
+    return f"({x} >> ({n}))"
+
+
+def regex_replace_all(s: str, pat: str, rep: str, d: str) -> str:
+    """Replace ALL matches (DuckDB needs the explicit 'g' flag)."""
+    if d == SPARK:
+        return f"regexp_replace({s}, '{pat}', '{rep}')"
+    return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
+
+def regex_count(s: str, pat: str, d: str) -> str:
+    """Number of regex matches in a string (BIGINT in both)."""
+    if d == SPARK:
+        return f"CAST(size(regexp_extract_all({s}, '{pat}', 0)) AS BIGINT)"
+    return f"CAST(len(regexp_extract_all({s}, '{pat}')) AS BIGINT)"
+
+
+def split_tokens(s: str, d: str) -> str:
+    """Whitespace tokenization → array of non-empty tokens."""
+    if d == SPARK:
+        return f"filter(split(trim({s}), '\\\\s+'), x -> x != '')"
+    return f"list_filter(string_split_regex(trim({s}), '\\s+'), x -> x != '')"
+
+
+def array_len(arr: str, d: str) -> str:
+    if d == SPARK:
+        return f"CAST(size({arr}) AS BIGINT)"
+    return f"CAST(len({arr}) AS BIGINT)"
+
+
+def word_shingles(toks: str, w: int, d: str) -> str:
+    """Array of word w-gram strings from a token array (empty when < w)."""
+    if d == SPARK:
+        return (
+            f"CASE WHEN size({toks}) >= {w} THEN "
+            f"transform(sequence(1, size({toks}) - {w - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {w}))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= {w} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {w - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def pos_shingle_fanout(w: int, d: str) -> tuple[str, str]:
+    """(lateral_clause, shingle_expr) over a token-array column ``tk``:
+    explode integer positions, render ONE word w-gram per output row.
+
+    Use this instead of ``explode(word_shingles(...))`` whenever shingles
+    become rows: Spark re-does the array lambda's work per exploded row —
+    quadratic in tokens per doc (measured 6x end-to-end on 5k docs).
+    Rows with < w tokens explode an empty sequence and produce nothing.
+    """
+    if d == SPARK:
+        return (
+            f"LATERAL VIEW explode(CASE WHEN size(tk) >= {w} "
+            f"THEN sequence(1, size(tk) - {w - 1}) ELSE array() END) g AS pos",
+            f"concat_ws(' ', slice(tk, pos, {w}))",
+        )
+    return (
+        f", unnest(CASE WHEN len(tk) >= {w} "
+        f"THEN generate_series(1, len(tk) - {w - 1}) ELSE [] END) AS g(pos)",
+        f"array_to_string(list_slice(tk, pos, pos + {w - 1}), ' ')",
+    )
+
+
+def unnest_fn(d: str) -> str:
+    """Array-to-rows generator function name (1 array col in SELECT)."""
+    return "explode" if d == SPARK else "unnest"
+
+
+def series_0_to(n: int, alias: str, d: str) -> str:
+    """FROM-clause relation producing integers 0..n-1 in column ``alias``."""
+    if d == SPARK:
+        return f"(SELECT explode(sequence(0, {n - 1})) AS {alias})"
+    return f"(SELECT CAST(k AS INT) AS {alias} FROM generate_series(0, {n - 1}) t(k))"
+
+
+def lateral_series(n: int, alias: str, d: str) -> str:
+    """Per-row fan-out 0..n-1 appended after a FROM table (no join: Spark
+    plans a same-stage Generate, DuckDB a tiny cross join)."""
+    if d == SPARK:
+        return f"LATERAL VIEW explode(sequence(0, {n - 1})) _fan AS {alias}"
+    return (
+        f"CROSS JOIN (SELECT CAST(_k AS INT) AS {alias} "
+        f"FROM generate_series(0, {n - 1}) _t(_k)) _fan"
+    )

@@ -29,7 +29,6 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-from .. import catalog as _catalog
 from .. import dialect as dl
 from ..registry import register_df, register_sql
 
@@ -987,30 +986,6 @@ _PQ_INDEX_MAX = 8
 #: Monotonic view-name counter: len(_PQ_INDEX) would REUSE a prefix
 #: after an eviction and silently overwrite a live entry's views.
 _PQ_SEQ = 0
-#: key -> the materialized code-table DataFrame, held so eviction /
-#: invalidation can release its blocks (not just drop the view handle).
-_PQ_CODES: dict[tuple, "DataFrame"] = {}
-
-
-def _invalidate_pq_index(spark) -> None:
-    """catalog.invalidate() hook: drop THIS session's cached PQ indexes.
-
-    A same-path parquet rewrite leaves the (appId, session, sf_dir)
-    cache key unchanged, so without this an invalidated session keeps
-    searching a stale code table (ADVICE r9)."""
-    for key in [k for k in _PQ_INDEX if k[1] == id(spark)]:
-        views = _PQ_INDEX.pop(key)
-        codes = _PQ_CODES.pop(key, None)
-        for v in views:
-            try:
-                spark.catalog.dropTempView(v)
-            except Exception:
-                pass
-        if codes is not None:
-            _catalog._unpersist_matview(codes)
-
-
-_catalog.register_invalidation_hook(_invalidate_pq_index)
 
 
 def _pq_index_views(
@@ -1038,12 +1013,9 @@ def _pq_index_views(
             (k for k in _PQ_INDEX if k[1] == id(spark)), next(iter(_PQ_INDEX))
         )
         old_views = _PQ_INDEX.pop(old_key)
-        old_codes = _PQ_CODES.pop(old_key, None)
         if old_key[1] == id(spark):  # views are session-scoped
             for v in old_views:
                 spark.catalog.dropTempView(v)
-            if old_codes is not None:
-                _catalog._unpersist_matview(old_codes)
     prefix = f"{'ivfpq' if ivf else 'pq'}_{_PQ_SEQ}"
     _PQ_SEQ += 1
     views = (f"{prefix}_cb", f"{prefix}_codes", f"{prefix}_cents")
@@ -1082,14 +1054,10 @@ def _pq_index_views(
     # into the encode and LUT stages.
     spark.createDataFrame(cb.collect(), cb.schema).createOrReplaceTempView(views[0])
     # materialize the (cell-tagged) code table — the index-persist step;
-    # keeps the encode argmin out of search plans. Pinning strategy is
-    # the session-wide matview knob (catalog.materialize): local
-    # checkpoint on local[*]; reliable checkpoint / replicated persist on
-    # a cluster, where one lost executor must not strand the index.
-    codes = _catalog.materialize(spark, spark.sql(encode_sql))
+    # truncating lineage keeps the encode argmin out of search plans
+    codes = spark.sql(encode_sql).localCheckpoint(eager=True)
     codes.createOrReplaceTempView(views[1])
     _PQ_INDEX[key] = views
-    _PQ_CODES[key] = codes
     return views
 
 
@@ -1103,50 +1071,6 @@ def _ann_ivfpq_spark(spark, sf_dir) -> DataFrame:
     views = _pq_index_views(spark, sf_dir, ivf=True)
     _, _, query_sql = _ann_pq(dl.SPARK, ivf=True, views=views)
     return spark.sql(query_sql)
-
-
-def index_content_fingerprint(spark, sf_dir: str) -> str:
-    """Value-level checksum of the PQ-family index state this session
-    holds for ``sf_dir`` — codebook, encoded code table and coarse
-    centroids, for both the plain-PQ and default-geometry IVF-PQ
-    entries when built (entries not yet built contribute nothing).
-
-    Purpose (VERDICT r8 item 4): the bench's plan fingerprint proves
-    the SHAPE of a query was unchanged across rounds, but the PQ search
-    plans read session-built temp views, whose CONTENT the plan hash
-    cannot see. The index build is deterministic by construction
-    (md5-seeded codebook init, integer-exact Lloyd step), so this
-    checksum should be constant on fixed data — recording it makes that
-    an artifact-checkable fact: a cross-round wall swing with identical
-    plan AND identical index content (and clean canaries) has no
-    code-side input left to blame, which is what lets the drift
-    classifier stamp ``environment`` instead of ``regressed-same-plan``.
-    Cost: one bounded agg per index view (codebook K*M rows, centroids
-    N_CELLS rows, codes |corpus| rows — the same order as one ADC scan),
-    run once per bench round, not per measurement."""
-    import hashlib
-
-    parts: list[str] = []
-    for ivf in (False, True):
-        key = (
-            spark.sparkContext.applicationId,
-            id(spark),
-            sf_dir,
-            ivf,
-            N_CELLS,
-        )
-        views = _PQ_INDEX.get(key)
-        if not views:
-            continue
-        for role, v in zip(("cb", "codes", "cents"), views):
-            if not ivf and role == "cents":
-                continue  # plain PQ registers no centroid view
-            r = spark.sql(
-                f"SELECT COUNT(*) AS c, SUM(CAST(hash(*) AS BIGINT)) AS h "
-                f"FROM {v}"
-            ).first()
-            parts.append(f"{int(ivf)}:{role}:{r['c']}:{r['h']}")
-    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def ann_ivfpq_topk_at(

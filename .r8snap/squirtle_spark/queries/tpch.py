@@ -606,9 +606,6 @@ register_sql(
     "tpch_q20",
     _q20,
     doc="TPC-H q20: nested IN + correlated quantity-threshold subquery.",
-    # bench'd (VERDICT r9 item 7): the nested-IN-chain join class was
-    # otherwise untimed in the headline.
-    bench=True,
 )
 
 
@@ -678,7 +675,4 @@ register_sql(
     "tpch_q21",
     _q21,
     doc="TPC-H q21: EXISTS + NOT EXISTS correlated self-joins (semi/anti).",
-    # bench'd (VERDICT r9 item 7): the heaviest semi+anti join shape the
-    # plan gates audit, now also wall-timed every round.
-    bench=True,
 )

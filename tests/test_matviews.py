@@ -1,0 +1,96 @@
+"""Session-materialized relation cache: reliability modes + lifecycle.
+
+VERDICT r9 item 1: the matview/PQ-index mechanism rested on eager
+``localCheckpoint`` — lineage truncated onto executor-local blocks, fine
+on local[*], unrecoverable after one lost executor at cluster scale. The
+``catalog.configure_matview`` knob selects {local | reliable | persist};
+these tests pin that every mode produces value-identical results for a
+matview-backed family and that invalidation/eviction release what they
+should (ADVICE r9: a same-path data rewrite must not serve stale
+checkpointed rows, and an in-flight build's input views must survive
+eviction pressure).
+"""
+
+import pytest
+
+from squirtle_spark import catalog
+
+
+@pytest.fixture
+def reset_matview_mode():
+    yield
+    catalog._MATVIEW_MODE = None
+    catalog._CHECKPOINT_DIR = None
+
+
+def _rows(spark, sf_dir, name):
+    from squirtle_spark.registry import load_all
+
+    return sorted(map(tuple, load_all()[name].spark_fn(spark, sf_dir).collect()))
+
+
+@pytest.mark.parametrize("mode", ["reliable", "persist"])
+def test_matview_mode_matches_local(spark, sf_dir, tmp_path, mode, reset_matview_mode):
+    """The cluster-survivable modes are value-identical to the local
+    default for a matview-backed family (dedup_minhash_lsh reads the
+    shared shingle/signature/band matviews) AND for the PQ index path
+    (ann_pq_topk's materialized code table)."""
+    catalog._MATVIEW_MODE = None
+    catalog.invalidate(spark)
+    base_lsh = _rows(spark, sf_dir, "dedup_minhash_lsh")
+    base_pq = _rows(spark, sf_dir, "ann_pq_topk")
+    assert base_lsh and base_pq
+
+    catalog.invalidate(spark)
+    catalog.configure_matview(mode, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert catalog.matview_mode() == mode
+    assert _rows(spark, sf_dir, "dedup_minhash_lsh") == base_lsh
+    assert _rows(spark, sf_dir, "ann_pq_topk") == base_pq
+    catalog.invalidate(spark)
+
+
+def test_invalidate_drops_matviews_and_pq_index(spark, sf_dir):
+    """invalidate() must forget this session's materializations: a caller
+    that rewrote parquet under the same path would otherwise read stale
+    checkpointed rows forever (ADVICE r9 — the cache key can't see a
+    same-dir rewrite)."""
+    from squirtle_spark.operators import similarity
+
+    _rows(spark, sf_dir, "dedup_minhash_lsh")
+    _rows(spark, sf_dir, "ann_pq_topk")
+    assert any(k[1] == id(spark) for k in catalog._MATVIEWS)
+    assert any(k[1] == id(spark) for k in similarity._PQ_INDEX)
+
+    catalog.invalidate(spark)
+    assert not any(k[1] == id(spark) for k in catalog._MATVIEWS)
+    assert not any(k[1] == id(spark) for k in similarity._PQ_INDEX)
+    assert not any(k[1] == id(spark) for k in similarity._PQ_CODES)
+
+
+def test_matview_eviction_exempts_build_inputs(spark, sf_dir, monkeypatch):
+    """A staged pipeline hands earlier stages' matview NAMES to a later
+    build_sql; eviction pressure during that build must never drop a
+    view the in-flight build reads (ADVICE r9: fill the cache, then
+    build a relation referencing the oldest entry — pre-fix this raised
+    TABLE_OR_VIEW_NOT_FOUND)."""
+    catalog.clear_matviews(spark)
+    va = catalog.session_matview(spark, "evict_a", sf_dir, "SELECT 1 AS x")
+    vb = catalog.session_matview(spark, "evict_b", sf_dir, "SELECT 2 AS x")
+    monkeypatch.setattr(catalog, "_MATVIEW_MAX", 2)
+    # builds C under a full cache; its SQL references A (the oldest entry,
+    # the default eviction victim) — B must be evicted instead
+    vc = catalog.session_matview(
+        spark, "evict_c", sf_dir, f"SELECT x + 10 AS x FROM {va}"
+    )
+    assert spark.sql(f"SELECT x FROM {vc}").first()["x"] == 11
+    keys = {k[3] for k in catalog._MATVIEWS if k[1] == id(spark)}
+    assert "evict_a" in keys and "evict_c" in keys and "evict_b" not in keys
+    catalog.clear_matviews(spark)
+
+
+def test_clear_matviews_drops_views_and_handles(spark, sf_dir):
+    v = catalog.session_matview(spark, "clear_me", sf_dir, "SELECT 42 AS x")
+    assert spark.sql(f"SELECT x FROM {v}").first()["x"] == 42
+    catalog.clear_matviews(spark)
+    assert not any(k[1] == id(spark) for k in catalog._MATVIEWS)
+    assert not spark.catalog.tableExists(v)
