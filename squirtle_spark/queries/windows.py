@@ -274,6 +274,54 @@ register_sql(
 )
 
 
+#: Count-window width: every N events per key emit one window.
+ROWS_PER_WINDOW = 25
+
+
+def _win_rows_tumble(d: str) -> str:
+    """Count-based tumbling window (``Schedule::Rows(usize)``,
+    flock/src/stream/window.rs:75) — the LAST window form the reference
+    declares and never implements anywhere (same declared-only class as
+    Stagger, closed in r9): per key, every N events form one window,
+    regardless of how much wall time they span. The standard
+    Kinesis/Flink count window.
+
+    Declarative scale form: one keyed ROW_NUMBER (total-ordered by
+    (ts, event_id) — event_id is globally unique, so both engines
+    assign every row the identical bucket) → ``(rn-1) DIV N`` window id
+    → grouped aggregate. The groupBy keys (user_id, win_id) are
+    clustered by the window's (user_id) hash partitioning, so the whole
+    operator costs ONE keyed shuffle — the same bound as the frame
+    windows. Emitted open/close timestamps are the bucket's MIN/MAX
+    event time (count windows have data-dependent, not grid, bounds).
+    """
+    t = dl.epoch_s("ts", d)
+    win = dl.intdiv("rn", str(ROWS_PER_WINDOW), d)
+    return f"""
+WITH numbered AS (
+    SELECT user_id, {t} AS t,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+    FROM events
+)
+SELECT user_id,
+       CAST({win} AS BIGINT) AS win_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(t) AS BIGINT) AS open_s,
+       CAST(MAX(t) AS BIGINT) AS close_s
+FROM numbered
+GROUP BY user_id, {win}
+"""
+
+
+register_sql(
+    "win_rows_tumble",
+    _win_rows_tumble,
+    doc="Count-based tumbling window (every N events per key), the "
+    "reference's declared-only Schedule::Rows — 0-based keyed "
+    "ROW_NUMBER DIV N buckets, one shuffle.",
+)
+
+
 def _stagger_reanchored_spark(spark, sf_dir):
     """Stagger window, strict RE-ANCHORING form (the Kinesis Analytics
     semantic): a key's first event OPENS a window [t, t+S); events

@@ -539,3 +539,49 @@ def test_counter_delta_sum_continuous_keeps_midnight_delta(spark):
     assert (7, day0 + 1) not in con  # no post-midnight start sample pair
     assert con[(8, day0)]["n_resets"] == 1
     assert abs(con[(8, day0)]["counter_increase"] - 5.0) < 1e-12
+
+
+def test_count_window_disagrees_with_time_window_both_ways(spark, monkeypatch):
+    """Planted proof that win_rows_tumble is a genuinely different window
+    form (VERDICT r9 item 4): events for one key at offsets
+    {0, 2S, 2S+1s} with N=2. The count window groups the FIRST TWO
+    events together even though 2S of wall time separates them (cnt
+    2 + 1), while the keyed time grid (win_stagger, same anchor) puts
+    event 1 alone in window 0 and the later pair together (1 + 2) —
+    each form splits a group the other keeps whole."""
+    from datetime import datetime, timedelta
+
+    from squirtle_spark.queries import windows as W
+
+    monkeypatch.setattr(W, "ROWS_PER_WINDOW", 2)
+    S = W.STAGGER_S
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), 7, "e", 1.0)
+        for i, off in enumerate([0, 2 * S, 2 * S + 1])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    df.createOrReplaceTempView("events")
+    catalog.invalidate(spark)
+    try:
+        cnt_win = {
+            (r["win_id"], r["cnt"], r["open_s"], r["close_s"])
+            for r in spark.sql(W._win_rows_tumble(dl.SPARK)).collect()
+        }
+        grid = {
+            (r["win_start_s"], r["cnt"])
+            for r in spark.sql(W._win_stagger(dl.SPARK)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+        catalog.invalidate(spark)
+
+    t0 = int(base.timestamp())
+    # count form: [e0, e1] spanning 2S of wall time, then [e2]
+    assert cnt_win == {(0, 2, t0, t0 + 2 * S), (1, 1, t0 + 2 * S + 1, t0 + 2 * S + 1)}
+    # time form: e0 alone on the grid, [e1, e2] together two grid steps on
+    assert grid == {(t0, 1), (t0 + 2 * S, 2)}
