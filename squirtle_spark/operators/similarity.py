@@ -710,6 +710,7 @@ def _ann_pq(
     views: tuple[str, str, str] = ("pq_cb", "pq_codes", "ivfpq_cents"),
     n_cells: int | None = None,
     n_probe: int | None = None,
+    shared: bool = False,
 ):
     """PQ / IVF-PQ ANN SQL generator (see the register_df docstrings).
 
@@ -816,8 +817,7 @@ subs0 AS (
     FROM emb CROSS JOIN {ms}
 ),
 subs AS (SELECT vec_id, m, sv, {dot('sv', 'sv')} AS n2 FROM subs0)"""
-    train = f"""{base},
-cb0 AS (
+    train_ctes = f"""cb0 AS (
     SELECT m, cw, {dot('cw', 'cw')} AS cn2, k FROM (
         SELECT m, sv AS cw,
                CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY {seed}, vec_id)
@@ -833,6 +833,8 @@ cbm AS (
 ),
 cbw AS (SELECT m, k, {repack} AS cw FROM cbm GROUP BY m, k),
 cb AS (SELECT m, k, cw, {dot('cw', 'cw')} AS cn2 FROM cbw)"""
+    train = f"""{base},
+{train_ctes}"""
 
     # IVF coarse layer (ivf=True): every vector's home cell is the
     # squared-L2-nearest of N_CELLS centroids (the deterministic corpus
@@ -932,15 +934,8 @@ scored AS (
     GROUP BY lut.q_id, codes.c_id
 )"""
 
-    def query(prefix: str, cb_src: str) -> str:
-        # Spark reads the materialized codes view (built once by
-        # _pq_index_views); DuckDB derives codes inline in one statement
-        codes_cte = (
-            ""
-            if d == dl.SPARK
-            else "\n" + argmin(cb_src, "codes", keep_sv=False) + ","
-        )
-        return f"""{prefix}{ivf_ctes},{codes_cte}
+    def lut_tail(cb_src: str) -> str:
+        return f"""
 lut AS (
     SELECT s.vec_id AS q_id, s.m, c.k,
            CAST({_pq_dist(dot_pair, q='s', c='c')} AS BIGINT) AS d
@@ -956,6 +951,45 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+    def query(prefix: str, cb_src: str) -> str:
+        # Spark reads the materialized codes view (built once by
+        # _pq_index_views); DuckDB derives codes inline in one statement
+        codes_cte = (
+            ""
+            if d == dl.SPARK
+            else "\n" + argmin(cb_src, "codes", keep_sv=False) + ","
+        )
+        return f"{prefix}{ivf_ctes},{codes_cte}{lut_tail(cb_src)}"
+
+    if shared:
+        # DuckDB-only factoring of the shared PQ lifecycle into temp
+        # tables (VERDICT r9 item 8): the sf1 soak was re-running the
+        # identical quantization + codebook training + encode for BOTH
+        # pq and ivfpq oracles — 60% of its wall. The setup statements
+        # are assembled from the SAME text fragments the self-contained
+        # oracle uses (base/train_ctes/argmin), and the soak pins
+        # value-equality of this composition against the registered
+        # oracle before trusting it.
+        if d == dl.SPARK:
+            raise ValueError("shared=True is the DuckDB oracle path only")
+        setup = [
+            f"CREATE TEMP TABLE emb AS SELECT vec_id, {quant} AS w FROM embeddings",
+            f"CREATE TEMP TABLE subs AS WITH subs0 AS (\n"
+            f"    SELECT vec_id, m, {sub} AS sv\n"
+            f"    FROM emb CROSS JOIN {ms}\n"
+            f") SELECT vec_id, m, sv, {dot('sv', 'sv')} AS n2 FROM subs0",
+            f"CREATE TEMP TABLE cb AS WITH subs0 AS "
+            f"(SELECT vec_id, m, sv FROM subs),\n{train_ctes}\n"
+            f"SELECT m, k, cw, cn2 FROM cb",
+            f"CREATE TEMP TABLE codes AS WITH "
+            f"{argmin('cb', 'codes_cte', keep_sv=False)}\n"
+            f"SELECT c_id, m, code FROM codes_cte",
+        ]
+        head = "WITH " + (
+            ivf_ctes.lstrip().lstrip(",").strip() + "," if ivf else ""
+        )
+        return setup, head + lut_tail("cb")
 
     if d == dl.SPARK:
         # Staged: Spark inlines CTEs, so a single statement would

@@ -249,3 +249,38 @@ def test_pq_index_cache_bounded(spark, sf_dir):
     finally:
         for k in fakes:
             sim._PQ_INDEX.pop(k, None)
+
+
+def test_pq_shared_oracle_equals_registered(sf_dir):
+    """The soak's factored PQ oracle (shared temp-table lifecycle, one
+    build serving both pq and ivfpq searches — VERDICT r9 item 8) must
+    be value-identical to the registered self-contained oracles: this
+    pin is what licenses SOAK_r10's "identical coverage" claim."""
+    import duckdb
+
+    from squirtle_spark import dialect as dl
+    from squirtle_spark.catalog import TABLES
+    from squirtle_spark.operators import similarity as sim
+    from squirtle_spark.oracle import _normalize
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        setup, q_pq = sim._ann_pq(dl.DUCK, shared=True)
+        setup_ivf, q_ivf = sim._ann_pq(dl.DUCK, ivf=True, shared=True)
+        assert setup == setup_ivf  # one lifecycle, two searches
+        for s in setup:
+            con.sql(s)
+        for shared_q, full_q in (
+            (q_pq, sim._ann_pq(dl.DUCK)),
+            (q_ivf, sim._ann_pq(dl.DUCK, ivf=True)),
+        ):
+            a, b = con.sql(shared_q).df(), con.sql(full_q).df()
+            assert len(a) == len(b) > 0
+            assert _normalize(a) == _normalize(b)
+    finally:
+        con.close()
