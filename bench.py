@@ -915,6 +915,15 @@ _ADJUDICATIONS: dict[str, str] = {
         "(q5 streaming lane drift note) and this round's streaming lane "
         "stats/drift section for the bisect verdict."
     ),
+    "dsir_select": (
+        "r10 local reading 0.444 -> ~0.58 s, retime-stable, classed "
+        "regressed-no-prior-fingerprint (the v1->v2 fingerprint switch "
+        "blinds plan comparison for one round). A/B-adjudicated: HEAD vs "
+        "the exact r9 commit in back-to-back fresh sessions measure "
+        "0.839 vs 0.865 s min-of-3 — code-equal; the shift vs r9's "
+        "recorded 0.444 is host-level, not a regression introduced this "
+        "round."
+    ),
 }
 
 

@@ -1779,6 +1779,97 @@ def stateful_running_count(stream: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def stateful_count_window(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    n: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming count-based tumbling window: per key, every ``n`` events
+    CLOSE one window and emit it exactly once (append semantics) — the
+    live form of the reference's declared-only ``Schedule::Rows(usize)``
+    (flock/src/stream/window.rs:75) whose batch twin is the oracle-
+    checked ``win_rows_tumble``. Kinesis/Flink's countWindow.
+
+    State per key is O(1): (filled, open_s, next win_id) — no buffered
+    rows, because a count window needs only its bounds and size, and
+    the fold emits a window the moment its n-th event arrives. Partial
+    windows stay in state (they are not yet results); a drain sees only
+    completed windows, which is what append-mode sinks require.
+
+    Rows fold in (event time, *order_cols) order within each batch, and
+    per-key event-time order must hold ACROSS micro-batches for the
+    window ids to be replay-stable (the epoch replay harness guarantees
+    it — the same stated bound as stateful_ema). At cluster scale the
+    state store shards by key; per-key state is three integers, so
+    this runs at any key cardinality the store holds.
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order_cols = order_cols or []
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("win_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("open_s", LongType()),
+            StructField("close_s", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("filled", LongType()),
+            StructField("open_s", LongType()),
+            StructField("win_id", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        filled, open_s, win_id = state.get if state.exists else (0, 0, 0)
+        out: list[tuple] = []
+        pdfs = list(batches)
+        if not pdfs:  # defensive: no data, nothing to fold
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values(["_t", *order_cols], kind="mergesort")
+        for t in pdf["_t"].astype("int64"):
+            if filled == 0:
+                open_s = int(t)
+            filled += 1
+            if filled == n:
+                out.append((key[0], win_id, n, open_s, int(t)))
+                win_id += 1
+                filled = 0
+        state.update((int(filled), int(open_s), int(win_id)))
+        yield pd.DataFrame(
+            out, columns=["key", "win_id", "cnt", "open_s", "close_s"]
+        )
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .withColumn(
+            "_t", F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_ema(stream: DataFrame, key_col: str, value_col: str, ts_col: str, alpha: float = 0.5) -> DataFrame:
     """Per-key exponential moving average maintained across micro-batches —
     streaming feature engineering as a custom keyed-state operator. Rows

@@ -2041,3 +2041,41 @@ def test_q5_q7_runners_never_collect_and_state_evicts(spark, tmp_path):
     ).count()
     for name, st in m7["state_operators"].items():
         assert st["final_rows"] < st["peak_rows"], (name, st)
+
+
+def test_stateful_count_window_stream_equals_batch(spark, tmp_path):
+    """Streaming count window (Schedule::Rows live form): the append-mode
+    emissions over the replay must equal the batch win_rows_tumble
+    computation restricted to COMPLETED windows (partials stay in state
+    — they are not yet results), window ids and bounds included."""
+    batch_df, stream = _replay_setup(spark, tmp_path)
+    n = 5
+    result = streaming.stateful_count_window(
+        stream, "bidder", "b_date_time", n, order_cols=["auction", "price"]
+    )
+    rows = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-cntwin"), mode="append"
+    )
+    got = {(r["key"], r["win_id"], r["cnt"], r["open_s"], r["close_s"]) for r in rows}
+    assert len(got) == len(rows)  # append mode: each window exactly once
+
+    expected_rows = batch_df.selectExpr(
+        "bidder",
+        "unix_timestamp(b_date_time) AS t",
+        "auction",
+        "price",
+    ).selectExpr(
+        "bidder",
+        "t",
+        f"CAST((ROW_NUMBER() OVER (PARTITION BY bidder "
+        f"ORDER BY t, auction, price) - 1) DIV {n} AS BIGINT) AS win_id",
+    ).groupBy("bidder", "win_id").agg(
+        F.count("*").alias("cnt"),
+        F.min("t").alias("open_s"),
+        F.max("t").alias("close_s"),
+    ).where(F.col("cnt") == n).collect()
+    expected = {
+        (r["bidder"], r["win_id"], r["cnt"], r["open_s"], r["close_s"])
+        for r in expected_rows
+    }
+    assert got == expected and got
