@@ -915,6 +915,16 @@ _ADJUDICATIONS: dict[str, str] = {
         "(q5 streaming lane drift note) and this round's streaming lane "
         "stats/drift section for the bisect verdict."
     ),
+    "stress.ann_pq_10x": (
+        "r10 stress drift row 'regressed' 1.032 -> 1.249 s (+21%, barely "
+        "over tolerance, min-of-3 clean). Host-level, not code: the SAME "
+        "search at 3x the corpus is flat-to-better the same run "
+        "(ann_pq_30x 2.76 -> 2.70 s, scaled ivfpq_30x 1.74 -> 1.53 s) — "
+        "a code regression in the ADC scan would scale WITH the scan; "
+        "matches the round's independently A/B'd host shift on "
+        "dsir_select. Structural 30x claim intact: PQ 2.70 vs IVF-PQ "
+        "1.53 s at recall 1.0."
+    ),
     "dsir_select": (
         "r10 local reading 0.444 -> ~0.58 s, retime-stable, classed "
         "regressed-no-prior-fingerprint (the v1->v2 fingerprint switch "
