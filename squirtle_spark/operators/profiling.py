@@ -263,16 +263,23 @@ register_sql(
 )
 
 
-def _corpus_report(d: str) -> str:
-    """The corpus "data card" numbers as ONE composed plan: corpus size,
-    source/language breadth, token volume, exact-duplicate rate, and
-    length spread — the summary block every dataset release prints.
-    Emits (metric, value) rows so downstream diffing between snapshots is
-    a trivial join on metric. Each metric is a corpus-grain scalar (the
-    whitelisted global-agg class, like dq_profile); Spark computes the
-    six branches in one scan-shaped plan over shared CTEs, and every
-    input is integer-derived so the report replays exactly.
-    """
+#: (metric, expression-over-s) pairs of the corpus data card — one list
+#: drives BOTH the Spark stack() form and the DuckDB UNION oracle, so the
+#: two can never drift.
+_CORPUS_METRICS = [
+    ("n_docs", "CAST(n_docs AS DOUBLE)"),
+    ("n_sources", "CAST(n_sources AS DOUBLE)"),
+    ("n_langs", "CAST(n_langs AS DOUBLE)"),
+    ("total_tokens", "CAST(total_tokens AS DOUBLE)"),
+    ("mean_doc_tokens", "ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4)"),
+    ("exact_dup_rate", "ROUND(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4)"),
+    ("min_doc_tokens", "CAST(min_tok AS DOUBLE)"),
+    ("max_doc_tokens", "CAST(max_tok AS DOUBLE)"),
+]
+
+
+def _corpus_report_ctes(d: str) -> str:
+    """Shared base/s CTEs: ONE corpus scan reduced to one scalar row."""
     toks = dl.split_tokens("lower(trim(text))", d)
     return f"""
 WITH base AS (
@@ -290,25 +297,46 @@ s AS (
            CAST(MIN(n_tok) AS BIGINT) AS min_tok,
            CAST(MAX(n_tok) AS BIGINT) AS max_tok
     FROM base
-)
-SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM s
-UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
-UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
-UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM s
-UNION ALL SELECT 'mean_doc_tokens',
-          ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4) FROM s
-UNION ALL SELECT 'exact_dup_rate',
-          ROUND(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) FROM s
-UNION ALL SELECT 'min_doc_tokens', CAST(min_tok AS DOUBLE) FROM s
-UNION ALL SELECT 'max_doc_tokens', CAST(max_tok AS DOUBLE) FROM s
+)"""
+
+
+def _corpus_report_spark(spark, sf_dir):
+    """The corpus "data card" numbers as ONE composed plan: corpus size,
+    source/language breadth, token volume, exact-duplicate rate, and
+    length spread — the summary block every dataset release prints.
+    Emits (metric, value) rows so downstream diffing between snapshots is
+    a trivial join on metric.
+
+    Spark side unpivots the single scalar row with stack() — the r9-era
+    8-branch UNION ALL re-inlined the `s` CTE once per branch (8 corpus
+    scans; the vacuous-gate class the r10 scan-counter fix surfaced).
+    The DuckDB oracle keeps the UNION text: DuckDB materializes the
+    multi-referenced CTE, so both engines run one scan.
+    """
+    stack_args = ", ".join(f"'{m}', {e}" for m, e in _CORPUS_METRICS)
+    return spark.sql(
+        f"""{_corpus_report_ctes(dl.SPARK)}
+SELECT metric, value
+FROM s LATERAL VIEW stack({len(_CORPUS_METRICS)}, {stack_args}) t AS metric, value
 """
+    )
 
 
-register_sql(
+def _corpus_report_oracle() -> str:
+    branches = [
+        f"SELECT '{m}' AS metric, {e} AS value FROM s"
+        for m, e in _CORPUS_METRICS
+    ]
+    return _corpus_report_ctes(dl.DUCK) + "\n" + "\nUNION ALL ".join(branches)
+
+
+register_df(
     "corpus_report",
-    _corpus_report,
+    _corpus_report_spark,
+    oracle_body=_corpus_report_oracle(),
     doc="Corpus data-card summary as (metric, value) rows — size, breadth, "
-    "token volume, exact-dup rate, length spread in one composed plan.",
+    "token volume, exact-dup rate, length spread in one composed plan "
+    "(one scan: stack() unpivot on Spark, materialized CTE in DuckDB).",
 )
 
 

@@ -9,7 +9,44 @@ from squirtle_spark.registry import load_all
 
 def _executed_plan(df) -> str:
     df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    conf_key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(conf_key)
+    # render untruncated: the default 100-char cap can cut a FileScan's
+    # Location mid-path, hiding the table name from the scan counter
+    spark.conf.set(conf_key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def _norm_scan_line(line: str) -> str:
+    """A FileScan line with expression ids stripped — two equal values
+    mean the same table read with the same columns and filters."""
+    import re
+
+    return re.sub(r"#\d+", "#", line.strip())
+
+
+def _scan_counts(plan: str):
+    """table name -> number of FileScan nodes reading it.
+
+    Counts only the FINAL plan: an executed AdaptiveSparkPlan's toString
+    renders '== Final Plan ==' AND '== Initial Plan ==', so counting the
+    whole string doubles every scan (and hides real reuse — a
+    ReusedExchange in the final plan is NOT a second scan)."""
+    import re
+    from collections import Counter
+
+    final = plan.split("== Initial Plan ==")[0]
+    return Counter(
+        m.group(1)
+        for line in final.splitlines()
+        if "FileScan parquet" in line
+        for m in [re.search(r"/(\w+)\.parquet", line)]
+        if m
+    )
 
 
 def _formatted(df) -> str:
@@ -138,23 +175,104 @@ def test_no_redundant_base_table_scans(spark, sf_dir):
     it k times — dedup_incremental_minhash's plan carried 13 corpus
     scans before r9's catalog.session_matview conversions; this gate
     keeps a future entry (or a refactor of a converted one) from
-    silently reintroducing the redundant-read class. Two scans stay
-    legal: genuine two-slice patterns (a table joined to a projection of
-    itself) don't warrant a materialization."""
-    import re
+    silently reintroducing the redundant-read class.
+
+    r10 made this gate REAL — it had been vacuous since r9: the original
+    regex (`FileScan parquet [^\\[]*?(\\w+)\\.parquet`) could never match
+    (`[^\\[]*?` dies at the column-list bracket right after "FileScan
+    parquet"), so `worst` was 0 for every query and the assert proved
+    nothing. Scans are now counted from each FileScan line's Location
+    path in the FINAL plan only (the executed AdaptiveSparkPlan's
+    toString renders Initial Plan too, which doubles every count),
+    rendered untruncated so a long path cannot eat the `.parquet`
+    suffix, and the counter SELF-CHECKS against a plan known to scan so
+    it can never regress to vacuous.
+
+    Two tiers, both enforced for every registered entry:
+
+    1. HARD, bound 2, no exceptions: no plan may carry 3+ IDENTICAL
+       FileScan nodes (same table, columns, filters — ids normalized).
+       Identical scans are pure recomputation, exactly the inlined-CTE
+       class session_matview exists for (the real corpus_report plan
+       carried 3 before its stack()-unpivot rewrite this round).
+    2. Per-table totals, bound 2 by default, with a frozen per-entry
+       budget (_SCAN_BUDGETS) for the three legitimate multi-scan
+       classes below. The budget is each entry's CURRENT need — any
+       growth fails the gate, so "whitelisted" entries are still
+       regression-gated."""
     from collections import Counter
+
+    # self-check: the counter must SEE scans, or the gate proves nothing
+    probe = _scan_counts(_executed_plan(load_all()["tpch_q6"].spark_fn(spark, sf_dir)))
+    assert probe.get("lineitem", 0) >= 1, f"scan counter is blind: {probe}"
 
     for name, q in load_all().items():
         if q.oracle is None and name not in {"nexmark_q12"}:
             continue
         plan = _executed_plan(q.spark_fn(spark, sf_dir))
-        tables = re.findall(r"FileScan parquet [^\[]*?(\w+)\.parquet", plan)
-        worst = max(Counter(tables).values(), default=0)
-        assert worst <= 2, (
-            f"{name} scans a base table {worst}x — multi-referenced "
-            f"derived relation inlined; route it through "
-            f"catalog.session_matview"
+        final = plan.split("== Initial Plan ==")[0]
+        ident = Counter(
+            _norm_scan_line(line)
+            for line in final.splitlines()
+            if "FileScan parquet" in line
         )
+        worst_ident = max(ident.values(), default=0)
+        assert worst_ident <= 2, (
+            f"{name} carries {worst_ident} IDENTICAL scans — a "
+            f"multi-referenced relation is being recomputed; route it "
+            f"through catalog.session_matview"
+        )
+        budget = _SCAN_BUDGETS.get(name, 2)
+        worst_tbl, worst = max(
+            _scan_counts(plan).items(), key=lambda kv: kv[1], default=("", 0)
+        )
+        assert worst <= budget, (
+            f"{name} scans {worst_tbl} {worst}x (budget {budget}) — "
+            f"either a regression, or a new slice that needs an explicit "
+            f"budget + justification in _SCAN_BUDGETS"
+        )
+
+
+#: Frozen per-entry scan budgets for the three legitimate multi-scan
+#: classes (tier 2 of test_no_redundant_base_table_scans). Every entry
+#: here reads DISTINCT slices (different columns/filters per scan — the
+#: identical-scan tier above still applies to them at bound 2):
+#:
+#: (a) fixture-bridge: bid/auction/person all derive from `events` and
+#:     partsupp from `part` (TESTDATA ships no such tables), so a query
+#:     joining two entities + a second slice of one of them counts 3
+#:     base scans that are 1-per-relation in a real deployment.
+#: (b) multi-table models: Kneser-Ney / bigram perplexity genuinely
+#:     build unigram+bigram(+trigram) tables and score against each —
+#:     k model orders ~= 2k distinct token-stream passes (train+score).
+#: (c) report/pipeline compositions: data-card reports, DQ constraint
+#:     sets, funnel stages, recall reports over 5 index variants, and
+#:     the chained curation manifest each union N genuinely different
+#:     metrics/stages over one table. At 100 TB these run as scheduled
+#:     reports; the scans are column-pruned and filter-pushed (plan-
+#:     asserted elsewhere), and the N is the report's width, not a leak.
+_SCAN_BUDGETS = {
+    "nexmark_q9": 3,  # (a) auction two-slice + bid, all events-derived
+    "tpch_q2": 3,  # (a) partsupp twice (main + correlated MIN) + part
+    "tpch_q21": 3,  # l1 + EXISTS l2 + NOT EXISTS l3 — the query's shape
+    "lm_perplexity_bigram": 4,  # (b) 2 orders x train+score
+    "lm_perplexity_kn": 6,  # (b) 3 orders x train+score
+    "lm_score_new_batch": 4,  # (b) held-out scoring against 2 tables
+    "bpe_encode_docs": 3,  # (b) merge table + encode + length stats
+    "outlier_mad": 3,  # (c) median, MAD, then score — 3 quantile passes
+    "quality_calibration": 3,  # (c) fit on labeled slice, score corpus
+    "contrastive_pairs": 3,  # (c) anchor/positive/negative slices
+    "collocation_pmi": 3,  # (c) pair + unigram + total passes
+    "tfidf_top_terms": 3,  # (c) tf, df, corpus-size passes
+    "hybrid_retrieval_rrf": 4,  # (c) bm25 + dense legs, 2 slices each
+    "funnel_conversion": 5,  # (c) one slice per funnel stage
+    "dq_constraints": 5,  # (c) one slice per constraint family
+    "ccnet_buckets": 5,  # (c) lm + length + lang + bucket passes
+    "dedup_span_removal_incremental": 5,  # (c) batch + index union legs
+    "curation_pipeline": 10,  # (c) full chained manifest (dedup→gates→split)
+    "ann_recall_report": 10,  # (c) 5 index variants x query+truth slices
+    "quality_scorecard": 16,  # (c) 16-metric data card (one per row)
+}
 
 
 def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
