@@ -18,14 +18,15 @@ has no text/curation surface at all):
 Scale shape: strictly the union of its stages' shapes — banded LSH
 self-join, broadcastable eval-shingle set, two bounded perplexity
 shuffles, and pure-hash split/gating; composing them adds only doc_id
-equi-joins (the manifest key), so no new shuffle class appears. Spark
-INLINES CTEs, so the single-plan form re-derives the shared shingle/
-token relations per reference (cheap at test scale; measured ~3 s at
-sf0.1). At 100 TB a pipeline materializes the shingle relation and each
-stage's keep/drop list once and joins the persisted outputs — exactly
-the per-stage entries this operator composes, run individually with a
-checkpoint between them; this entry is the semantics contract for that
-composition, value-checked end-to-end.
+equi-joins (the manifest key), so no new shuffle class appears. The
+Spark side (r10) cuts the fuzzy-dedup and decontamination legs from the
+session-materialized shingle/minhash relations — the "materialize the
+shingle relation once, join the persisted stage outputs" deployment
+shape, held on the session's block manager instead of parquet (the
+pre-r10 single-text form re-derived them per CTE reference: 10 corpus
+scans, now 5 — the real scan gate pins the count). The DuckDB oracle
+keeps the self-contained text, so the END-TO-END manifest stays
+value-checked, not just the stages.
 
 The whole composition renders in both dialects, so the driver
 value-checks the END-TO-END manifest, not just the stages.
@@ -33,9 +34,10 @@ value-checks the END-TO-END manifest, not just the stages.
 
 from __future__ import annotations
 
-from ..registry import register_sql
+from .. import dialect as dl
+from ..registry import register_df
 from .curation import EVAL_MOD, _decontaminate
-from .dedup import _dedup_exact, _minhash_lsh
+from .dedup import NEARDUP_JACCARD_FLOOR, _dedup_exact, _minhash_lsh
 from .pipeline import _SPLIT_SALT
 from .text import _lm_perplexity, _quality
 
@@ -44,16 +46,12 @@ from .text import _lm_perplexity, _quality
 PPL_MAX = 38.0
 
 
-def _curation_pipeline(d: str) -> str:
+def _pipeline_tail(d: str) -> str:
+    """The manifest SELECT over the staged CTEs — shared verbatim by the
+    self-contained oracle text and the Spark matview-backed form, so the
+    two can never drift."""
     split_h = f"substring(md5(CAST(d.doc_id AS STRING) || ':{_SPLIT_SALT}'), 1, 2)"
-    return f"""
-WITH exact_keep AS ({_dedup_exact(d)}),
-near_pairs AS ({_minhash_lsh(d)}),
-near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
-contaminated AS (SELECT DISTINCT doc_id FROM ({_decontaminate(d)}) c),
-quality AS ({_quality(d)}),
-ppl AS ({_lm_perplexity(d)})
-SELECT d.doc_id,
+    return f"""SELECT d.doc_id,
        d.lang,
        p.n_tokens,
        p.perplexity,
@@ -74,9 +72,58 @@ WHERE nl.doc_id IS NULL
 """
 
 
-register_sql(
+def _curation_pipeline(d: str) -> str:
+    """Self-contained form: the DuckDB oracle (it materializes the
+    multi-referenced CTEs) and any single-shot caller."""
+    return f"""
+WITH exact_keep AS ({_dedup_exact(d)}),
+near_pairs AS ({_minhash_lsh(d)}),
+near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
+contaminated AS (SELECT DISTINCT doc_id FROM ({_decontaminate(d)}) c),
+quality AS ({_quality(d)}),
+ppl AS ({_lm_perplexity(d)})
+{_pipeline_tail(d)}"""
+
+
+def _curation_pipeline_spark(spark, sf_dir):
+    """Spark side over the session-materialized relations: the fuzzy-dedup
+    leg cuts from the shared sh/sig/bands matviews (mh_alias_ctes) and
+    decontamination slices the corpus shingle matview, so the composed
+    manifest executes the shingle → minhash pipeline ONCE instead of once
+    per CTE reference (10 -> ~6 corpus scans; Spark inlines
+    multi-referenced CTEs — the class the r10 scan gate now counts for
+    real). Stage semantics and the manifest tail are byte-shared with
+    the oracle text."""
+    from .curation import _decontaminate_body, corpus_shingle_view
+    from .dedup import mh_alias_ctes, verified_pairs_ctes
+
+    d = dl.SPARK
+    sh5 = corpus_shingle_view(spark, sf_dir)
+    decon = _decontaminate_body(
+        f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {EVAL_MOD} <> 0",
+        f"SELECT doc_id, shingle FROM {sh5} WHERE doc_id % {EVAL_MOD} = 0",
+    )
+    return spark.sql(
+        f"""
+WITH {mh_alias_ctes(spark, sf_dir)},
+{verified_pairs_ctes()},
+exact_keep AS ({_dedup_exact(d)}),
+near_losers AS (
+    SELECT DISTINCT doc_b AS doc_id FROM pairs
+    WHERE jac >= {NEARDUP_JACCARD_FLOOR}
+),
+contaminated AS (SELECT DISTINCT doc_id FROM ({decon}) c),
+quality AS ({_quality(d)}),
+ppl AS ({_lm_perplexity(d)})
+{_pipeline_tail(d)}"""
+    )
+
+
+register_df(
     "curation_pipeline",
-    _curation_pipeline,
+    _curation_pipeline_spark,
+    oracle_body=_curation_pipeline(dl.DUCK),
     doc="End-to-end curation manifest: exact+fuzzy dedup, eval removal + "
-    "decontamination, length/perplexity gates, 80/10/10 split — one plan.",
+    "decontamination, length/perplexity gates, 80/10/10 split — one plan "
+    "over the session-materialized shingle/minhash relations.",
 )

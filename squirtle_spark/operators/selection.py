@@ -431,20 +431,26 @@ def _quality_scorecard(d: str) -> str:
     """One row per document with every selection gate's verdict and the
     composed keep decision — the audit table a curation run publishes so
     a rejected doc is always explainable (which gate, what value). Joins
-    four independent signal families in ONE Catalyst plan:
-    quality_classifier (model margin), gopher_repetition (paper gate),
-    ccnet_buckets (corpus-relative perplexity tier), dsir_select
-    (target-likeness; target-corpus docs aren't scored by DSIR and pass
-    that gate by definition). Composed keep = classifier AND repetition
-    AND not perplexity-tail AND DSIR-selected. Every non-classifier leg
-    is a LEFT JOIN with an explicit pass default: a doc a gate cannot
-    score (zero tokens -> no repetition row; no LM row; unsampled
-    language) must still appear in the audit table — REJECTED rows you
-    can explain, never rows that vanish (round-6 review finding). Each family is its own
+    four independent signal families: quality_classifier (model margin),
+    gopher_repetition (paper gate), ccnet_buckets (corpus-relative
+    perplexity tier), dsir_select (target-likeness; target-corpus docs
+    aren't scored by DSIR and pass that gate by definition). Composed
+    keep = classifier AND repetition AND not perplexity-tail AND
+    DSIR-selected. Every non-classifier leg is a LEFT JOIN with an
+    explicit pass default: a doc a gate cannot score (zero tokens -> no
+    repetition row; no LM row; unsampled language) must still appear in
+    the audit table — REJECTED rows you can explain, never rows that
+    vanish (round-6 review finding). Each family is its own
     oracle-checked registry entry; this entry proves they COMPOSE —
     doc_id equi-joins only, so the composition adds joins but no new
     shuffle shapes, and the whole scorecard remains value-replayable.
-    """
+
+    This is the DuckDB oracle text (self-contained; DuckDB materializes
+    the multi-referenced CTEs). The Spark side composes the REGISTERED
+    leg builders instead (_quality_scorecard_spark below) so the gopher
+    and DSIR legs read their session matviews — inlining this text on
+    the Spark side re-derived each leg's corpus relations from scratch
+    (16 documents scans; the vacuous-gate class r10 surfaced)."""
     from .text import _quality_classifier
 
     return textwrap.dedent(f"""
@@ -468,10 +474,48 @@ def _quality_scorecard(d: str) -> str:
     """)
 
 
-register_sql(
+def _quality_scorecard_spark(spark, sf_dir):
+    """Spark composition over the registered (matview-backed) legs —
+    same joins and defaults as the oracle text, 16 -> 5 corpus scans."""
+    from pyspark.sql import functions as F
+
+    from .text import _quality_classifier
+
+    qc = spark.sql(_quality_classifier(dl.SPARK))
+    rep = _gopher_repetition_spark(spark, sf_dir)
+    ppl = spark.sql(_ccnet_buckets(dl.SPARK))
+    ds = _dsir_select_spark(spark, sf_dir)
+    rep_pass = F.coalesce(F.col("gate_pass"), F.lit(1))
+    ppl_bucket = F.coalesce(F.col("bucket"), F.lit("unscored"))
+    ds_sel = F.coalesce(F.col("selected"), F.lit(1))
+    return (
+        qc.select("doc_id", "keep")
+        .join(rep.select("doc_id", "gate_pass"), "doc_id", "left")
+        .join(ppl.select("doc_id", "bucket"), "doc_id", "left")
+        .join(ds.select("doc_id", "selected"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("keep").alias("classifier_keep"),
+            rep_pass.alias("repetition_pass"),
+            ppl_bucket.alias("perplexity_bucket"),
+            ds_sel.alias("dsir_selected"),
+            (
+                (F.col("keep") == 1)
+                & (rep_pass == 1)
+                & (ppl_bucket != "tail")
+                & (ds_sel == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+register_df(
     "quality_scorecard",
-    _quality_scorecard,
+    _quality_scorecard_spark,
+    oracle_body=_quality_scorecard(dl.DUCK),
     doc="Per-doc audit table composing classifier, Gopher repetition, "
     "CCNet bucket, and DSIR gates into one explainable keep decision "
-    "(single plan, doc_id equi-joins only).",
+    "(matview-backed legs on Spark, doc_id equi-joins only).",
 )

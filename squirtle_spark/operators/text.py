@@ -521,7 +521,46 @@ register_sql(
 BIGRAM_SMOOTH_K = "CAST(0.5 AS DOUBLE)"  # add-k smoothing
 
 
-def _lm_perplexity_bigram(d: str) -> str:
+def _bigram_fanout(d: str) -> tuple[str, str, str]:
+    """(fanout clause, w1 expr, w2 expr) of the positional bigram
+    explode — shared by every bigram-model entry."""
+    if d == dl.SPARK:
+        fanout = (
+            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
+            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
+        )
+        return fanout, "element_at(tk, pos)", "element_at(tk, pos + 1)"
+    fanout = (
+        ", unnest(CASE WHEN len(tk) >= 2 "
+        "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
+    )
+    return fanout, "tk[pos]", "tk[pos + 1]"
+
+
+def _lm_pairs_sql(d: str) -> str:
+    """Corpus positional bigram relation (doc_id, w1, w2) — the ONE
+    corpus-scale fan-out every bigram-model entry (add-k, Kneser-Ney,
+    frozen-model batch scoring) derives its model and scoring tables
+    from. The Spark sides read it as a session matview (lm_pairs_view),
+    so the three entries together tokenize the corpus once per session
+    instead of 3x per reference per query."""
+    toks = dl.split_tokens("lower(text)", d)
+    fanout, w1, w2 = _bigram_fanout(d)
+    return f"""SELECT doc_id, {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, {toks} AS tk FROM documents) t
+    {fanout}"""
+
+
+def lm_pairs_view(spark, sf_dir) -> str:
+    """Temp-view name over the session-materialized bigram relation."""
+    from .. import catalog
+
+    return catalog.session_matview(
+        spark, "lm_pairs", sf_dir, _lm_pairs_sql(dl.SPARK)
+    )
+
+
+def _lm_perplexity_bigram(d: str, pairs_src: str | None = None) -> str:
     """Bigram-LM perplexity (the CCNet filter one order up from
     lm_perplexity's unigram model): per-document average NLL under
     P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), add-k smoothed so unseen
@@ -529,12 +568,13 @@ def _lm_perplexity_bigram(d: str) -> str:
     token ORDER, which the unigram model cannot see.
 
     Scale shape mirrors the unigram entry: one positional pair fan-out
-    (linear, no array-lambda re-evaluation), ONE grouped count per model
-    table (bigram + unigram — vocab-sized, shuffle on the gram), per-doc
-    occurrences equi-join the model, one keyed DECIMAL reduction per doc
-    (association-order-free; LN/division IEEE-identical). V is the
-    whitelisted corpus-scalar class. Docs under 2 tokens have no bigrams
-    and are excluded, like zero-token docs in the unigram entry.
+    (linear, no array-lambda re-evaluation; materialized once per
+    session on the Spark side — ``pairs_src``), ONE grouped count per
+    model table (bigram + unigram — vocab-sized, shuffle on the gram),
+    per-doc occurrences equi-join the model, one keyed DECIMAL reduction
+    per doc (association-order-free; LN/division IEEE-identical). V is
+    the whitelisted corpus-scalar class. Docs under 2 tokens have no
+    bigrams and are excluded, like zero-token docs in the unigram entry.
 
     Honest note: like lm_perplexity, the model trains on the corpus it
     scores, so every bigram is in-model and the COALESCE(unseen) branch
@@ -542,27 +582,10 @@ def _lm_perplexity_bigram(d: str) -> str:
     NEW batches against a frozen model table, where unseen pairs are the
     point.
     """
-    toks = dl.split_tokens("lower(text)", d)
-    if d == dl.SPARK:
-        fanout = (
-            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
-            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
-        )
-        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
-    else:
-        fanout = (
-            ", unnest(CASE WHEN len(tk) >= 2 "
-            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
-        )
-        w1, w2 = "tk[pos]", "tk[pos + 1]"
     k = BIGRAM_SMOOTH_K
     nll = f"dt.n * (-LN((COALESCE(bg.c, 0) + {k}) / (ug.c + {k} * v.n_vocab)))"
     return f"""
-WITH pairs AS (
-    SELECT doc_id, {w1} AS w1, {w2} AS w2
-    FROM (SELECT doc_id, {toks} AS tk FROM documents) t
-    {fanout}
-),
+WITH pairs AS ({pairs_src or _lm_pairs_sql(d)}),
 bg AS (
     SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2
 ),
@@ -594,9 +617,19 @@ FROM scored
 """
 
 
-register_sql(
+def _lm_bigram_spark(spark, sf_dir):
+    return spark.sql(
+        _lm_perplexity_bigram(
+            dl.SPARK,
+            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
+        )
+    )
+
+
+register_df(
     "lm_perplexity_bigram",
-    _lm_perplexity_bigram,
+    _lm_bigram_spark,
+    oracle_body=_lm_perplexity_bigram(dl.DUCK),
     doc="Bigram-LM perplexity filter (add-k smoothed conditional "
     "probabilities; punishes improbable token order the unigram LM "
     "cannot see).",
@@ -606,7 +639,7 @@ register_sql(
 KN_DISCOUNT = "CAST(0.75 AS DOUBLE)"  # absolute discount D (Chen & Goodman)
 
 
-def _lm_perplexity_kn(d: str) -> str:
+def _lm_perplexity_kn(d: str, pairs_src: str | None = None) -> str:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing that
     actually ships in n-gram LM filters (Chen & Goodman 1999; KenLM),
     one rung above ``lm_perplexity_bigram``'s add-k:
@@ -628,19 +661,6 @@ def _lm_perplexity_kn(d: str) -> str:
     Docs under 2 tokens have no bigrams and are excluded, like the
     add-k entry.
     """
-    toks = dl.split_tokens("lower(text)", d)
-    if d == dl.SPARK:
-        fanout = (
-            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
-            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
-        )
-        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
-    else:
-        fanout = (
-            ", unnest(CASE WHEN len(tk) >= 2 "
-            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
-        )
-        w1, w2 = "tk[pos]", "tk[pos + 1]"
     D = KN_DISCOUNT
     p = (
         f"(GREATEST(COALESCE(bg.c, 0) - {D}, CAST(0 AS DOUBLE)) / ug.c"
@@ -648,11 +668,7 @@ def _lm_perplexity_kn(d: str) -> str:
     )
     nll = f"dt.n * (-LN({p}))"
     return f"""
-WITH pairs AS (
-    SELECT doc_id, {w1} AS w1, {w2} AS w2
-    FROM (SELECT doc_id, {toks} AS tk FROM documents) t
-    {fanout}
-),
+WITH pairs AS ({pairs_src or _lm_pairs_sql(d)}),
 bg AS (
     SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2
 ),
@@ -690,9 +706,19 @@ FROM scored
 """
 
 
-register_sql(
+def _lm_kn_spark(spark, sf_dir):
+    return spark.sql(
+        _lm_perplexity_kn(
+            dl.SPARK,
+            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
+        )
+    )
+
+
+register_df(
     "lm_perplexity_kn",
-    _lm_perplexity_kn,
+    _lm_kn_spark,
+    oracle_body=_lm_perplexity_kn(dl.DUCK),
     doc="Interpolated Kneser-Ney bigram perplexity: absolute discounting "
     "+ continuation-count backoff (the KenLM-class smoothing).",
 )
@@ -744,7 +770,7 @@ register_sql(
 )
 
 
-def _lm_score_new_batch(d: str) -> str:
+def _lm_score_new_batch(d: str, pairs_src: str | None = None) -> str:
     """Score a NEW batch against a FROZEN bigram LM — the deployment form
     of lm_perplexity_bigram: the model trains only on the corpus slice
     (doc_id % 4 != 0, the dedup_incremental convention for "already
@@ -756,21 +782,12 @@ def _lm_score_new_batch(d: str) -> str:
     CCNet thresholds on).
 
     Same two model shuffles as the self-scored entry; the batch side is
-    a quarter of the corpus and joins the model on the bigram key.
+    a quarter of the corpus and joins the model on the bigram key. The
+    train/score split is a pure doc_id predicate, so both sides slice
+    the ONE shared pairs relation (filter-before-fanout and
+    filter-after-fanout are the same relation; the Spark side reads the
+    session-materialized lm_pairs view).
     """
-    toks = dl.split_tokens("lower(text)", d)
-    if d == dl.SPARK:
-        fanout = (
-            "LATERAL VIEW explode(CASE WHEN size(tk) >= 2 "
-            "THEN sequence(1, size(tk) - 1) ELSE array() END) g AS pos"
-        )
-        w1, w2 = "element_at(tk, pos)", "element_at(tk, pos + 1)"
-    else:
-        fanout = (
-            ", unnest(CASE WHEN len(tk) >= 2 "
-            "THEN generate_series(1, len(tk) - 1) ELSE [] END) AS g(pos)"
-        )
-        w1, w2 = "tk[pos]", "tk[pos + 1]"
     k = BIGRAM_SMOOTH_K
     # Unseen w1 contributes the uniform floor k/(k*V) with zero context
     # count — COALESCE on BOTH model sides keeps the probability proper.
@@ -779,10 +796,9 @@ def _lm_score_new_batch(d: str) -> str:
         f"/ (COALESCE(ug.c, 0) + {k} * v.n_vocab)))"
     )
     return f"""
-WITH corpus_pairs AS (
-    SELECT {w1} AS w1, {w2} AS w2
-    FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 <> 0) t
-    {fanout}
+WITH pairs AS ({pairs_src or _lm_pairs_sql(d)}),
+corpus_pairs AS (
+    SELECT w1, w2 FROM pairs WHERE doc_id % 4 <> 0
 ),
 bg AS (
     SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM corpus_pairs GROUP BY w1, w2
@@ -794,9 +810,7 @@ v AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM ug
 ),
 batch_pairs AS (
-    SELECT doc_id, {w1} AS w1, {w2} AS w2
-    FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 4 = 0) t
-    {fanout}
+    SELECT doc_id, w1, w2 FROM pairs WHERE doc_id % 4 = 0
 ),
 dt AS (
     SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
@@ -822,9 +836,19 @@ FROM scored
 """
 
 
-register_sql(
+def _lm_score_batch_spark(spark, sf_dir):
+    return spark.sql(
+        _lm_score_new_batch(
+            dl.SPARK,
+            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
+        )
+    )
+
+
+register_df(
     "lm_score_new_batch",
-    _lm_score_new_batch,
+    _lm_score_batch_spark,
+    oracle_body=_lm_score_new_batch(dl.DUCK),
     doc="Frozen-model batch scoring: held-out docs scored against the "
     "corpus-trained bigram LM; unseen-bigram counts make the smoothing "
     "branch live.",

@@ -255,9 +255,9 @@ _SCAN_BUDGETS = {
     "nexmark_q9": 3,  # (a) auction two-slice + bid, all events-derived
     "tpch_q2": 3,  # (a) partsupp twice (main + correlated MIN) + part
     "tpch_q21": 3,  # l1 + EXISTS l2 + NOT EXISTS l3 — the query's shape
-    "lm_perplexity_bigram": 4,  # (b) 2 orders x train+score
-    "lm_perplexity_kn": 6,  # (b) 3 orders x train+score
-    "lm_score_new_batch": 4,  # (b) held-out scoring against 2 tables
+    # (the bigram/KN/frozen-model LM entries needed 4-6 here until r10
+    # routed all three through the shared lm_pairs session matview —
+    # they now scan zero base tables per query and need no budget)
     "bpe_encode_docs": 3,  # (b) merge table + encode + length stats
     "outlier_mad": 3,  # (c) median, MAD, then score — 3 quantile passes
     "quality_calibration": 3,  # (c) fit on labeled slice, score corpus
@@ -269,9 +269,13 @@ _SCAN_BUDGETS = {
     "dq_constraints": 5,  # (c) one slice per constraint family
     "ccnet_buckets": 5,  # (c) lm + length + lang + bucket passes
     "dedup_span_removal_incremental": 5,  # (c) batch + index union legs
-    "curation_pipeline": 10,  # (c) full chained manifest (dedup→gates→split)
+    # (c) chained manifest; was 10 before r10 cut its fuzzy/decon legs
+    # from the session matviews (exact + quality + lm x2 + tail remain)
+    "curation_pipeline": 5,
     "ann_recall_report": 10,  # (c) 5 index variants x query+truth slices
-    "quality_scorecard": 16,  # (c) 16-metric data card (one per row)
+    # (c) 4-family audit composition; was 16 before r10 re-pointed the
+    # Spark side at the registered matview-backed legs (oracle unchanged)
+    "quality_scorecard": 7,
 }
 
 
