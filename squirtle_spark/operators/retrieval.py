@@ -173,7 +173,7 @@ HYBRID_TOPK = 10
 DENSE_QUERY_ID = 0  # the dense leg's query vector (embeddings.vec_id)
 
 
-def _hybrid_rrf(d: str) -> str:
+def _hybrid_rrf(d: str, bm25_sql: str | None = None) -> str:
     """Hybrid retrieval via reciprocal-rank fusion — the standard RAG
     two-leg retriever: the BM25 lexical top-{BM25_TOPK} (fixed query
     terms, the full `bm25_topk` pipeline inlined as a subquery) fused
@@ -193,7 +193,7 @@ def _hybrid_rrf(d: str) -> str:
     ANN index); fusion touches 2·K rows per query regardless of corpus
     size.
     """
-    bm25 = _bm25_topk(d)
+    bm25 = bm25_sql or _bm25_topk(d)
     if d == dl.SPARK:
         q_arr = "CAST(embedding AS ARRAY<DOUBLE>)"
         sim = (
@@ -247,9 +247,23 @@ LIMIT {HYBRID_TOPK}
 """
 
 
-register_sql(
+def _hybrid_rrf_spark(spark, sf_dir):
+    """Spark side over the materialized token statistics: the BM25 leg
+    slices the session tf/dlen matviews (like bm25_topk itself) instead
+    of re-tokenizing the corpus inside the fused plan (r10; 4 -> 1
+    documents scans)."""
+    return spark.sql(
+        _hybrid_rrf(
+            dl.SPARK,
+            bm25_sql=_bm25_topk(dl.SPARK, *_bm25_view_srcs(spark, sf_dir)),
+        )
+    )
+
+
+register_df(
     "hybrid_retrieval_rrf",
-    _hybrid_rrf,
+    _hybrid_rrf_spark,
+    oracle_body=_hybrid_rrf(dl.DUCK),
     doc="Hybrid lexical+dense retrieval fused by reciprocal rank "
     "(BM25 top-K ⊕ cosine top-K, RRF k=60) — the standard RAG retriever.",
 )

@@ -264,7 +264,8 @@ _SCAN_BUDGETS = {
     "contrastive_pairs": 3,  # (c) anchor/positive/negative slices
     "collocation_pmi": 3,  # (c) pair + unigram + total passes
     "tfidf_top_terms": 3,  # (c) tf, df, corpus-size passes
-    "hybrid_retrieval_rrf": 4,  # (c) bm25 + dense legs, 2 slices each
+    # (hybrid_retrieval_rrf needed 4 here until r10 routed its BM25 leg
+    # through the tf/dlen matviews — now 1 documents + 2 embeddings)
     "funnel_conversion": 5,  # (c) one slice per funnel stage
     "dq_constraints": 5,  # (c) one slice per constraint family
     "ccnet_buckets": 5,  # (c) lm + length + lang + bucket passes
