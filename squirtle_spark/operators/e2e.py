@@ -96,6 +96,7 @@ def _curation_pipeline_spark(spark, sf_dir):
     the oracle text."""
     from .curation import _decontaminate_body, corpus_shingle_view
     from .dedup import mh_alias_ctes, verified_pairs_ctes
+    from .text import lm_unigram_dt_src
 
     d = dl.SPARK
     sh5 = corpus_shingle_view(spark, sf_dir)
@@ -114,7 +115,7 @@ near_losers AS (
 ),
 contaminated AS (SELECT DISTINCT doc_id FROM ({decon}) c),
 quality AS ({_quality(d)}),
-ppl AS ({_lm_perplexity(d)})
+ppl AS ({_lm_perplexity(d, dt_src=lm_unigram_dt_src(spark, sf_dir))})
 {_pipeline_tail(d)}"""
     )
 

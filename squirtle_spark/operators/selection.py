@@ -363,7 +363,7 @@ register_df(
 CCNET_SAMPLE_MOD = 5
 
 
-def _ccnet_buckets(d: str) -> str:
+def _ccnet_buckets(d: str, dt_src: str | None = None) -> str:
     """CCNet perplexity bucketing (Wenzek et al., arXiv:1911.00359 §4.3):
     per language, split documents into head/middle/tail quality buckets
     by LM perplexity. Mirrors the paper's two-phase shape — tercile
@@ -380,6 +380,8 @@ def _ccnet_buckets(d: str) -> str:
     Perplexities come from the shared lm_perplexity entry (unigram LM,
     DECIMAL-exact NLL, 4-dp rounding) so thresholds and scores are the
     same engine-identical numbers on both sides of the comparison.
+    ``dt_src`` routes the Spark side's LM through the ret_tf matview
+    (lm_perplexity's own conversion), cutting the corpus re-tokenize.
     """
     from .text import _lm_perplexity
 
@@ -387,7 +389,7 @@ def _ccnet_buckets(d: str) -> str:
     return textwrap.dedent(f"""
         WITH perp AS (
             SELECT p.doc_id, dc.lang, p.perplexity
-            FROM ({_lm_perplexity(d)}) p
+            FROM ({_lm_perplexity(d, dt_src=dt_src)}) p
             JOIN documents dc ON dc.doc_id = p.doc_id
         ),
         ranked AS (
@@ -418,9 +420,18 @@ def _ccnet_buckets(d: str) -> str:
     """)
 
 
-register_sql(
+def _ccnet_buckets_spark(spark, sf_dir):
+    from .text import lm_unigram_dt_src
+
+    return spark.sql(
+        _ccnet_buckets(dl.SPARK, dt_src=lm_unigram_dt_src(spark, sf_dir))
+    )
+
+
+register_df(
     "ccnet_buckets",
-    _ccnet_buckets,
+    _ccnet_buckets_spark,
+    oracle_body=_ccnet_buckets(dl.DUCK),
     doc="CCNet head/middle/tail perplexity buckets per language: tercile "
     "thresholds fitted on a deterministic held-out sample, corpus "
     "assigned by broadcast comparison (no per-lang global sort).",
@@ -483,7 +494,7 @@ def _quality_scorecard_spark(spark, sf_dir):
 
     qc = spark.sql(_quality_classifier(dl.SPARK))
     rep = _gopher_repetition_spark(spark, sf_dir)
-    ppl = spark.sql(_ccnet_buckets(dl.SPARK))
+    ppl = _ccnet_buckets_spark(spark, sf_dir)
     ds = _dsir_select_spark(spark, sf_dir)
     rep_pass = F.coalesce(F.col("gate_pass"), F.lit(1))
     ppl_bucket = F.coalesce(F.col("bucket"), F.lit("unscored"))

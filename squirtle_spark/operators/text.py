@@ -308,7 +308,7 @@ register_sql(
 )
 
 
-def _lm_perplexity(d: str) -> str:
+def _lm_perplexity(d: str, dt_src: str | None = None) -> str:
     """CCNet-style language-model quality scoring: per-document average
     negative log-likelihood (and perplexity) under a unigram LM whose
     probabilities are the corpus's own token frequencies — the classic
@@ -326,23 +326,39 @@ def _lm_perplexity(d: str) -> str:
     pattern); LN/EXP/division are IEEE-identical across engines.
     Zero-token docs have no defined perplexity and are excluded (their
     quality signal comes from text_quality's length stats).
+
+    ``dt_src`` (Spark side): a (doc_id, tok, n) relation to use instead
+    of deriving per-(doc, token) counts from a fresh corpus tokenize —
+    the retrieval family's ret_tf matview holds exactly this relation
+    (same lower(text) tokenization), so the unigram LM trains and scores
+    from the session-materialized inverted-index statistics; the unigram
+    model is then just SUM(n) per token over it.
     """
     toks = dl.split_tokens("lower(text)", d)
     un = dl.unnest_fn(d)
     nll_term = f"dt.n * (-LN(lm.c / t.n_total))"
-    return f"""
-WITH toks AS (
+    if dt_src is not None:
+        dt_cte = f"dt AS ({dt_src})"
+        lm_cte = (
+            "lm AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS c FROM dt "
+            "GROUP BY tok)"
+        )
+        head = f"WITH {dt_cte},\n{lm_cte}"
+    else:
+        head = f"""WITH toks AS (
     SELECT doc_id, {un}({toks}) AS tok FROM documents
 ),
 lm AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
 ),
-t AS (
-    SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM lm
-),
 dt AS (
     SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
     FROM toks GROUP BY doc_id, tok
+)"""
+    return f"""
+{head},
+t AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM lm
 ),
 scored AS (
     SELECT dt.doc_id,
@@ -359,6 +375,15 @@ SELECT doc_id,
        ROUND(EXP(nll_sum / n_tokens), 4) AS perplexity
 FROM scored
 """
+
+
+def lm_unigram_dt_src(spark, sf_dir) -> str:
+    """(doc_id, tok, n) source SQL over the ret_tf matview — the shared
+    per-(doc, token) counts every unigram-LM consumer reads."""
+    from .retrieval import corpus_token_views
+
+    tf, _, _ = corpus_token_views(spark, sf_dir)
+    return f"SELECT doc_id, tok, tf AS n FROM {tf}"
 
 
 register_sql(
@@ -541,9 +566,7 @@ def _lm_pairs_sql(d: str) -> str:
     """Corpus positional bigram relation (doc_id, w1, w2) — the ONE
     corpus-scale fan-out every bigram-model entry (add-k, Kneser-Ney,
     frozen-model batch scoring) derives its model and scoring tables
-    from. The Spark sides read it as a session matview (lm_pairs_view),
-    so the three entries together tokenize the corpus once per session
-    instead of 3x per reference per query."""
+    from via the ``pairs_src`` hook."""
     toks = dl.split_tokens("lower(text)", d)
     fanout, w1, w2 = _bigram_fanout(d)
     return f"""SELECT doc_id, {w1} AS w1, {w2} AS w2
@@ -552,7 +575,18 @@ def _lm_pairs_sql(d: str) -> str:
 
 
 def lm_pairs_view(spark, sf_dir) -> str:
-    """Temp-view name over the session-materialized bigram relation."""
+    """Temp-view name over the session-MATERIALIZED bigram relation —
+    the hook for sessions that score the bigram family repeatedly
+    (callers pass ``pairs_src=f"SELECT doc_id, w1, w2 FROM {view}"``).
+
+    Deliberately NOT the registered entries' default: measured at the
+    sf1 soak, eagerly materializing ~10M string pair rows DOUBLES a
+    single query's wall (lm_perplexity_kn 9.9 -> 24.8 s) — the
+    re-scanned text column is small and column-pruned, so the
+    3-6x redundant fan-out is cheaper than one materialization until a
+    session runs the family ~3+ times. At 100 TB the tokenize-once
+    artifact is a persisted pipeline STAGE (build_minhash_band_index's
+    pattern), which is exactly what ``pairs_src`` accepts."""
     from .. import catalog
 
     return catalog.session_matview(
@@ -617,19 +651,9 @@ FROM scored
 """
 
 
-def _lm_bigram_spark(spark, sf_dir):
-    return spark.sql(
-        _lm_perplexity_bigram(
-            dl.SPARK,
-            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
-        )
-    )
-
-
-register_df(
+register_sql(
     "lm_perplexity_bigram",
-    _lm_bigram_spark,
-    oracle_body=_lm_perplexity_bigram(dl.DUCK),
+    _lm_perplexity_bigram,
     doc="Bigram-LM perplexity filter (add-k smoothed conditional "
     "probabilities; punishes improbable token order the unigram LM "
     "cannot see).",
@@ -706,19 +730,9 @@ FROM scored
 """
 
 
-def _lm_kn_spark(spark, sf_dir):
-    return spark.sql(
-        _lm_perplexity_kn(
-            dl.SPARK,
-            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
-        )
-    )
-
-
-register_df(
+register_sql(
     "lm_perplexity_kn",
-    _lm_kn_spark,
-    oracle_body=_lm_perplexity_kn(dl.DUCK),
+    _lm_perplexity_kn,
     doc="Interpolated Kneser-Ney bigram perplexity: absolute discounting "
     "+ continuation-count backoff (the KenLM-class smoothing).",
 )
@@ -836,19 +850,9 @@ FROM scored
 """
 
 
-def _lm_score_batch_spark(spark, sf_dir):
-    return spark.sql(
-        _lm_score_new_batch(
-            dl.SPARK,
-            pairs_src=f"SELECT doc_id, w1, w2 FROM {lm_pairs_view(spark, sf_dir)}",
-        )
-    )
-
-
-register_df(
+register_sql(
     "lm_score_new_batch",
-    _lm_score_batch_spark,
-    oracle_body=_lm_score_new_batch(dl.DUCK),
+    _lm_score_new_batch,
     doc="Frozen-model batch scoring: held-out docs scored against the "
     "corpus-trained bigram LM; unseen-bigram counts make the smoothing "
     "branch live.",

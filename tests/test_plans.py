@@ -255,9 +255,14 @@ _SCAN_BUDGETS = {
     "nexmark_q9": 3,  # (a) auction two-slice + bid, all events-derived
     "tpch_q2": 3,  # (a) partsupp twice (main + correlated MIN) + part
     "tpch_q21": 3,  # l1 + EXISTS l2 + NOT EXISTS l3 — the query's shape
-    # (the bigram/KN/frozen-model LM entries needed 4-6 here until r10
-    # routed all three through the shared lm_pairs session matview —
-    # they now scan zero base tables per query and need no budget)
+    # (b) multi-order LM models: distinct column-pruned slices of the
+    # text column. MEASURED not to warrant a session matview — eagerly
+    # materializing the ~10M-row pairs relation DOUBLES a single query's
+    # sf1 wall (kn 9.9 -> 24.8 s); repeated-scoring sessions opt in via
+    # the pairs_src/lm_pairs_view hook, pipelines persist tokenize-once.
+    "lm_perplexity_bigram": 4,
+    "lm_perplexity_kn": 6,
+    "lm_score_new_batch": 4,
     "bpe_encode_docs": 3,  # (b) merge table + encode + length stats
     "outlier_mad": 3,  # (c) median, MAD, then score — 3 quantile passes
     "quality_calibration": 3,  # (c) fit on labeled slice, score corpus
@@ -268,15 +273,16 @@ _SCAN_BUDGETS = {
     # through the tf/dlen matviews — now 1 documents + 2 embeddings)
     "funnel_conversion": 5,  # (c) one slice per funnel stage
     "dq_constraints": 5,  # (c) one slice per constraint family
-    "ccnet_buckets": 5,  # (c) lm + length + lang + bucket passes
+    # (ccnet_buckets needed 5 until its unigram LM leg moved onto the
+    # ret_tf matview in r10 — now 2: lang join + sample slice)
     "dedup_span_removal_incremental": 5,  # (c) batch + index union legs
-    # (c) chained manifest; was 10 before r10 cut its fuzzy/decon legs
-    # from the session matviews (exact + quality + lm x2 + tail remain)
-    "curation_pipeline": 5,
+    # (c) chained manifest; was 10 before r10 cut its fuzzy/decon/LM legs
+    # from the session matviews (exact + quality + tail remain)
+    "curation_pipeline": 3,
     "ann_recall_report": 10,  # (c) 5 index variants x query+truth slices
     # (c) 4-family audit composition; was 16 before r10 re-pointed the
     # Spark side at the registered matview-backed legs (oracle unchanged)
-    "quality_scorecard": 7,
+    "quality_scorecard": 4,
 }
 
 
