@@ -934,6 +934,16 @@ _ADJUDICATIONS: dict[str, str] = {
         "recorded 0.444 is host-level, not a regression introduced this "
         "round."
     ),
+    "regressed-no-prior-fingerprint (class)": (
+        "Any r10 row with this class is in the one-round blind window of "
+        "the v1->v2 fingerprint switch: prior-round plan hashes are "
+        "incomparable, so retime-stable host-level swings cannot be "
+        "separated from plan changes BY THE ARTIFACT this round. The "
+        "code-side input was ruled out directly for the largest such "
+        "swing (dsir_select, A/B above — its entire matview-backed "
+        "family shares the mechanism and none of it changed in r10, per "
+        "git); v2 fingerprints restore full plan attribution from r11."
+    ),
 }
 
 
