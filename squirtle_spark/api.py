@@ -57,8 +57,8 @@ from . import catalog, streaming
 class Window:
     """Streaming window spec (flock/src/stream/window.rs:80-113)."""
 
-    kind: str  #: "elementwise" | "tumbling" | "hopping"
-    size_s: int = 1
+    kind: str  #: "elementwise" | "tumbling" | "hopping" | "rows"
+    size_s: int = 1  #: seconds (time kinds) / events per window ("rows")
     slide_s: int | None = None  #: hopping only; None => tumbling
 
     @staticmethod
@@ -72,6 +72,20 @@ class Window:
     @staticmethod
     def hopping(size_s: int, slide_s: int) -> "Window":
         return Window("hopping", size_s, slide_s)
+
+    @staticmethod
+    def rows(n: int) -> "Window":
+        """Count-based window (``Schedule::Rows(usize)``, flock
+        window.rs:75 — declared there, never implemented): the query
+        fires once per ``n`` consecutive events of the replay, in the
+        replay's deterministic (epoch, event-time, full-tuple) order;
+        the trailing partial window stays open. A GLOBAL count window
+        needs a total event order, which serializes at scale — this API
+        kind exists for flock Query parity over the bounded epoch
+        replay (the reference's own Rows context); the scalable per-key
+        forms are ``win_rows_tumble`` (batch) and
+        ``streaming.stateful_count_window`` (live)."""
+        return Window("rows", n)
 
 
 @dataclass(frozen=True)
@@ -144,16 +158,16 @@ def run_streaming(
     if query.window is None:
         raise ValueError("streaming execution needs a Window; use run_olap")
     w = query.window
-    if w.kind not in ("elementwise", "tumbling", "hopping"):
+    if w.kind not in ("elementwise", "tumbling", "hopping", "rows"):
         raise NotImplementedError(
             f"window kind {w.kind!r}: per-key session/global windows run on the "
             "native state-store paths (streaming.session_agg / stateful_*)"
         )
     multi = isinstance(epochs_path, dict)
-    if multi and w.kind == "elementwise":
+    if multi and w.kind in ("elementwise", "rows"):
         raise NotImplementedError(
-            "elementwise multi-stream: independent file streams have no "
-            "shared micro-batch; use tumbling(1) for per-epoch joint firing"
+            f"{w.kind} multi-stream: independent file streams share neither "
+            "a micro-batch nor an event count; use tumbling for joint firing"
         )
 
     # Fired-window results go to a parquet result sink, NEVER through the
@@ -233,6 +247,75 @@ def run_streaming(
                 spark.catalog.dropTempView(query.view)
                 catalog.invalidate(spark)
             return spark.createDataFrame([], schema)
+        return spark.read.parquet(results_dir)
+
+    if w.kind == "rows":
+        # Count-based collect-then-fire: buffer the replay (one streaming
+        # parquet sink, epoch column KEPT — it carries the arrival order),
+        # then assign win_id = 0-based ROW_NUMBER DIV n over the
+        # deterministic (epoch, event-time, full-tuple) total order and
+        # fire the SQL once per CLOSED window (count == n; the trailing
+        # partial stays open, like stateful_count_window). Window ids are
+        # append-stable: a restart's new epochs sort after everything
+        # already buffered, so previously closed windows keep their rows
+        # and the pre/post closed-set diff fires only NEW windows — the
+        # same rerun contract as the time kinds.
+        buffer_dir = os.path.join(workdir, f"rows-buffer-{spec}")
+        checkpoint = os.path.join(workdir, f"checkpoint-{spec}")
+
+        def _closed_ids() -> set:
+            try:
+                buf = spark.read.parquet(buffer_dir)
+            except Exception:
+                return set()
+            n_rows = buf.count()
+            return set(range(n_rows // w.size_s))
+
+        pre_closed = _closed_ids()
+        stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
+        sink_q = (
+            stream.writeStream.format("parquet")
+            .option("path", buffer_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sink_q.awaitTermination(timeout_s):
+            sink_q.stop()
+            raise TimeoutError("rows-window buffering still running")
+        buf = spark.read.parquet(buffer_dir)
+        order_cols = (["epoch"] if "epoch" in buf.columns else []) + [
+            query.ts_col
+        ] + [c for c in buf.columns if c not in ("epoch", query.ts_col)]
+        from pyspark.sql.window import Window as W
+
+        assigned = buf.withColumn(
+            "win_id",
+            ((F.row_number().over(W.orderBy(*order_cols)) - 1) / w.size_s)
+            .cast("long"),
+        )
+        if "epoch" in assigned.columns:
+            assigned = assigned.drop("epoch")
+        new_closed = sorted(_closed_ids() - pre_closed)
+        fired = False
+        try:
+            for win_id in new_closed:
+                assigned.where(F.col("win_id") == win_id).drop(
+                    "win_id"
+                ).createOrReplaceTempView(query.view)
+                out = _parquet_safe(
+                    spark.sql(query.sql).withColumn(
+                        "win_start", F.lit(win_id).cast("long")
+                    )
+                )
+                out.write.mode("append").parquet(results_dir)
+                fired = True
+        finally:
+            if fired:
+                spark.catalog.dropTempView(query.view)
+            catalog.invalidate(spark)
+        if not fired:
+            return spark.createDataFrame([], "win_start long")
         return spark.read.parquet(results_dir)
 
     # tumbling/hopping: distributed window ASSIGNMENT on event time, rows

@@ -358,3 +358,40 @@ def test_sink_result_dispatch(spark, sf_dir, tmp_path):
     assert sink_result(df, Query(sql="", sink="noop"), workdir=str(tmp_path)) is None
     out = sink_result(df, Query(sql="", sink="parquet"), workdir=str(tmp_path))
     assert spark.read.parquet(str(tmp_path / "out")).count() == 5 or out is not None
+
+
+def test_streaming_rows_window_fires_per_n_events(spark, tmp_path):
+    """Window.rows(n) (flock's declared-only Schedule::Rows as a Query
+    API kind): the SQL fires once per n consecutive replay events —
+    every fired window carries exactly n rows, window ids are dense from
+    0, the trailing partial stays open, and a rerun over consumed data
+    fires nothing while NEW epochs fire only the newly closed windows."""
+    data_dir, batch = _write_bids(spark, tmp_path, eps=50, secs=4)
+    total = batch.count()
+    n = 60
+    wd = str(tmp_path / "wd-rows")
+    q = Query(sql="SELECT COUNT(*) AS cnt FROM bid", window=Window.rows(n))
+    first = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert {r["cnt"] for r in first} == {n}  # every window exactly n rows
+    assert sorted(r["win_start"] for r in first) == list(range(total // n))
+
+    rerun = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert rerun == []  # consumed replay -> nothing newly closed
+
+    # append later epochs: only the windows the new rows close may fire
+    extra = sources.nexmark_bids(spark, 50, 8).withColumn(
+        "epoch",
+        F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000
+        + 100000,  # strictly after every already-buffered epoch
+    )
+    n_extra = extra.count()
+    # append-mode write: write_epoch_files overwrites the whole dir
+    extra.repartition(F.col("epoch")).write.mode("append").partitionBy(
+        "epoch"
+    ).parquet(data_dir)
+    more = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    grand_total = total + n_extra
+    assert {r["cnt"] for r in more} == {n}
+    assert sorted(r["win_start"] for r in more) == list(
+        range(total // n, grand_total // n)
+    )
