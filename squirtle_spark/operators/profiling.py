@@ -676,26 +676,13 @@ def _dq_constraints(d: str) -> str:
     exact distinct (Expand at scale; swap approx_count_distinct with a
     tolerance like dq_profile_approx documents when 100 TB exactness
     isn't required).
+
+    This is the self-contained/oracle text (DuckDB materializes the
+    multi-referenced `scan` CTE); the registered Spark side unpivots the
+    single scalar row with stack() instead of the 5-branch UNION, which
+    Spark re-inlines into 5 events scans (corpus_report's r10 fix).
     """
-    return """
-WITH scan AS (
-    SELECT CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user_id,
-           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
-               AS duplicate_event_id,
-           CAST(SUM(CASE WHEN event_type NOT IN
-                    ('click', 'view', 'purchase', 'signup', 'error')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_domain,
-           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS negative_value,
-           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
-                    THEN 1 ELSE 0 END) AS BIGINT) AS ts_before_epoch
-    FROM events
-),
-fk AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitem
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey IS NULL
-),
+    return _dq_ctes(d) + """,
 report AS (
     SELECT 'null_user_id' AS rule, null_user_id AS violations FROM scan
     UNION ALL
@@ -715,9 +702,65 @@ FROM report
 """
 
 
-register_sql(
+#: The five scan-rule columns (rule name == column name) — one list
+#: drives both the UNION oracle above and the Spark stack() form.
+_DQ_SCAN_RULES = [
+    "null_user_id",
+    "duplicate_event_id",
+    "event_type_domain",
+    "negative_value",
+    "ts_before_epoch",
+]
+
+
+def _dq_ctes(d: str) -> str:
+    return """
+WITH scan AS (
+    SELECT CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user_id,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS duplicate_event_id,
+           CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_domain,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS negative_value,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ts_before_epoch
+    FROM events
+),
+fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitem
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+)"""
+
+
+def _dq_constraints_spark(spark, sf_dir):
+    """stack() unpivot of the single scalar scan row + the FK rule —
+    genuinely ONE events scan (the UNION form re-inlined `scan` per
+    branch: 5 scans)."""
+    stack_args = ", ".join(f"'{r}', {r}" for r in _DQ_SCAN_RULES)
+    return spark.sql(
+        _dq_ctes(dl.SPARK)
+        + f""",
+report AS (
+    SELECT rule, violations
+    FROM scan
+    LATERAL VIEW stack({len(_DQ_SCAN_RULES)}, {stack_args}) t AS rule, violations
+    UNION ALL
+    SELECT 'orphan_lineitem_fk', orphan_lineitem FROM fk
+)
+SELECT rule, violations,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM report
+"""
+    )
+
+
+register_df(
     "dq_constraints",
-    _dq_constraints,
+    _dq_constraints_spark,
+    oracle_body=_dq_constraints(dl.DUCK),
     doc="Declarative constraint suite: NOT NULL / uniqueness / domain / "
     "range rules from ONE scan-wide aggregate plus an FK anti-join, "
     "reported as (rule, violations, passed) — the publish_if gate input.",
@@ -742,7 +785,7 @@ def constraints_gate(view: str = "events"):
         spark = staged.sparkSession
         staged.createOrReplaceTempView(view)
         try:
-            report = spark.sql(_dq_constraints(SPARK))
+            report = _dq_constraints_spark(spark, None)
             return report.where(F.col("passed") == 0).isEmpty()
         finally:
             spark.catalog.dropTempView(view)

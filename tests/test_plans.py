@@ -272,7 +272,8 @@ _SCAN_BUDGETS = {
     # (hybrid_retrieval_rrf needed 4 here until r10 routed its BM25 leg
     # through the tf/dlen matviews — now 1 documents + 2 embeddings)
     "funnel_conversion": 5,  # (c) one slice per funnel stage
-    "dq_constraints": 5,  # (c) one slice per constraint family
+    # (dq_constraints needed 5 until its UNION report became a stack()
+    # unpivot in r10 — now genuinely ONE events scan + the FK rule)
     # (ccnet_buckets needed 5 until its unigram LM leg moved onto the
     # ret_tf matview in r10 — now 2: lang join + sample slice)
     "dedup_span_removal_incremental": 5,  # (c) batch + index union legs
