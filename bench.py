@@ -810,11 +810,14 @@ def _stream_q5_bench(
 
 
 #: Streaming bench lanes whose MEASUREMENT discipline or code changed
-#: this round — same contract as _STRESS_CHANGED_LANES. Round 10: every
-#: lane moved from one guarded single reading to warm + min-of-2
-#: canary-sandwiched samples (VERDICT r9 item 3), and ysb gained the
-#: warm/init pass the other lanes already had; min-of-2 after warm reads
-#: systematically faster than r9's single readings.
+#: this round — same contract as _STRESS_CHANGED_LANES, including the
+#: same hygiene rule: EMPTY THIS AT THE START OF r11 (a stale blanket
+#: entry would mis-attribute a genuine future regression to the r10
+#: measurement change). Round 10: every lane moved from one guarded
+#: single reading to warm + min-of-2 canary-sandwiched samples (VERDICT
+#: r9 item 3), and ysb gained the warm/init pass the other lanes already
+#: had; min-of-2 after warm reads systematically faster than r9's
+#: single readings.
 _BENCH_STREAM_CHANGED_LANES: dict[str, str] = {
     lane: (
         "lane measurement changed r10: warm + min-of-2 canary-sandwiched "

@@ -85,6 +85,8 @@ class Window:
         replay (the reference's own Rows context); the scalable per-key
         forms are ``win_rows_tumble`` (batch) and
         ``streaming.stateful_count_window`` (live)."""
+        if n < 1:
+            raise ValueError(f"rows window needs n >= 1, got {n}")
         return Window("rows", n)
 
 
@@ -245,7 +247,7 @@ def run_streaming(
                 ).schema
             finally:
                 spark.catalog.dropTempView(query.view)
-                catalog.invalidate(spark)
+                catalog.forget_registration(spark)
             return spark.createDataFrame([], schema)
         return spark.read.parquet(results_dir)
 
@@ -297,6 +299,14 @@ def run_streaming(
         if "epoch" in assigned.columns:
             assigned = assigned.drop("epoch")
         new_closed = sorted(_closed_ids() - pre_closed)
+        if new_closed:
+            # one global sort total: without this, each per-window firing
+            # below re-plans the whole buffer scan + single-partition
+            # ROW_NUMBER (k windows -> k full sorts). Query-scope
+            # localCheckpoint, the transient-materialization class
+            # (SCALING.md) — a lost block fails this invocation, which
+            # the caller simply reruns.
+            assigned = assigned.localCheckpoint(eager=True)
         fired = False
         try:
             for win_id in new_closed:
@@ -313,7 +323,7 @@ def run_streaming(
         finally:
             if fired:
                 spark.catalog.dropTempView(query.view)
-            catalog.invalidate(spark)
+            catalog.forget_registration(spark)
         if not fired:
             return spark.createDataFrame([], "win_start long")
         return spark.read.parquet(results_dir)
@@ -414,7 +424,7 @@ def run_streaming(
         # them and force the next register_all to rebuild everything.
         for view in buffers:
             spark.catalog.dropTempView(view)
-        catalog.invalidate(spark)
+        catalog.forget_registration(spark)
     if not fired:
         return spark.createDataFrame([], "win_start timestamp")
     return spark.read.parquet(results_dir)

@@ -261,18 +261,31 @@ def register_invalidation_hook(fn) -> None:
     _INVALIDATION_HOOKS.append(fn)
 
 
-def invalidate(spark: SparkSession) -> None:
+def forget_registration(spark: SparkSession) -> None:
     """Forget this session's registration so the next register_all rebuilds
-    every view — call after anything clobbers a catalog temp view (e.g.
-    api.run_streaming registering window slices under a stream table name)
-    OR after the parquet contents under a registered sf_dir are rewritten
-    (session_matview assumes fixed fixture data; see its docstring).
-
-    Also drops this session's materialized relations (and, via hooks, the
-    PQ index): a matview checkpointed from the old data would otherwise
-    keep serving stale rows forever, since its key — (appId, id(spark),
-    sf_dir, name) — is unchanged by a same-dir rewrite (ADVICE r9)."""
+    every temp view — the NAMESPACE-level reset for callers that merely
+    clobbered a catalog view name (api.run_streaming registering window
+    slices under a stream table name, tests planting fixture views).
+    Materialized relations survive: they were built against the canonical
+    catalog under their own unique view names, so a name clobber cannot
+    have poisoned them, and dropping them here would force pointless
+    shingle/minhash/PQ rebuilds on the next query (review r10)."""
     _REGISTERED.pop(spark.sparkContext.applicationId, None)
+
+
+def invalidate(spark: SparkSession) -> None:
+    """Full DATA-level invalidation: forget the registration AND drop this
+    session's materialized relations (and, via hooks, the PQ index) —
+    call after the parquet contents under a registered sf_dir are
+    rewritten (session_matview assumes fixed fixture data; see its
+    docstring). A matview checkpointed from the old data would otherwise
+    keep serving stale rows forever, since its key — (appId, id(spark),
+    sf_dir, name) — is unchanged by a same-dir rewrite (ADVICE r9).
+    Outstanding DataFrames analyzed against a dropped matview fail
+    fast on their next action instead of reading stale data — the
+    caller has declared that data invalid. For a mere view-name clobber
+    use forget_registration()."""
+    forget_registration(spark)
     clear_matviews(spark)
     for fn in _INVALIDATION_HOOKS:
         fn(spark)
@@ -362,16 +375,36 @@ def materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _unpersist_matview(df: DataFrame) -> None:
-    """Best-effort release of a matview's blocks on eviction.
+    """Best-effort release of a matview's blocks — ONLY on explicit
+    invalidation (invalidate()/clear_matviews), never on silent cache
+    eviction: a localCheckpoint frame cannot be recomputed (lineage
+    truncated), so destroying its blocks while an already-analyzed
+    consumer DataFrame is still outstanding turns that consumer's next
+    action into a 'checkpoint block not found' crash. Eviction therefore
+    drops only the view handle and lets RDD GC reclaim blocks; explicit
+    invalidation is the caller declaring the DATA invalid, where
+    fail-fast on stale consumers is the correct outcome (review r10).
 
     persist-mode frames release through the CacheManager; checkpointed
     frames hold RDD-level blocks the CacheManager doesn't know, reachable
-    through the analyzed LogicalRDD. Failures are swallowed — an evicted
-    handle whose blocks linger until RDD GC is a space leak bounded by
-    _MATVIEW_MAX, not a correctness issue."""
+    through the analyzed LogicalRDD; reliable-mode frames additionally
+    delete their checkpoint FILES (nothing else ever cleans those —
+    spark.cleaner...cleanCheckpoints defaults false, so a long-lived
+    reliable session would otherwise grow its checkpoint dir without
+    bound). Failures are swallowed — a lingering block/file is a bounded
+    space leak, not a correctness issue."""
     try:
         df.unpersist()
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        ckpt = rdd.getCheckpointFile()
+        rdd.unpersist(False)
+        if ckpt.isDefined():  # reliable mode: remove the checkpoint files
+            jvm = df.sparkSession._jvm
+            path = jvm.org.apache.hadoop.fs.Path(ckpt.get())
+            fs = path.getFileSystem(
+                df.sparkSession._jsc.hadoopConfiguration()
+            )
+            fs.delete(path, True)
     except Exception:
         pass
 
@@ -436,8 +469,10 @@ def session_matview(
         evictable.remove(old_key)
         old_view, old_df = _MATVIEWS.pop(old_key)
         if old_key[1] == id(spark):
+            # drop the handle ONLY — no unpersist: an outstanding consumer
+            # analyzed against this (lineage-truncated) relation must keep
+            # working; blocks reclaim via RDD GC (see _unpersist_matview)
             spark.catalog.dropTempView(old_view)
-            _unpersist_matview(old_df)
     view = f"mv{_MATVIEW_SEQ}_{name}"
     _MATVIEW_SEQ += 1
     mat = materialize(spark, spark.sql(build_sql))

@@ -789,6 +789,6 @@ def constraints_gate(view: str = "events"):
             return report.where(F.col("passed") == 0).isEmpty()
         finally:
             spark.catalog.dropTempView(view)
-            _catalog.invalidate(spark)
+            _catalog.forget_registration(spark)
 
     return dq_constraints_gate

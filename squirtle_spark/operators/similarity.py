@@ -1072,12 +1072,13 @@ def _pq_index_views(
             (k for k in _PQ_INDEX if k[1] == id(spark)), next(iter(_PQ_INDEX))
         )
         old_views = _PQ_INDEX.pop(old_key)
-        old_codes = _PQ_CODES.pop(old_key, None)
+        _PQ_CODES.pop(old_key, None)
         if old_key[1] == id(spark):  # views are session-scoped
+            # handles only — no unpersist on silent eviction (an
+            # outstanding consumer of the lineage-truncated code table
+            # must keep working; see catalog._unpersist_matview)
             for v in old_views:
                 spark.catalog.dropTempView(v)
-            if old_codes is not None:
-                _catalog._unpersist_matview(old_codes)
     prefix = f"{'ivfpq' if ivf else 'pq'}_{_PQ_SEQ}"
     _PQ_SEQ += 1
     views = (f"{prefix}_cb", f"{prefix}_codes", f"{prefix}_cents")

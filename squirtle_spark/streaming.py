@@ -1859,6 +1859,11 @@ def stateful_count_window(
         .withColumn(
             "_t", F.unix_timestamp(F.col(ts_col).cast("timestamp"))
         )
+        # a NULL/unparseable event time has no position in the count
+        # order; dropping it HERE (JVM-side) keeps NaN out of the pandas
+        # fold, which would otherwise kill the whole query on
+        # astype(int64) — the same drop a watermark would apply
+        .where(F.col("_t").isNotNull())
         .groupBy("key")
         .applyInPandasWithState(
             update,

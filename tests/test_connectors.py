@@ -211,7 +211,11 @@ def _docker_redpanda():
         except (subprocess.TimeoutExpired, OSError) as e:
             return None, f"docker run failed: {e}", False
         if run.returncode != 0:
-            return None, f"redpanda start failed: {run.stderr.decode()[:200]}", False
+            err = run.stderr.decode()[:200]
+            # a stolen host port surfaces HERE ('port is already
+            # allocated'), not as a silent never-opened wait — this is
+            # the actual race the retry exists for
+            return None, f"redpanda start failed: {err}", "allocated" in err
         deadline = time.time() + 60
         while time.time() < deadline:
             try:
@@ -240,7 +244,10 @@ def _docker_redpanda():
     if bootstrap is None:
         _rm_named(retry_name)
         return None, f"{detail} (after one fresh-port retry)"
-    return bootstrap, detail if bootstrap is None else name
+    # detail == the RETRY container's name (review r10: the previous
+    # expression returned the first attempt's already-removed name, so
+    # the finalizer stopped the wrong container and the retry leaked)
+    return bootstrap, detail
 
 
 def _kafka_environment_blockers() -> list[str]:

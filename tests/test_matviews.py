@@ -94,3 +94,28 @@ def test_clear_matviews_drops_views_and_handles(spark, sf_dir):
     catalog.clear_matviews(spark)
     assert not any(k[1] == id(spark) for k in catalog._MATVIEWS)
     assert not spark.catalog.tableExists(v)
+
+
+def test_lm_pairs_hook_value_identical(spark, sf_dir):
+    """The repeated-scoring hook (pairs_src over lm_pairs_view) must be
+    value-identical to the registered self-contained forms for every
+    bigram entry — this pins the matview's (doc_id, w1, w2) contract so
+    the documented opt-in cannot silently drift (review r10: the hook
+    was otherwise dead code)."""
+    from squirtle_spark import dialect as dl
+    from squirtle_spark.operators import text as T
+
+    catalog.invalidate(spark)
+    view = T.lm_pairs_view(spark, sf_dir)
+    src = f"SELECT doc_id, w1, w2 FROM {view}"
+    for builder in (
+        T._lm_perplexity_bigram,
+        T._lm_perplexity_kn,
+        T._lm_score_new_batch,
+    ):
+        plain = sorted(map(tuple, spark.sql(builder(dl.SPARK)).collect()))
+        hooked = sorted(
+            map(tuple, spark.sql(builder(dl.SPARK, pairs_src=src)).collect())
+        )
+        assert plain == hooked and plain
+    catalog.invalidate(spark)
