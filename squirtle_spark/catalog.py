@@ -359,11 +359,16 @@ def materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
         import tempfile
 
         sc = spark.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            d = _CHECKPOINT_DIR or os.environ.get(
-                "SPARK_GRAFT_CHECKPOINT_DIR"
-            ) or tempfile.mkdtemp(prefix="squirtle-ckpt-")
-            sc.setCheckpointDir(d)
+        configured = _CHECKPOINT_DIR or os.environ.get(
+            "SPARK_GRAFT_CHECKPOINT_DIR"
+        )
+        if configured:
+            # an explicitly configured dir always wins (re-configuring
+            # mid-session must take effect; setCheckpointDir is
+            # re-callable and only affects future checkpoints)
+            sc.setCheckpointDir(configured)
+        elif sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="squirtle-ckpt-"))
         return df.checkpoint(eager=True)
     # persist: replicated memory/disk cache, lineage KEPT (recompute or
     # second replica covers executor loss); count() forces materialization

@@ -119,3 +119,28 @@ def test_lm_pairs_hook_value_identical(spark, sf_dir):
         )
         assert plain == hooked and plain
     catalog.invalidate(spark)
+
+
+def test_reliable_mode_clear_deletes_checkpoint_files(
+    spark, sf_dir, tmp_path, reset_matview_mode
+):
+    """Reliable-mode matviews write checkpoint FILES that nothing else
+    ever cleans (spark.cleaner's checkpoint cleaning defaults off); an
+    explicit clear/invalidate must delete them, or a long-lived session
+    grows its checkpoint store without bound (review r10)."""
+    import os
+
+    ckpt = tmp_path / "ckpt-reliable"
+    catalog.invalidate(spark)
+    catalog.configure_matview("reliable", checkpoint_dir=str(ckpt))
+    v = catalog.session_matview(
+        spark, "reliable_clear", sf_dir, "SELECT id AS x FROM RANGE(100)"
+    )
+    assert spark.sql(f"SELECT COUNT(*) c FROM {v}").first()["c"] == 100
+
+    def n_files() -> int:
+        return sum(len(fs) for _, _, fs in os.walk(ckpt))
+
+    assert n_files() > 0  # the checkpoint actually wrote here
+    catalog.clear_matviews(spark)
+    assert n_files() == 0  # and the explicit clear removed it
