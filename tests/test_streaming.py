@@ -2079,3 +2079,72 @@ def test_stateful_count_window_stream_equals_batch(spark, tmp_path):
         for r in expected_rows
     }
     assert got == expected and got
+
+
+def test_stateful_count_window_drops_null_event_times(spark, tmp_path):
+    """A NULL/unparseable event time must be DROPPED, not kill the query:
+    pre-fix, one NaN reaching the pandas fold raised on astype(int64)
+    inside applyInPandasWithState and failed the whole stream (review
+    r10). Planted: 7 rows for one key, 2 with NULL ts, N=5 — exactly one
+    window fires, built from the 5 timestamped rows."""
+    rows = [
+        (i, None if i in (2, 5) else f"2024-01-01 00:00:{i:02d}", 7, 10 * i)
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, b_date_time STRING, bidder BIGINT, price BIGINT"
+    ).withColumn("epoch", F.col("event_id"))
+    data_dir = str(tmp_path / "null-ts")
+    streaming.write_epoch_files(df, data_dir)
+    stream = streaming.replay_stream(spark, data_dir, files_per_trigger=7).drop("epoch")
+    result = streaming.stateful_count_window(
+        stream, "bidder", "b_date_time", 5, order_cols=["event_id"]
+    )
+    out = streaming.run_available_now(
+        result, checkpoint=str(tmp_path / "ckpt-nullts"), mode="append"
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key"], r["win_id"], r["cnt"]) == (7, 0, 5)
+    # bounds come from the 5 NON-NULL rows: seconds 0,1,3,4,6
+    assert r["close_s"] - r["open_s"] == 6
+
+
+def test_rocksdb_state_store_count_window(spark, tmp_path):
+    """The count-window operator's keyed state runs green on the RocksDB
+    provider — same cluster-config claim the session/dedup/q4 state ops
+    already carry, extended to the r10 operator."""
+    from squirtle_spark.session import (
+        _STATE_STORE_KEY,
+        STATE_STORE_PROVIDERS,
+        configure_state_store,
+    )
+
+    try:
+        prev = spark.conf.get(_STATE_STORE_KEY)
+    except Exception:
+        prev = None
+    assert configure_state_store(spark, "rocksdb") == STATE_STORE_PROVIDERS["rocksdb"]
+    try:
+        batch_df, stream = _replay_setup(spark, tmp_path)
+        n = 5
+        result = streaming.stateful_count_window(
+            stream, "bidder", "b_date_time", n, order_cols=["auction", "price"]
+        )
+        rows = streaming.run_available_now(
+            result, checkpoint=str(tmp_path / "ckpt-cnt-rocks"), mode="append"
+        )
+        expected_rows = batch_df.selectExpr(
+            "bidder", "unix_timestamp(b_date_time) AS t", "auction", "price"
+        ).selectExpr(
+            "bidder",
+            f"CAST((ROW_NUMBER() OVER (PARTITION BY bidder "
+            f"ORDER BY t, auction, price) - 1) DIV {n} AS BIGINT) AS win_id",
+        ).groupBy("bidder", "win_id").count().where(F.col("count") == n).count()
+        assert len(rows) == expected_rows > 0
+        assert {r["cnt"] for r in rows} == {n}
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_STORE_KEY)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prev)
