@@ -18,7 +18,7 @@ from __future__ import annotations
 import textwrap
 
 from .. import dialect as dl
-from ..registry import register_df, register_sql
+from ..registry import register_df
 
 #: Hashed-feature space size. The paper uses 10k buckets at web scale;
 #: 2048 keeps every bucket populated at test SF while preserving the
