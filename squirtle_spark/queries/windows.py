@@ -319,6 +319,9 @@ register_sql(
     doc="Count-based tumbling window (every N events per key), the "
     "reference's declared-only Schedule::Rows — 0-based keyed "
     "ROW_NUMBER DIV N buckets, one shuffle.",
+    # bench'd from r10 (the round it landed): keeps the new window
+    # class wall-timed alongside the time/session window entries.
+    bench=True,
 )
 
 
