@@ -189,6 +189,32 @@ def run_streaming(
         f"{query.sql}|{query.view}|{w.kind}|{w.size_s}|{w.slide_s}".encode()
     ).hexdigest()[:10]
 
+    # Fired-window ledger (ADVICE r10): the replay checkpoint commits when
+    # the BUFFER sink drains, before any window fires — so "which windows
+    # did a previous invocation already emit?" cannot be derived from the
+    # buffer (a crash between buffer-commit and firing would mark its
+    # windows consumed forever). The ledger records what actually FIRED,
+    # updated atomically after each per-window emit; a rerun fires every
+    # closed/advanced window the ledger doesn't cover, which makes
+    # "rerun the invocation" a real recovery for fire-phase failures
+    # (timeout, lost localCheckpoint block, sink error).
+    import json
+
+    ledger_path = os.path.join(workdir, f"fired-ledger-{spec}.json")
+
+    def _ledger() -> dict:
+        try:
+            with open(ledger_path) as fh:
+                return json.load(fh)
+        except Exception:
+            return {}
+
+    def _write_ledger(led: dict) -> None:
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(led, fh)
+        os.replace(tmp, ledger_path)
+
     def _parquet_safe(df: DataFrame) -> DataFrame:
         # parquet rejects NullType columns (SELECT NULL AS flag); cast them
         # to string so the result-sink route accepts everything the old
@@ -265,15 +291,8 @@ def run_streaming(
         buffer_dir = os.path.join(workdir, f"rows-buffer-{spec}")
         checkpoint = os.path.join(workdir, f"checkpoint-{spec}")
 
-        def _closed_ids() -> set:
-            try:
-                buf = spark.read.parquet(buffer_dir)
-            except Exception:
-                return set()
-            n_rows = buf.count()
-            return set(range(n_rows // w.size_s))
-
-        pre_closed = _closed_ids()
+        led = _ledger()
+        pre_closed = set(led.get("fired", []))
         stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
         sink_q = (
             stream.writeStream.format("parquet")
@@ -291,21 +310,29 @@ def run_streaming(
         ] + [c for c in buf.columns if c not in ("epoch", query.ts_col)]
         from pyspark.sql.window import Window as W
 
-        assigned = buf.withColumn(
-            "win_id",
-            ((F.row_number().over(W.orderBy(*order_cols)) - 1) / w.size_s)
-            .cast("long"),
+        # exact integer DIV for the 0-based bucket, matching the
+        # oracle-checked batch twin win_rows_tumble (float true division
+        # is only exact while rn-1 stays float53-safe — ADVICE r10)
+        assigned = (
+            buf.withColumn(
+                "_rn0", F.row_number().over(W.orderBy(*order_cols)) - 1
+            )
+            .withColumn("win_id", F.expr(f"_rn0 div {int(w.size_s)}"))
+            .drop("_rn0")
         )
         if "epoch" in assigned.columns:
             assigned = assigned.drop("epoch")
-        new_closed = sorted(_closed_ids() - pre_closed)
+        closed_now = set(range(buf.count() // w.size_s))
+        new_closed = sorted(closed_now - pre_closed)
         if new_closed:
             # one global sort total: without this, each per-window firing
             # below re-plans the whole buffer scan + single-partition
             # ROW_NUMBER (k windows -> k full sorts). Query-scope
             # localCheckpoint, the transient-materialization class
-            # (SCALING.md) — a lost block fails this invocation, which
-            # the caller simply reruns.
+            # (SCALING.md) — a lost block fails this invocation, and a
+            # RERUN recovers it: the fired-window ledger above only
+            # records windows whose results actually landed, so the
+            # rerun's closed-minus-fired diff re-fires the rest.
             assigned = assigned.localCheckpoint(eager=True)
         fired = False
         try:
@@ -320,6 +347,8 @@ def run_streaming(
                 )
                 out.write.mode("append").parquet(results_dir)
                 fired = True
+                led.setdefault("fired", []).append(win_id)
+                _write_ledger(led)
         finally:
             if fired:
                 spark.catalog.dropTempView(query.view)
@@ -341,10 +370,11 @@ def run_streaming(
 
     def _win_counts(path: str) -> dict:
         # per-window row counts of a buffer dir ({} when absent): the
-        # before/after diff below decides which windows THIS invocation
-        # fires — a restart must return only windows its own replay
-        # advanced, not re-fire the whole buffered history (the
-        # elementwise path's documented rerun contract, now shared)
+        # ledger-vs-buffer diff below decides which windows THIS
+        # invocation fires — a restart returns only windows its replay
+        # advanced OR a failed predecessor buffered but never emitted,
+        # not the whole fired history (the elementwise rerun contract,
+        # now with real fire-phase recovery)
         try:
             return {
                 r["win_start"]: r["count"]
@@ -356,6 +386,7 @@ def run_streaming(
         except Exception:
             return {}
 
+    led = _ledger()
     buffers: dict[str, DataFrame] = {}
     pre_counts: dict[str, dict] = {}
     post_counts: dict[str, dict] = {}
@@ -364,9 +395,10 @@ def run_streaming(
         if "epoch" in stream.columns:
             stream = stream.drop("epoch")
         assigned = streaming._with_event_time(stream, ts_col)
-        pre_counts[view] = _win_counts(
-            os.path.join(workdir, f"window-buffer-{spec}-{view}")
-        )
+        # last-FIRED counts come from the ledger (str-keyed win_start),
+        # not a pre-replay buffer read: rows buffered by a failed
+        # predecessor must count as un-emitted, not as history
+        pre_counts[view] = led.get(view, {})
         # slide_s=None on a hand-built hopping Window means tumbling (the
         # dataclass's documented fallback) — not the literal "None seconds"
         slide_s = w.slide_s if w.slide_s is not None else w.size_s
@@ -399,7 +431,7 @@ def run_streaming(
             ws
             for view, post in post_counts.items()
             for ws, n in post.items()
-            if pre_counts.get(view, {}).get(ws) != n
+            if pre_counts.get(view, {}).get(str(ws)) != n
         }
     )
     fired = False
@@ -419,6 +451,11 @@ def run_streaming(
             # they fire (datasink/mod.rs:118-140), never to the client.
             out.write.mode("append").parquet(results_dir)
             fired = True
+            for view in buffers:
+                led.setdefault(view, {})[str(start)] = post_counts[
+                    view
+                ].get(start, 0)
+            _write_ledger(led)
     finally:
         # The stream table names shadow the catalog's derived views; drop
         # them and force the next register_all to rebuild everything.

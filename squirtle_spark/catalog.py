@@ -379,6 +379,76 @@ def materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     return out
 
 
+#: Checkpoint paths of reliable-mode materializations dropped by silent
+#: cache EVICTION, keyed by owning-session id. Eviction must not delete
+#: the files immediately (reliable-mode consumers READ them — the same
+#: live-consumer rule that forbids unpersist on eviction), but nothing
+#: else ever cleans them (cleanCheckpoints defaults false), so a
+#: long-lived reliable session with eviction churn past _MATVIEW_MAX
+#: would grow its checkpoint dir without bound (ADVICE r10). The paths
+#: are deleted at the next explicit clear_matviews()/invalidate() — the
+#: caller declaring this session's materializations dead — or, local
+#: paths only, best-effort at interpreter exit.
+_DEFERRED_CKPT_DELETES: dict[int, list[str]] = {}
+
+
+def _checkpoint_path(df: DataFrame) -> str | None:
+    """The reliable-checkpoint file path behind ``df``, or None (local
+    checkpoints and persist-mode frames have no file)."""
+    try:
+        ckpt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return ckpt.get() if ckpt.isDefined() else None
+    except Exception:
+        return None
+
+
+def defer_checkpoint_delete(df: DataFrame, owner_session_id: int) -> None:
+    """Record an EVICTED materialization's reliable-checkpoint files for
+    deferred deletion (used by the matview FIFO below and the PQ-index
+    eviction in operators/similarity.py)."""
+    p = _checkpoint_path(df)
+    if p:
+        _DEFERRED_CKPT_DELETES.setdefault(owner_session_id, []).append(p)
+
+
+def _delete_ckpt_files(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete via the Hadoop FS (works for file:,
+    hdfs:, s3a: — whatever the checkpoint dir was configured on)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        pass
+
+
+def _drain_deferred_ckpt_deletes(spark: SparkSession) -> None:
+    for p in _DEFERRED_CKPT_DELETES.pop(id(spark), []):
+        _delete_ckpt_files(spark, p)
+
+
+def _cleanup_deferred_at_exit() -> None:
+    # the JVM may already be gone at interpreter exit: clean what we can
+    # reach OS-side (local file: paths); remote schemes stay for the
+    # cluster's checkpoint-dir retention policy
+    import re
+    import shutil
+
+    for paths in _DEFERRED_CKPT_DELETES.values():
+        for p in paths:
+            if "://" in p and not p.startswith("file:"):
+                continue
+            local = re.sub(r"^file:/*", "/", p)
+            shutil.rmtree(local, ignore_errors=True)
+    _DEFERRED_CKPT_DELETES.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_deferred_at_exit)
+
+
 def _unpersist_matview(df: DataFrame) -> None:
     """Best-effort release of a matview's blocks — ONLY on explicit
     invalidation (invalidate()/clear_matviews), never on silent cache
@@ -431,6 +501,9 @@ def clear_matviews(spark: SparkSession) -> None:
         except Exception:
             pass
         _unpersist_matview(df)
+    # evicted reliable-mode entries deferred their checkpoint-file
+    # deletion to exactly this moment (see _DEFERRED_CKPT_DELETES)
+    _drain_deferred_ckpt_deletes(spark)
 
 
 def session_matview(
@@ -478,6 +551,10 @@ def session_matview(
             # analyzed against this (lineage-truncated) relation must keep
             # working; blocks reclaim via RDD GC (see _unpersist_matview)
             spark.catalog.dropTempView(old_view)
+        # reliable mode: the entry's checkpoint FILES can't be deleted
+        # now (consumers read them) and RDD GC never deletes them —
+        # queue them for the next explicit clear/invalidate
+        defer_checkpoint_delete(old_df, old_key[1])
     view = f"mv{_MATVIEW_SEQ}_{name}"
     _MATVIEW_SEQ += 1
     mat = materialize(spark, spark.sql(build_sql))

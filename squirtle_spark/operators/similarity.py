@@ -1072,7 +1072,12 @@ def _pq_index_views(
             (k for k in _PQ_INDEX if k[1] == id(spark)), next(iter(_PQ_INDEX))
         )
         old_views = _PQ_INDEX.pop(old_key)
-        _PQ_CODES.pop(old_key, None)
+        old_codes = _PQ_CODES.pop(old_key, None)
+        if old_codes is not None:
+            # reliable-mode code tables leave checkpoint FILES behind;
+            # eviction can't delete them (live consumers) — defer to the
+            # owner session's next clear_matviews/invalidate (ADVICE r10)
+            _catalog.defer_checkpoint_delete(old_codes, old_key[1])
         if old_key[1] == id(spark):  # views are session-scoped
             # handles only — no unpersist on silent eviction (an
             # outstanding consumer of the lineage-truncated code table

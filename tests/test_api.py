@@ -395,3 +395,65 @@ def test_streaming_rows_window_fires_per_n_events(spark, tmp_path):
     assert sorted(r["win_start"] for r in more) == list(
         range(total // n, grand_total // n)
     )
+
+
+def test_windowed_rerun_recovers_unfired_windows(spark, tmp_path, monkeypatch):
+    """A failure between buffer-commit and firing must not lose windows
+    (ADVICE r10): the replay checkpoint has already consumed the epoch
+    files, but the fired-window LEDGER hasn't recorded the windows, so a
+    plain rerun emits them — previously the pre-run buffer count marked
+    them as fired history and they were silently unrecoverable."""
+    data_dir, _ = _write_bids(spark, tmp_path)
+    wd = str(tmp_path / "wd-recover")
+    q = Query(sql="SELECT COUNT(*) AS n FROM bid", window=Window.tumbling(2))
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the abstract
+    # base from the classic implementation; patching the base is a no-op)
+    DF = type(spark.range(1))
+    orig = DF.createOrReplaceTempView
+
+    def boom(self, name):
+        if name == "bid":  # the firing loop's per-window view bind
+            raise RuntimeError("injected fire-phase failure")
+        return orig(self, name)
+
+    monkeypatch.setattr(DF, "createOrReplaceTempView", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    recovered = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    fresh = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-recover-fresh")
+    ).collect()
+    # the rerun fired every buffered-but-unfired window, over its FULL
+    # window contents — identical to a clean end-to-end run
+    assert sorted((r["win_start"], r["n"]) for r in recovered) == sorted(
+        (r["win_start"], r["n"]) for r in fresh
+    ) and len(recovered) > 0
+    # and the ledger is now complete: a further rerun fires nothing
+    assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []
+
+
+def test_rows_rerun_recovers_unfired_windows(spark, tmp_path, monkeypatch):
+    """Rows-path twin of the recovery contract: a lost localCheckpoint
+    block (or any fire-phase error) fails the invocation AFTER the
+    buffer sink committed; the rerun must re-derive the un-emitted
+    windows from the fired ledger, not from the buffer row count."""
+    data_dir, batch = _write_bids(spark, tmp_path, eps=50, secs=4)
+    total = batch.count()
+    n = 60
+    wd = str(tmp_path / "wd-rows-recover")
+    q = Query(sql="SELECT COUNT(*) AS cnt FROM bid", window=Window.rows(n))
+
+    def boom(self, eager=True):
+        raise RuntimeError("injected localCheckpoint loss")
+
+    monkeypatch.setattr(type(spark.range(1)), "localCheckpoint", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    recovered = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert {r["cnt"] for r in recovered} == {n}
+    assert sorted(r["win_start"] for r in recovered) == list(range(total // n))
+    assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []

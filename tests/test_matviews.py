@@ -144,3 +144,44 @@ def test_reliable_mode_clear_deletes_checkpoint_files(
     assert n_files() > 0  # the checkpoint actually wrote here
     catalog.clear_matviews(spark)
     assert n_files() == 0  # and the explicit clear removed it
+
+
+def test_reliable_eviction_defers_checkpoint_delete(
+    spark, sf_dir, tmp_path, reset_matview_mode, monkeypatch
+):
+    """Silent FIFO eviction of a reliable-mode matview must not orphan
+    its checkpoint files (ADVICE r10): eviction can't delete them
+    immediately — live consumers of the evicted relation READ them, the
+    same rule that forbids unpersist-on-eviction — so the path is queued
+    and the next explicit clear_matviews/invalidate deletes it."""
+    import os
+    import re
+
+    sess = spark.newSession()
+    catalog.configure_matview("reliable", checkpoint_dir=str(tmp_path / "ck"))
+    # cap the cache right above its current size so the SECOND insert
+    # below evicts the FIRST (this session's oldest) and nothing else
+    monkeypatch.setattr(catalog, "_MATVIEW_MAX", len(catalog._MATVIEWS) + 1)
+    catalog.session_matview(
+        sess, "evict_a", sf_dir, "SELECT id AS x FROM RANGE(7)"
+    )
+    key_a = (sess.sparkContext.applicationId, id(sess), sf_dir, "evict_a")
+    df_a = catalog._MATVIEWS[key_a][1]
+    p = catalog._checkpoint_path(df_a)
+    assert p  # reliable mode really wrote checkpoint files
+    local = re.sub(r"^file:/*", "/", p)
+    assert os.path.exists(local)
+
+    catalog.session_matview(
+        sess, "evict_b", sf_dir, "SELECT id AS y FROM RANGE(8)"
+    )
+    assert key_a not in catalog._MATVIEWS  # evicted
+    # files survive eviction (consumers), the evicted frame still works,
+    # and the path is queued for deferred deletion
+    assert os.path.exists(local)
+    assert df_a.count() == 7
+    assert p in catalog._DEFERRED_CKPT_DELETES.get(id(sess), [])
+
+    catalog.clear_matviews(sess)
+    assert not os.path.exists(local)
+    assert id(sess) not in catalog._DEFERRED_CKPT_DELETES
