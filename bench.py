@@ -811,23 +811,14 @@ def _stream_q5_bench(
 
 #: Streaming bench lanes whose MEASUREMENT discipline or code changed
 #: this round — same contract as _STRESS_CHANGED_LANES, including the
-#: same hygiene rule: EMPTY THIS AT THE START OF r11 (a stale blanket
-#: entry would mis-attribute a genuine future regression to the r10
-#: measurement change). Round 10: every lane moved from one guarded
-#: single reading to warm + min-of-2 canary-sandwiched samples (VERDICT
-#: r9 item 3), and ysb gained the warm/init pass the other lanes already
-#: had; min-of-2 after warm reads systematically faster than r9's
-#: single readings.
-_BENCH_STREAM_CHANGED_LANES: dict[str, str] = {
-    lane: (
-        "lane measurement changed r10: warm + min-of-2 canary-sandwiched "
-        "samples replaces the single guarded reading (the r9 q5-lane "
-        "-18.5% was unadjudicable exactly because the record held one "
-        "sample; the r10 bisect measured the lane level swinging 19k->24.6k "
-        "ev/s with JIT warm depth alone, same code/process)"
-    )
-    for lane in ("q5", "q5_full_query", "q11_full_query", "q8_full_query", "ysb", "q4_full_query")
-}
+#: same hygiene rule: EMPTY THIS AT THE START OF EACH ROUND (a stale
+#: blanket entry would mis-attribute a genuine future regression to a
+#: past measurement change). Round 11: EMPTY — the r10 min-of-2
+#: canary-sandwiched sampling is now the stable baseline and no
+#: streaming lane's code changed this round; r10-vs-r11 lane deltas are
+#: adjudicated by the classifier against the documented warm-depth
+#: bands (see the q5 lane's band annotation).
+_BENCH_STREAM_CHANGED_LANES: dict[str, str] = {}
 
 
 def _stream_bench_drift(sf: float, lane_stats: dict) -> dict:
@@ -891,8 +882,9 @@ def _stress_prev() -> tuple[int, dict]:
 #: Lanes whose CODE/semantics changed this round — a cross-round wall
 #: delta on these is attributed to the lane rewrite, not host noise or a
 #: regression of unchanged code. Reset each round as lanes stabilize.
-#: Round 10: EMPTY — the r9 q11 append-mode rewrite is now the stable
-#: baseline and no stress lane's code changed this round.
+#: Round 11: EMPTY — no stress lane's code changed this round (the r11
+#: api.py fired-ledger fix touches the Query-API replay runner only,
+#: not the native streaming.py lanes these stress paths drive).
 _STRESS_CHANGED_LANES: dict[str, str] = {}
 
 #: Written adjudications of open cross-round perf deltas (VERDICT r9

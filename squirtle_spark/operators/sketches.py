@@ -163,3 +163,174 @@ register_df(
     "family): deterministic counter matrix, value-level oracle, "
     "est >= exact invariant.",
 )
+
+
+# --------------------------------------------------------------------------
+# Driver-checkable CONTRACT twins (VERDICT r10 item 6). The three
+# engine-native sketch entries above/in text.py are rows-only by nature:
+# their estimates are DataSketches-/HLL++-parameter-specific, so a DuckDB
+# value oracle would compare two different approximations. Each now gets
+# a twin whose OUTPUT is deterministic and DuckDB-expressible — exact
+# values plus boolean within-error judgments that the sketch's error
+# guarantee (pinned by tests/test_sketches.py at the same bounds) makes
+# always-true. The driver's value hash then proves both the exact legs
+# AND that the live sketch met its bound — the same move that upgraded
+# nexmark_q12 via its deterministic virtual-clock twin. The originals
+# stay registered as the engine-native forms.
+# --------------------------------------------------------------------------
+
+HLL_REL_ERR = 0.05  # test_sketches.py bound; HLL++ default rsd is 5%
+TDIGEST_REL_ERR = 0.10  # t-digest median bound from test_sketches.py
+
+
+def _approx_stats_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_sketch_stats' contract twin: exact distinct per type plus
+    bool within-bound rows for the HLL++ count and t-digest median."""
+    return spark.sql(
+        f"""
+        WITH approx AS (
+            SELECT event_type,
+                   approx_count_distinct(user_id) AS au,
+                   CAST(approx_percentile(value, 0.5) AS DOUBLE) AS amed
+            FROM events GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   percentile(value, 0.5) AS emed
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               e.exact_users,
+               abs(a.au - e.exact_users) <= {HLL_REL_ERR} * e.exact_users
+                   AS users_within_5pct,
+               abs(a.amed - e.emed) <= {TDIGEST_REL_ERR} * abs(e.emed)
+                   AS median_within_10pct
+        FROM exact e JOIN approx a USING (event_type)
+        """
+    )
+
+
+register_df(
+    "approx_sketch_stats_contract",
+    _approx_stats_contract,
+    oracle_body="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_5pct,
+       TRUE AS median_within_10pct
+FROM events GROUP BY event_type
+""",
+    doc="Deterministic within-error contract for approx_sketch_stats "
+    "(HLL++ 5%, t-digest median 10%): full value oracle.",
+)
+
+
+def _sketch_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch_merge_distinct's contract twin: the merged daily-HLL
+    estimate must track the exact global distinct within 5% per type;
+    the daily-sketch count and exact distinct are oracle-exact."""
+    return spark.sql(
+        f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   hll_sketch_agg(user_id) AS sk
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        merged AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_daily_sketches,
+                   hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
+            FROM daily GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, m.n_daily_sketches, e.exact_users,
+               abs(m.approx_users - e.exact_users)
+                   <= {HLL_REL_ERR} * e.exact_users AS merged_within_5pct
+        FROM exact e JOIN merged m USING (event_type)
+        """
+    )
+
+
+register_df(
+    "sketch_merge_distinct_contract",
+    _sketch_merge_contract,
+    oracle_body="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_within_5pct
+FROM events GROUP BY event_type
+""",
+    doc="Deterministic contract for sketch_merge_distinct: merged daily "
+    "HLL union within 5% of exact global distinct; full value oracle.",
+)
+
+
+def _topk_contract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_topk_tokens' contract twin: for each EXACT top-k token
+    (ties broken by token text — deterministic in both engines), the
+    live approx_top_k(2k) must contain it with the exact count. With
+    maxItemsTracked (10000) >= the corpus vocabulary the DataSketches
+    frequent-items map never evicts, so both booleans are guaranteed —
+    the hash check proves the sketch really behaved that way."""
+    from .. import dialect as dl
+
+    toks = dl.split_tokens("lower(text)", dl.SPARK)
+    return spark.sql(
+        f"""
+        WITH toks AS (
+            SELECT explode({toks}) AS tok FROM documents
+        ),
+        exact AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM toks GROUP BY tok
+        ),
+        topk AS (
+            SELECT tok, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, tok ASC LIMIT {TOP_K}
+        ),
+        approx AS (
+            SELECT t.item AS tok, CAST(t.count AS BIGINT) AS acnt
+            FROM (SELECT explode(approx_top_k(tok, {2 * TOP_K}, 10000)) AS t
+                  FROM toks)
+        )
+        SELECT k.tok AS token, k.exact_cnt,
+               a.tok IS NOT NULL AS in_approx_top2k,
+               COALESCE(a.acnt = k.exact_cnt, FALSE) AS count_exact
+        FROM topk k LEFT JOIN approx a ON a.tok = k.tok
+        """
+    )
+
+
+def _topk_contract_oracle() -> str:
+    from .. import dialect as dl
+
+    toks = dl.split_tokens("lower(text)", dl.DUCK)
+    return f"""
+WITH toks AS (
+    SELECT unnest({toks}) AS tok FROM documents
+),
+exact AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY tok
+)
+SELECT tok AS token, exact_cnt,
+       TRUE AS in_approx_top2k,
+       TRUE AS count_exact
+FROM exact ORDER BY exact_cnt DESC, token ASC LIMIT {TOP_K}
+"""
+
+
+register_df(
+    "approx_topk_tokens_contract",
+    _topk_contract_spark,
+    oracle_body=_topk_contract_oracle(),
+    doc=f"Deterministic contract for approx_topk_tokens: every exact "
+    f"top-{TOP_K} token present in approx_top_k({2 * TOP_K}) with its "
+    "exact count; full value oracle.",
+)
