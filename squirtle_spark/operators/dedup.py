@@ -618,6 +618,54 @@ register_df(
 )
 
 
+def mh_shared_oracle(d: str = dl.DUCK) -> tuple[list[str], dict[str, str]]:
+    """(setup, {name: query}) — the MinHash pipeline as CREATE TEMP TABLE
+    statements built ONCE, plus each registered minhash entry's remainder
+    query over those tables: the sf1 soak's shared-lifecycle oracle form
+    (the PQ move of VERDICT r9 item 8, extended to the minhash family in
+    r11 — the two self-contained oracles re-ran the identical shingle →
+    signature → band pipeline, ~28 s of the soak's DuckDB side).
+
+    Fragment-identical to the registered oracles by construction: the
+    temp tables are the same stage bodies `_mh_pipeline_ctes` composes,
+    under the same ``sh``/``sig``/``bands`` names the remainder texts
+    reference. Value-equality is pinned by tests/test_dedup.py::
+    test_mh_shared_oracle_equals_registered."""
+    import textwrap
+
+    from .curation import BATCH_MOD, shingle_rows
+
+    setup = [
+        "CREATE OR REPLACE TEMP TABLE sh AS "
+        + shingle_rows(d, "TRUE", SHINGLE_W),
+        "CREATE OR REPLACE TEMP TABLE sig AS "
+        + _mh_sig_body(f"({_mh_hashed_body('sh', d)}) _h", d),
+        "CREATE OR REPLACE TEMP TABLE bands AS " + _mh_bands_body("sig", d),
+    ]
+    lsh = textwrap.dedent(f"""
+        WITH {verified_pairs_ctes()}
+        SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        FROM pairs
+        WHERE jac >= {NEARDUP_JACCARD_FLOOR}
+        """)
+    split = "\n".join(
+        f"{part}_{side} AS (SELECT * FROM {part} "
+        f"WHERE doc_id % {BATCH_MOD} {op} 0),"
+        for part in ("bands", "sh", "sig")
+        for side, op in (("b", "="), ("c", "<>"))
+    )
+    incr = textwrap.dedent(f"""
+        WITH {split}
+        {_probe_core_sql(bands_b="bands_b", bands_c="bands_c",
+                         sh_b="sh_b", sh_c="sh_c",
+                         sig_b="sig_b", sig_c="sig_c")}
+        """)
+    return setup, {
+        "dedup_minhash_lsh": lsh,
+        "dedup_incremental_minhash": incr,
+    }
+
+
 #: Persisted band-index layout: one parquet dataset per pipeline stage.
 _INDEX_PARTS = ("bands", "sh", "sig")
 

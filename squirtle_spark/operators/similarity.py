@@ -798,16 +798,24 @@ def _ann_pq(
         repack = "list(cv ORDER BY dim)"
 
         def argmin(src: str, out: str, keep_sv: bool) -> str:
-            cols = "s.vec_id, s.m, s.sv, c.k" if keep_sv else "s.vec_id, s.m, c.k"
-            sel = "vec_id, m, sv, k" if keep_sv else "vec_id AS c_id, m, k AS code"
-            return f"""{out} AS (
-    SELECT {sel} FROM (
-        SELECT {cols},
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY {_pq_dist(dot_pair)}, c.k) AS rn
-        FROM subs s JOIN {src} c ON s.m = c.m) t
-    WHERE rn = 1
-)"""
+            # Same packed-BIGINT argmin as the Spark branch (dist * K +
+            # (k-1), exact, order-isomorphic to (dist ASC, k ASC)): a
+            # GROUP BY hash-agg min over the N*M*K pair set instead of a
+            # ROW_NUMBER window — the window SORTED the whole pair set
+            # and was 33 s of the sf1 soak's DuckDB side (r11).
+            g = (
+                f"SELECT s.vec_id, s.m, "
+                f"min(({_pq_dist(dot_pair)}) * {PQ_K} + (c.k - 1)) % {PQ_K} + 1 AS k "
+                f"FROM subs s JOIN {src} c ON s.m = c.m "
+                f"GROUP BY s.vec_id, s.m"
+            )
+            if not keep_sv:
+                return f"{out} AS (SELECT vec_id AS c_id, m, k AS code FROM ({g}) t)"
+            return (
+                f"{out} AS (SELECT t.vec_id, t.m, s2.sv, t.k "
+                f"FROM ({g}) t JOIN subs s2 "
+                f"ON t.vec_id = s2.vec_id AND t.m = s2.m)"
+            )
 
     seed = "md5(CAST(vec_id AS STRING) || '-' || CAST(m AS STRING))"
     base = f"""

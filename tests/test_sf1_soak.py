@@ -35,7 +35,12 @@ pytestmark = pytest.mark.skipif(
 #: log-space scoring (DSIR), the KN discount arithmetic, and (round 8)
 #: the MinHash-band family — banding thresholds are the other
 #: float-adjacent knee (a hash collision pattern that only shows up
-#: with enough shingles crossing band boundaries).
+#: with enough shingles crossing band boundaries). Round 11 adds the
+#: rest of the r10 `regressed-no-prior-fingerprint` cohort
+#: (dedup_spans / decontaminate_ngram_overlap / chunk_documents —
+#: VERDICT r10 item 3): at sf0.1 they sit in the 0.3–1 s band where
+#: host noise is ±30%, so their cross-round perf verdicts need this
+#: sf1 working point, where a real 30% regression is unmistakable.
 FAMILY = [
     "ann_cosine_topk",
     "ann_sq8_topk",
@@ -47,6 +52,9 @@ FAMILY = [
     "vocab_coverage",
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
+    "dedup_spans",
+    "decontaminate_ngram_overlap",
+    "chunk_documents",
 ]
 
 
@@ -136,17 +144,26 @@ def soak_record():
 
 @pytest.fixture(scope="module")
 def shared_pq_oracle(sf1_dir):
-    """One DuckDB connection holding the factored PQ lifecycle (emb/subs
-    quantization, codebook training, code table) as temp tables, built
-    ONCE and read by BOTH pq entries' oracles (VERDICT r9 item 8 — the
-    two self-contained oracles re-trained the identical codebook and
-    were 60% of the 223 s soak). Coverage is identical: the setup/query
-    texts are assembled from the same fragments as the registered
-    oracles, and test_similarity.py::test_pq_shared_oracle_equals_registered
-    pins value-equality of the two compositions."""
+    """One DuckDB connection holding the factored shared-lifecycle
+    oracles as temp tables, built ONCE per soak:
+
+    - the PQ lifecycle (emb/subs quantization, codebook training, code
+      table) read by BOTH pq entries' oracles (VERDICT r9 item 8 — the
+      two self-contained oracles re-trained the identical codebook and
+      were 60% of the 223 s soak);
+    - the MinHash pipeline (sh/sig/bands) read by BOTH minhash entries'
+      oracles (r11, same move — the self-contained forms re-ran the
+      identical shingle→signature pipeline, ~28 s of the soak).
+
+    Coverage is identical: the setup/query texts are assembled from the
+    same fragments as the registered oracles, and
+    test_similarity.py::test_pq_shared_oracle_equals_registered /
+    test_dedup.py::test_mh_shared_oracle_equals_registered pin
+    value-equality of the compositions."""
     import duckdb
 
     from squirtle_spark import dialect as dl
+    from squirtle_spark.operators import dedup as D
     from squirtle_spark.operators import similarity as S
 
     con = duckdb.connect()
@@ -159,9 +176,14 @@ def shared_pq_oracle(sf1_dir):
         setup, q_pq = S._ann_pq(dl.DUCK, shared=True)
         setup_ivf, q_ivf = S._ann_pq(dl.DUCK, ivf=True, shared=True)
         assert setup == setup_ivf  # one lifecycle, two searches
-        for s in setup:
+        mh_setup, mh_queries = D.mh_shared_oracle(dl.DUCK)
+        for s in setup + mh_setup:
             con.sql(s)
-        yield con, {"ann_pq_topk": q_pq, "ann_ivfpq_topk": q_ivf}
+        yield con, {
+            "ann_pq_topk": q_pq,
+            "ann_ivfpq_topk": q_ivf,
+            **mh_queries,
+        }
     finally:
         con.close()
 
