@@ -77,7 +77,7 @@ def test_round_number_is_one_past_latest_bench_artifact():
 
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
-    rnd, times, fps, aux = bench._prev_record(sf=0.1)
+    rnd, times, fps, aux, watch = bench._prev_record(sf=0.1)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
     assert rnd < bench._round_number()  # never its own round (ADVICE r8)
     assert times  # some per-query seconds
@@ -87,13 +87,16 @@ def test_prev_record_prefers_detail_and_carries_fingerprints():
     assert all(isinstance(v, (int, float)) for v in times.values())
     assert all(isinstance(v, str) for v in fps.values())
     assert all(isinstance(v, str) for v in aux.values())
+    # the watchlist carries only regressed-* classes from the prior
+    # round's drift section (VERDICT r10 item 1)
+    assert all(str(c).startswith("regressed") for c in watch.values())
 
 
 def test_prev_record_skips_other_scale_factors():
     # an sf nobody ever benched at: no record may match — a stray
     # local run at another sf must never poison drift attribution
-    rnd, times, fps, aux = bench._prev_record(sf=123.456)
-    assert (rnd, times, fps, aux) == (0, {}, {}, {})
+    rnd, times, fps, aux, watch = bench._prev_record(sf=123.456)
+    assert (rnd, times, fps, aux, watch) == (0, {}, {}, {}, {})
 
 
 def test_rounds_glob_skips_nonnumeric_names(tmp_path, monkeypatch):
