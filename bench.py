@@ -1374,6 +1374,21 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
         state_retention["rocksdb"] = dict(
             rocksdb_state.get("q8", {}).get("symmetricHashJoin", {})
         )
+        # Self-adjudicating verdict (r11 finding, SCALING.md "state-bytes
+        # retention"): final/peak ratios + the class a human would assign.
+        # HEALTHY = the retain-1 run collapses the metric (proving the
+        # default's plateau is version-map retention, a bounded 2x of
+        # steady state, not growth); anything else is flagged for a look.
+        for k, v in state_retention.items():
+            if v.get("peak_bytes"):
+                v["final_over_peak"] = round(v["final_bytes"] / v["peak_bytes"], 3)
+        _dflt = state_retention["hdfs_default"].get("final_bytes", 0)
+        _ret1 = state_retention["hdfs_retain1"].get("final_bytes", 0)
+        state_retention["verdict"] = (
+            "version-map-retention (bounded plateau, expected)"
+            if _ret1 and _dflt and _ret1 < 0.5 * _dflt
+            else "unexplained: retain1 did not collapse final_bytes"
+        )
         state_metrics = hdfs_state
 
         # IVF-PQ vs plain-PQ crossover at 10x corpus (VERDICT r6 item 4):
