@@ -792,3 +792,46 @@ def constraints_gate(view: str = "events"):
             _catalog.forget_registration(spark)
 
     return dq_constraints_gate
+
+
+def _dq_profile_approx_contract(spark, sf_dir):
+    """dq_profile_approx's deterministic contract twin (the same move
+    that upgraded the HLL/CMS sketches and nexmark_q12, VERDICT r10
+    item 6): exact per-column stats — oracle-checkable value-for-value —
+    plus a bool row asserting the HLL++ distinct estimate sits within
+    5% (HLL++ default rsd) of the exact count. The engine-native
+    dq_profile_approx entry stays registered as the 100 TB form; this
+    twin is what makes its error bound a driver-checkable fact instead
+    of a pytest-only contract."""
+    from pyspark.sql import functions as F
+
+    exact = spark.sql(_dq_profile(dl.SPARK)).alias("e")
+    approx = _dq_profile_approx(spark, sf_dir).alias("a")
+    return (
+        exact.join(approx, "col_name")
+        .select(
+            "col_name",
+            F.col("e.n_rows").alias("n_rows"),
+            F.col("e.n_nulls").alias("n_nulls"),
+            F.col("e.n_distinct").alias("n_distinct"),
+            F.col("e.min_num").alias("min_num"),
+            F.col("e.max_num").alias("max_num"),
+            (
+                F.abs(F.col("a.n_distinct") - F.col("e.n_distinct"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("e.n_distinct"))
+            ).alias("distinct_within_5pct"),
+        )
+    )
+
+
+register_df(
+    "dq_profile_approx_contract",
+    _dq_profile_approx_contract,
+    oracle_body=f"""
+SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+       TRUE AS distinct_within_5pct
+FROM ({_dq_profile(dl.DUCK)}) t
+""",
+    doc="Deterministic within-error contract for dq_profile_approx "
+    "(exact per-column stats + HLL++ distinct within 5%): full value oracle.",
+)

@@ -1426,3 +1426,115 @@ register_df(
     "variant (lsh/ivf/sq8/pq/ivfpq) vs the brute-force ground truth, "
     "one value-oracled row per variant.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space test-set decontamination
+# ---------------------------------------------------------------------------
+
+#: eval split: vec_id % DECON_EVAL_MOD == 0 (~1% of the corpus) — eval
+#: benchmark sets are tiny next to a training corpus, which is exactly
+#: why the broadcast plan below is the right one at 100 TB.
+DECON_EVAL_MOD = 97
+#: flag threshold — same working point as NEARDUP_MIN_COS on the fixture
+#: embeddings (near-orthogonal synthetic vectors; the p99 cross-split
+#: cosine sits just above it, so the flagged set is small but non-empty).
+DECON_MIN_COS = 0.35
+#: packing constants for the argmax-without-sort group-by: cosine rounded
+#: to 4 decimals is shifted to a non-negative int (0..20000, 15 bits) and
+#: packed above the id-complement tie-breaker.
+_DECON_ID_SPAN = 1 << 32
+
+
+def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
+    """Training vectors semantically too close to the eval split — the
+    embedding-space complement of ``decontaminate_ngram_overlap``:
+    n-gram decon catches verbatim leakage, this catches paraphrase-level
+    leakage an exact-token scrub misses (cf. the reference's curation
+    scope; this is beyond-reference LLM-pipeline surface).
+
+    Plan: eval side (vec_id % 97 == 0, ~1%) broadcasts; train ×
+    broadcast(eval) cosine; per-train argmax found with a packed-BIGINT
+    MAX (map-side combine, no window sort over the cross product —
+    the same trick the PQ ADC scan uses). Flagged rows only. Ties on
+    cosine break to the smaller eval id via the packed id-complement.
+
+    At 100 TB the broadcast of a few-thousand-row eval set is the plan
+    you want; if the eval side ever outgrows broadcast, both sides drop
+    into the LSH bucketed candidate join above unchanged.
+    """
+    emb = spark.table("embeddings")
+    ev = emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").cast("array<double>").alias("ev"),
+    )
+    tr = emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").cast("array<double>").alias("tv"),
+    )
+    # canonical scaled cosine = round(cos * 10000): ONE rounding, done
+    # identically on both sides — an explicit round before the bigint
+    # cast because Spark's double→bigint cast truncates while DuckDB's
+    # rounds, which would put the two engines one ulp apart
+    scaled = (F.round(_cosine("tv", "ev") * 10000, 0).cast("bigint") + 10000).alias(
+        "scaled"
+    )
+    packed = tr.crossJoin(F.broadcast(ev)).select(
+        "train_id",
+        (
+            scaled * F.lit(_DECON_ID_SPAN)
+            + (F.lit(_DECON_ID_SPAN - 1) - F.col("eval_id"))
+        ).alias("pk"),
+    )
+    best = packed.groupBy("train_id").agg(F.max("pk").alias("pk"))
+    decoded = best.select(
+        "train_id",
+        (F.lit(_DECON_ID_SPAN - 1) - F.col("pk") % _DECON_ID_SPAN)
+        .cast("bigint")
+        .alias("eval_id"),
+        (
+            (F.floor(F.col("pk") / _DECON_ID_SPAN).cast("bigint") - 10000) / F.lit(10000.0)
+        ).alias("cos_sim"),
+    )
+    return decoded.where(F.col("cos_sim") >= DECON_MIN_COS)
+
+
+_DECON_EMB_ORACLE = f"""
+WITH ev AS (
+    SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+    FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0
+),
+tr AS (
+    SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
+    FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} <> 0
+),
+packed AS (
+    SELECT train_id,
+           (CAST(round(list_cosine_similarity(tv, ev) * 10000, 0) AS BIGINT) + 10000)
+               * {_DECON_ID_SPAN}
+           + ({_DECON_ID_SPAN - 1} - eval_id) AS pk
+    FROM tr CROSS JOIN ev
+),
+best AS (
+    SELECT train_id, MAX(pk) AS pk FROM packed GROUP BY train_id
+),
+decoded AS (
+    SELECT train_id,
+           CAST({_DECON_ID_SPAN - 1} - pk % {_DECON_ID_SPAN} AS BIGINT) AS eval_id,
+           ((pk // {_DECON_ID_SPAN}) - 10000) / 10000.0 AS cos_sim
+    FROM best
+)
+SELECT train_id, eval_id, cos_sim
+FROM decoded
+WHERE cos_sim >= {DECON_MIN_COS}
+"""
+
+
+register_df(
+    "decontaminate_embedding",
+    _decontaminate_embedding,
+    oracle_body=_DECON_EMB_ORACLE,
+    doc="Embedding-space eval-set decontamination: train vectors whose max "
+    "cosine vs the (broadcast) eval split >= threshold — paraphrase-level "
+    "leakage the n-gram scrub misses; packed-BIGINT argmax, no window sort.",
+)

@@ -119,6 +119,12 @@ _PIN_TAIL = [
     "sketch_merge_distinct",
     "approx_topk_tokens",
     "approx_sketch_stats",
+    # r11: every rows-only-by-nature entry now has an oracle-green
+    # deterministic twin (*_contract / nexmark_q12_virtual_clock), so the
+    # engine-native forms all move here — their driver row can only ever
+    # prove rows>0 and must not displace an oracle-bearing re-check.
+    "dq_profile_approx",
+    "nexmark_q12",
 ]
 
 #: Budget-ordered registry, computed on the first load_all() call. Later

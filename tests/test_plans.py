@@ -116,6 +116,9 @@ def test_no_single_partition_exchange(spark, sf_dir, name):
 _GLOBAL_AGG_QUERIES = {
     "agg_global",
     "dq_profile",  # the whole profile IS one global aggregation pass
+    "dq_profile_approx_contract",  # composes dq_profile's exact global agg
+    # global approx_top_k: per-partition partial sketches, ONE final merge
+    "approx_topk_tokens_contract",
     "dq_constraints",  # scan-rule totals are one global aggregation pass
     "funnel_conversion",  # three global COUNT(*) stage totals (tiny partials)
     "mixture_weights",  # corpus-total scalar agg over 5 per-lang rows

@@ -284,3 +284,32 @@ def test_pq_shared_oracle_equals_registered(sf_dir):
             assert _normalize(a) == _normalize(b)
     finally:
         con.close()
+
+
+def test_decontaminate_embedding_broadcasts_eval_and_flags(spark, sf_dir):
+    """The eval side must broadcast (the 100 TB plan: eval sets are tiny)
+    and the flagged set must be exactly the rows clearing the threshold,
+    one row per flagged train vector with its argmax eval match."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from squirtle_spark.operators.similarity import DECON_MIN_COS
+
+    q = load_all()["decontaminate_embedding"]
+    df = q.spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
+    assert "CartesianProduct" not in plan
+
+    rows = df.collect()
+    assert rows, "fixture threshold should flag a non-empty set"
+    assert len({r["train_id"] for r in rows}) == len(rows)  # argmax: one row/doc
+    assert all(r["cos_sim"] >= DECON_MIN_COS for r in rows)
+    # paraphrase-decon is a superset check vs chance: no eval ids leak in
+    eval_ids = {r["eval_id"] for r in rows}
+    assert all(e % 97 == 0 for e in eval_ids)
