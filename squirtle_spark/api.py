@@ -226,6 +226,49 @@ def run_streaming(
                 df = df.withColumn(f.name, F.col(f.name).cast("string"))
         return df
 
+    def _mark_dir_open(led: dict) -> None:
+        # registered at fire-phase start: a dir still "open" in a LATER
+        # invocation belonged to one that died mid-fire — its caller never
+        # received the windows it had already emitted+ledgered
+        if results_dir not in led.setdefault("dirs_open", []):
+            led["dirs_open"].append(results_dir)
+            _write_ledger(led)
+
+    def _adopt_and_finish(led: dict, fired_keys: set, key_col: str):
+        """Return this invocation's results UNIONED with orphan rows from
+        crashed predecessors' open dirs, then mark every open dir done.
+
+        A window fired by an invocation that failed BEFORE returning is
+        in the ledger (so reruns don't re-fire it) and in that
+        invocation's results dir (which nothing returns) — without
+        adoption it would be silently lost (review r11). Windows THIS run
+        re-fired (buffer counts advanced) are excluded from adoption so
+        the union carries their newest firing only. Concurrent
+        invocations of one spec are outside the contract — the shared
+        streaming checkpoint already forbids them.
+
+        Returns None when there is nothing to return (caller emits its
+        schema-correct empty frame)."""
+        orphans = [d for d in led.get("dirs_open", []) if d != results_dir]
+        parts = []
+        for d in [results_dir] + orphans:
+            try:
+                df = spark.read.parquet(d)
+            except Exception:
+                continue  # empty dir (fired nothing before dying)
+            if d != results_dir and fired_keys:
+                df = df.where(~F.col(key_col).isin(list(fired_keys)))
+            parts.append(df)
+        led["dirs_open"] = []
+        led.setdefault("dirs_done", []).extend(orphans + [results_dir])
+        _write_ledger(led)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     if w.kind == "elementwise":
         stream = streaming.replay_stream(spark, epochs_path, files_per_trigger)
         if "epoch" in stream.columns:
@@ -233,6 +276,11 @@ def run_streaming(
         checkpoint = os.path.join(workdir, f"checkpoint-{spec}")
         # Each micro-batch IS the window: fire the SQL on it directly
         # (flock elementwise.rs:30-186 — per-epoch independent execution).
+        # The checkpoint commits AFTER each foreachBatch, so a mid-stream
+        # crash leaves its committed batches' results in this (dead) dir —
+        # the open/adopt ledger below recovers them on the rerun.
+        led = _ledger()
+        _mark_dir_open(led)
         fired_any: dict = {}
 
         def fire(batch_df: DataFrame, epoch_id: int) -> None:
@@ -246,7 +294,7 @@ def run_streaming(
                 )
             )
             out.write.mode("append").parquet(results_dir)
-            fired_any["yes"] = True
+            fired_any[epoch_id] = True
 
         q = (
             stream.writeStream.foreachBatch(fire)
@@ -257,12 +305,14 @@ def run_streaming(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError("elementwise replay still running")
-        if not fired_any:
-            # Zero micro-batches fired (empty epoch dir): derive the output
-            # schema by planning the SQL over an empty slice of the stream.
-            # The empty view shadows any same-named catalog view in the OUTER
-            # session; drop it and invalidate so a later run_olap in this
-            # session doesn't silently resolve e.g. `bid` to an empty table.
+        out = _adopt_and_finish(led, set(fired_any), "win_start")
+        if out is None:
+            # Zero micro-batches fired (empty epoch dir), no orphans: derive
+            # the output schema by planning the SQL over an empty slice of
+            # the stream. The empty view shadows any same-named catalog view
+            # in the OUTER session; drop it and invalidate so a later
+            # run_olap in this session doesn't silently resolve e.g. `bid`
+            # to an empty table.
             empty = spark.createDataFrame([], stream.schema)
             empty.createOrReplaceTempView(query.view)
             try:
@@ -275,7 +325,7 @@ def run_streaming(
                 spark.catalog.dropTempView(query.view)
                 catalog.forget_registration(spark)
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(results_dir)
+        return out
 
     if w.kind == "rows":
         # Count-based collect-then-fire: buffer the replay (one streaming
@@ -330,11 +380,14 @@ def run_streaming(
             # ROW_NUMBER (k windows -> k full sorts). Query-scope
             # localCheckpoint, the transient-materialization class
             # (SCALING.md) — a lost block fails this invocation, and a
-            # RERUN recovers it: the fired-window ledger above only
-            # records windows whose results actually landed, so the
-            # rerun's closed-minus-fired diff re-fires the rest.
+            # RERUN recovers it: the fired-window ledger only records
+            # windows whose results actually landed, so the rerun's
+            # closed-minus-fired diff re-fires the rest AND adopts the
+            # landed-but-never-returned ones from the dead invocation's
+            # open results dir (_adopt_and_finish).
             assigned = assigned.localCheckpoint(eager=True)
         fired = False
+        _mark_dir_open(led)
         try:
             for win_id in new_closed:
                 assigned.where(F.col("win_id") == win_id).drop(
@@ -353,9 +406,10 @@ def run_streaming(
             if fired:
                 spark.catalog.dropTempView(query.view)
             catalog.forget_registration(spark)
-        if not fired:
+        out = _adopt_and_finish(led, set(new_closed), "win_start")
+        if out is None:
             return spark.createDataFrame([], "win_start long")
-        return spark.read.parquet(results_dir)
+        return out
 
     # tumbling/hopping: distributed window ASSIGNMENT on event time, rows
     # buffered to parquet partitioned by window start (never the driver),
@@ -435,6 +489,7 @@ def run_streaming(
         }
     )
     fired = False
+    _mark_dir_open(led)
     try:
         for start in starts:
             for view, buf in buffers.items():
@@ -462,9 +517,10 @@ def run_streaming(
         for view in buffers:
             spark.catalog.dropTempView(view)
         catalog.forget_registration(spark)
-    if not fired:
+    out = _adopt_and_finish(led, set(starts), "win_start")
+    if out is None:
         return spark.createDataFrame([], "win_start timestamp")
-    return spark.read.parquet(results_dir)
+    return out
 
 
 def sink_result(result: DataFrame, query: Query, *, workdir: str):

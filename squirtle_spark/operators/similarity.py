@@ -1472,6 +1472,17 @@ def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("train_id"),
         F.col("embedding").cast("array<double>").alias("tv"),
     )
+    # the packed tie-break borrows from the cosine field if an eval id
+    # reaches 2^32 (a multi-billion-vector corpus) — decode would then
+    # return a WRONG id and score silently; fail loudly instead, same
+    # move as the IVF packed-argmin bound above (one scalar agg over the
+    # ~1% eval slice, trivially bounded)
+    mx = ev.agg(F.max("eval_id")).first()[0]
+    if mx is not None and mx >= _DECON_ID_SPAN - 1:
+        raise ValueError(
+            f"decontaminate_embedding packs eval_id into 32 bits "
+            f"(got max {mx}): re-key the eval split or widen the pack"
+        )
     # canonical scaled cosine = round(cos * 10000): ONE rounding, done
     # identically on both sides — an explicit round before the bigint
     # cast because Spark's double→bigint cast truncates while DuckDB's

@@ -457,3 +457,43 @@ def test_rows_rerun_recovers_unfired_windows(spark, tmp_path, monkeypatch):
     assert {r["cnt"] for r in recovered} == {n}
     assert sorted(r["win_start"] for r in recovered) == list(range(total // n))
     assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []
+
+
+def test_windowed_rerun_adopts_windows_fired_by_dead_invocation(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER some windows fired (review r11): those windows are
+    in the ledger (so the rerun won't re-fire them) and in the dead
+    invocation's results dir (which its caller never received) — the
+    rerun must ADOPT them, returning the full window set a clean run
+    would."""
+    data_dir, _ = _write_bids(spark, tmp_path)
+    wd = str(tmp_path / "wd-adopt")
+    q = Query(sql="SELECT COUNT(*) AS n FROM bid", window=Window.tumbling(2))
+    DF = type(spark.range(1))
+    orig = DF.createOrReplaceTempView
+    binds = {"n": 0}
+
+    def boom(self, name):
+        if name == "bid":
+            binds["n"] += 1
+            if binds["n"] == 2:  # window 1 fired; die binding window 2
+                raise RuntimeError("injected mid-fire-loop failure")
+        return orig(self, name)
+
+    monkeypatch.setattr(DF, "createOrReplaceTempView", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    recovered = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    fresh = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-adopt-fresh")
+    ).collect()
+    # first window adopted from the dead invocation's dir, the rest
+    # re-derived — together exactly a clean end-to-end run
+    assert sorted((r["win_start"], r["n"]) for r in recovered) == sorted(
+        (r["win_start"], r["n"]) for r in fresh
+    ) and len(recovered) > 1
+    # adoption is once: a further rerun returns nothing
+    assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []
