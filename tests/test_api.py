@@ -497,3 +497,86 @@ def test_windowed_rerun_adopts_windows_fired_by_dead_invocation(
     ) and len(recovered) > 1
     # adoption is once: a further rerun returns nothing
     assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []
+
+
+def test_rows_rerun_adopts_windows_fired_by_dead_invocation(
+    spark, tmp_path, monkeypatch
+):
+    """Rows-path twin of the adoption contract: crash after the first
+    count-window fired — the rerun must return the adopted window plus
+    everything it fires itself, i.e. the clean-run set."""
+    data_dir, batch = _write_bids(spark, tmp_path, eps=50, secs=4)
+    total = batch.count()
+    n = 60
+    wd = str(tmp_path / "wd-rows-adopt")
+    q = Query(sql="SELECT COUNT(*) AS cnt FROM bid", window=Window.rows(n))
+    DF = type(spark.range(1))
+    orig = DF.createOrReplaceTempView
+    binds = {"n": 0}
+
+    def boom(self, name):
+        if name == "bid":
+            binds["n"] += 1
+            if binds["n"] == 2:
+                raise RuntimeError("injected mid-fire-loop failure")
+        return orig(self, name)
+
+    monkeypatch.setattr(DF, "createOrReplaceTempView", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    recovered = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    assert {r["cnt"] for r in recovered} == {n}
+    assert sorted(r["win_start"] for r in recovered) == list(range(total // n))
+    assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []
+
+
+def test_elementwise_rerun_adopts_epochs_fired_by_dead_invocation(
+    spark, tmp_path, monkeypatch
+):
+    """Elementwise twin: the replay checkpoint commits after each
+    foreachBatch, so epochs fired before a mid-stream crash live only in
+    the dead invocation's results dir — the rerun must adopt them and
+    fire the remainder, matching a clean run."""
+    data_dir, _ = _write_bids(spark, tmp_path)
+    wd = str(tmp_path / "wd-ew-adopt")
+    q = Query(
+        sql="SELECT COUNT(*) AS n FROM bid", window=Window.elementwise()
+    )
+    calls = {"n": 0}
+    # crash inside the SECOND micro-batch's fire, after its predecessor
+    # committed: patch the parquet append via DataFrameWriter.parquet
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_pq = DataFrameWriter.parquet
+
+    def boom(self, path, **kw):
+        if "results-" in path:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected mid-stream failure")
+        return orig_pq(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(Exception, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd, files_per_trigger=1)
+    monkeypatch.undo()
+
+    recovered = run_streaming(
+        spark, q, data_dir, workdir=wd, files_per_trigger=1
+    ).collect()
+    fresh = run_streaming(
+        spark,
+        q,
+        data_dir,
+        workdir=str(tmp_path / "wd-ew-adopt-fresh"),
+        files_per_trigger=1,
+    ).collect()
+    # epoch ids differ between the interrupted pair and the clean run
+    # (the rerun's batches renumber), so compare window CONTENTS
+    assert sorted(r["n"] for r in recovered) == sorted(r["n"] for r in fresh)
+    assert len(recovered) > 1
+    assert run_streaming(
+        spark, q, data_dir, workdir=wd, files_per_trigger=1
+    ).collect() == []
