@@ -78,9 +78,10 @@ def _rounds_glob(pattern: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict]:
+def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict, int]:
     """(round, {name: sec}, {name: plan_fp}, {name: index_fp},
-    {name: prior regressed-class}) of the newest usable PRIOR-round
+    {name: prior regressed-class}, fingerprint version of the prior
+    record or 0 if incomparable) of the newest usable PRIOR-round
     record AT THE SAME SCALE FACTOR.
 
     The last element is the drift WATCHLIST: queries the prior round
@@ -113,7 +114,11 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict]:
         except (json.JSONDecodeError, OSError):
             continue
         if d.get("sf") == sf and d.get("queries"):
-            same_ver = d.get("fingerprint_version", 1) == FINGERPRINT_VERSION
+            prev_ver = d.get("fingerprint_version", 1)
+            # v3 dual-records a v2 map, so a prev v2 record stays
+            # comparable (against our v2 hashes) — no blind window like
+            # the v1→v2 switch; v1 records stay incomparable.
+            comparable = prev_ver in (2, FINGERPRINT_VERSION)
             watch = {
                 n: row["class"]
                 for n, row in d.get("drift", {}).items()
@@ -122,9 +127,10 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict]:
             return (
                 rnd,
                 d["queries"],
-                d.get("plan_fingerprints", {}) if same_ver else {},
-                d.get("index_fingerprints", {}) if same_ver else {},
+                d.get("plan_fingerprints", {}) if comparable else {},
+                d.get("index_fingerprints", {}) if comparable else {},
                 watch,
+                prev_ver if comparable else 0,
             )
     for rnd, f in reversed(_rounds_glob("BENCH_r*.json")):
         if rnd >= cur:
@@ -135,20 +141,25 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict]:
             continue
         parsed = d.get("parsed")
         if parsed and parsed.get("queries") and parsed.get("sf") == sf:
-            return rnd, parsed["queries"], {}, {}, {}
-    return 0, {}, {}, {}, {}
+            return rnd, parsed["queries"], {}, {}, {}, 0
+    return 0, {}, {}, {}, {}, 0
 
 
 #: Fingerprint algorithm version. Bumped to 2 when plan rendering was
-#: switched to untruncated metadata (below) — v1 hashes are NOT comparable
-#: to v2 hashes of the same plan, so drift ignores prior fingerprints
-#: recorded under a different version instead of mis-classing every
-#: carried-over hash mismatch as "plan-change".
-FINGERPRINT_VERSION = 2
+#: switched to untruncated metadata (below); bumped to 3 when
+#: multi-COUNT(DISTINCT) grouping-id slots were canonicalized (below) —
+#: hashes from different versions are NOT comparable for plans the
+#: changed normalization touches, so drift compares same-version maps
+#: (v2 is dual-recorded as ``plan_fingerprints_v2`` so the v2→v3 switch
+#: has no blind window: a prev-round v2 record compares against this
+#: round's v2 hashes, unlike the v1→v2 switch which blinded one round).
+FINGERPRINT_VERSION = 3
 
 
-def _plan_fingerprint(df) -> str:
-    """Stable hash of the physical plan, ephemeral ids stripped.
+def _plan_fingerprint(df) -> dict[str, str]:
+    """Stable hashes of the physical plan, ephemeral ids stripped —
+    returns ``{"v2": ..., "v3": ...}`` (v3 is the canonical fingerprint;
+    v2 is kept for comparing against records written under version 2).
 
     Two rounds with the same fingerprint ran the same plan shape, so a
     wall-clock swing between them is host noise (or data change — the
@@ -163,7 +174,22 @@ def _plan_fingerprint(df) -> str:
     the expression ids inside — ids grow with session age, so the same
     plan fingerprinted after a matview-heavy run hashed differently than
     fresh (r9's nexmark_q9 "plan-change" was exactly this artifact: the
-    r8/r9 plans were reproduced identical once untruncated)."""
+    r8/r9 plans were reproduced identical once untruncated).
+
+    v3 additionally canonicalizes multi-COUNT(DISTINCT) plans: Spark
+    assigns the Expand ``gid`` slots (and with them the grouping-key /
+    Expand-branch / FILTER-predicate order) from an unordered collection
+    whose iteration order moves with session state, so the SAME plan
+    renders with permuted gid numbering run-to-run (r11: dq_profile and
+    interval_overlap_join "plan-changes" were reproduced as pure
+    permutations in one session). On lines containing ``gid#`` the gid
+    numerals are blanked and the line is hashed as its sorted multiset
+    of bracket/comma-delimited tokens (commas alone are not enough: the
+    first element of every bracketed list glues to its prefix, e.g.
+    ``HashAggregate(keys=[X``, so WHICH key is first still leaked
+    through) — permutation-invariant, while any real change (different
+    aggregate, extra exchange, different keys) still changes the token
+    multiset or the surrounding lines."""
     import hashlib
 
     spark = df.sparkSession
@@ -177,7 +203,16 @@ def _plan_fingerprint(df) -> str:
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"\[(?:plan_)?id=#?\d+\]", "[id=]", plan)
     plan = re.sub(r"file:[^\s,\]]+|/tmp/[^\s,\]]+", "<path>", plan)
-    return hashlib.sha1(plan.encode()).hexdigest()[:12]
+    v2 = hashlib.sha1(plan.encode()).hexdigest()[:12]
+    lines = []
+    for line in plan.splitlines():
+        if "gid#" in line:
+            line = re.sub(r"gid# = \d+", "gid# = _", line)
+            toks = [t.strip() for t in re.split(r"[,\[\]()]", line)]
+            line = ", ".join(sorted(t for t in toks if t))
+        lines.append(line)
+    v3 = hashlib.sha1("\n".join(lines).encode()).hexdigest()[:12]
+    return {"v2": v2, "v3": v3}
 
 
 def _pctl(sorted_vals: list[float], p: float) -> float:
@@ -354,6 +389,7 @@ def main() -> None:
     times: dict[str, float] = {}
     stamps: dict[str, dict] = {}
     fingerprints: dict[str, str] = {}
+    fingerprints_v2: dict[str, str] = {}
     aux_fps: dict[str, str] = {}
     total_reruns = 0
     # PQ-family queries read session-built index views whose CONTENT the
@@ -368,7 +404,9 @@ def main() -> None:
         total_reruns += stamp["reruns"]
         times[name] = round(best, 3)
         stamps[name] = stamp
-        fingerprints[name] = _plan_fingerprint(q.spark_fn(spark, sf_dir))
+        fps = _plan_fingerprint(q.spark_fn(spark, sf_dir))
+        fingerprints[name] = fps["v3"]
+        fingerprints_v2[name] = fps["v2"]
         if name in index_backed:
             aux_fps[name] = _similarity.index_content_fingerprint(spark, sf_dir)
         flag = f" [reran {stamp['reruns']}x]" if stamp["reruns"] else ""
@@ -378,7 +416,12 @@ def main() -> None:
     # Drift attribution: any >DRIFT_TOLERANCE swing vs the previous
     # recorded round gets ONE more measurement window (best-of-2); the
     # recorded time is the min, and the classification carries evidence.
-    prev_round, prev_times, prev_fps, prev_aux, prev_watch = _prev_record(sf)
+    prev_round, prev_times, prev_fps, prev_aux, prev_watch, prev_fp_ver = (
+        _prev_record(sf)
+    )
+    # compare same-version hashes: a prev v2 record (the transition
+    # round) matches against our dual-recorded v2 map, v3 against v3
+    cmp_fps = fingerprints_v2 if prev_fp_ver == 2 else fingerprints
     drift: dict[str, dict] = {}
     for name, q in sorted(queries.items()):
         prev = prev_times.get(name)
@@ -412,8 +455,20 @@ def main() -> None:
         stamps[name] = {**kept_stamp, "kept_from": kept_src}
         kept_delta = (kept - prev) / prev
         prev_fp = prev_fps.get(name)
-        if prev_fp and prev_fp != fingerprints[name]:
-            cls = "plan-change"
+        if prev_fp and prev_fp != cmp_fps[name]:
+            if (
+                prev_fp_ver == 2
+                and fingerprints[name] != fingerprints_v2[name]
+            ):
+                # v2 mismatch on a gid-bearing plan (v3 != v2 exactly when
+                # the v3 canonicalization touched it) compared against a
+                # v2-era record: the reproduced multi-COUNT(DISTINCT)
+                # slot-permutation artifact, not a plan change (see the
+                # gid-permutation adjudication). v3-vs-v3 from the next
+                # round settles any real change this could mask.
+                cls = "plan-change-v2-gid-artifact"
+            else:
+                cls = "plan-change"
         elif abs(kept_delta) <= DRIFT_TOLERANCE:
             cls = "noise"  # the retime reverted the swing on an unchanged plan
         elif kept_delta < 0:
@@ -449,7 +504,8 @@ def main() -> None:
             "kept_sec": kept,
             "delta_pct": round(100 * kept_delta, 1),
             "fingerprint_prev": prev_fp,
-            "fingerprint_now": fingerprints[name],
+            "fingerprint_now": cmp_fps[name],
+            "fingerprint_compare_version": prev_fp_ver or FINGERPRINT_VERSION,
             "class": cls,
         }
         if name in prev_watch:
@@ -478,6 +534,7 @@ def main() -> None:
         "fingerprint_version": FINGERPRINT_VERSION,
         "adjudications": _ADJUDICATIONS,
         "plan_fingerprints": fingerprints,
+        "plan_fingerprints_v2": fingerprints_v2,
         "index_fingerprints": aux_fps,
         "drift": drift,
         "canary": canary.stats(total_reruns),
@@ -960,6 +1017,21 @@ _ADJUDICATIONS: dict[str, str] = {
         "indicated. Any regressed-* class now auto-watchlists for the "
         "next round, so this one-round-blind situation cannot recur "
         "silently."
+    ),
+    "gid-permutation fingerprint artifact (dq_profile, interval_overlap_join)": (
+        "r11: both showed v2 'plan-change' rows while 40% FASTER and "
+        "code-untouched. Reproduced in ONE session: fingerprinting the "
+        "same query fresh vs after a few other queries gives different "
+        "v2 hashes because Spark assigns multi-COUNT(DISTINCT) Expand "
+        "gid slots (and the dependent grouping-key/branch/FILTER order) "
+        "from an unordered collection whose iteration order moves with "
+        "session state — a pure permutation of the identical plan, "
+        "verified line-by-line. Fixed as fingerprint v3 (gid numerals "
+        "blanked + comma-fragment multiset on gid# lines, all other "
+        "plans hash v2-identical); v2 is dual-recorded so the v2→v3 "
+        "switch has NO blind window, unlike v1→v2. Any remaining "
+        "plan-change row on these two queries against a v2-era record "
+        "is this artifact."
     ),
 }
 

@@ -77,7 +77,9 @@ def test_round_number_is_one_past_latest_bench_artifact():
 
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
-    rnd, times, fps, aux, watch = bench._prev_record(sf=0.1)
+    rnd, times, fps, aux, watch, fp_ver = bench._prev_record(sf=0.1)
+    # a comparable record reports its fingerprint version (2 or current)
+    assert fp_ver in (0, 2, bench.FINGERPRINT_VERSION)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
     assert rnd < bench._round_number()  # never its own round (ADVICE r8)
     assert times  # some per-query seconds
@@ -95,8 +97,8 @@ def test_prev_record_prefers_detail_and_carries_fingerprints():
 def test_prev_record_skips_other_scale_factors():
     # an sf nobody ever benched at: no record may match — a stray
     # local run at another sf must never poison drift attribution
-    rnd, times, fps, aux, watch = bench._prev_record(sf=123.456)
-    assert (rnd, times, fps, aux, watch) == (0, {}, {}, {}, {})
+    rnd, times, fps, aux, watch, fp_ver = bench._prev_record(sf=123.456)
+    assert (rnd, times, fps, aux, watch, fp_ver) == (0, {}, {}, {}, {}, 0)
 
 
 def test_rounds_glob_skips_nonnumeric_names(tmp_path, monkeypatch):
@@ -108,3 +110,32 @@ def test_rounds_glob_skips_nonnumeric_names(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     got = bench._rounds_glob("BENCH_r*.json")
     assert got == [(3, str(tmp_path / "BENCH_r03.json"))]
+
+
+def test_plan_fingerprint_v3_stable_under_session_aging(spark, sf_dir):
+    """Multi-COUNT(DISTINCT) plans render with permuted Expand gid slots
+    as session state moves (r11: dq_profile/interval_overlap_join showed
+    v2 'plan-changes' that were pure permutations of the identical
+    plan). The v3 canonicalization must hash those renders identically;
+    for gid-free plans v3 == the v2 text hash by construction."""
+    from squirtle_spark.registry import load_all
+
+    qs = load_all()
+    before = {
+        n: bench._plan_fingerprint(qs[n].spark_fn(spark, sf_dir))
+        for n in ("dq_profile", "interval_overlap_join", "tpch_q6")
+    }
+    # age the session: plan+run a few unrelated queries
+    for other in ("tfidf_top_terms", "bm25_topk", "agg_event_stats"):
+        qs[other].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    after = {
+        n: bench._plan_fingerprint(qs[n].spark_fn(spark, sf_dir))
+        for n in ("dq_profile", "interval_overlap_join", "tpch_q6")
+    }
+    for n in before:
+        assert before[n]["v3"] == after[n]["v3"], n
+    # a gid-free plan is untouched by the v3 pass: both versions agree
+    # and stay stable (the fix must not perturb the stable majority)
+    assert before["tpch_q6"]["v2"] == after["tpch_q6"]["v2"]
