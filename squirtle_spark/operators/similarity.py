@@ -1464,13 +1464,30 @@ def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
     into the LSH bucketed candidate join above unchanged.
     """
     emb = spark.table("embeddings")
-    ev = emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").cast("array<double>").alias("ev"),
+    # norms hoisted to once per VECTOR: the interpreted higher-order
+    # aggregate is the per-pair cost driver (3 lambda passes/pair is
+    # ~3x the wall at the sf1 soak scale's 4M pairs), and
+    # sqrt(aggregate(squares)) is the same double hoisted or inline —
+    # values bit-identical to the per-pair form the oracle replays
+    ev = (
+        emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").cast("array<double>").alias("ev"),
+        )
+        .withColumn(
+            "en", F.expr("sqrt(aggregate(ev, 0D, (acc, x) -> acc + x * x))")
+        )
     )
-    tr = emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").cast("array<double>").alias("tv"),
+    tr = (
+        emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0)
+        .select(
+            F.col("vec_id").alias("train_id"),
+            F.col("embedding").cast("array<double>").alias("tv"),
+        )
+        .withColumn(
+            "tn", F.expr("sqrt(aggregate(tv, 0D, (acc, x) -> acc + x * x))")
+        )
     )
     # the packed tie-break borrows from the cosine field if an eval id
     # reaches 2^32 (a multi-billion-vector corpus) — decode would then
@@ -1487,9 +1504,11 @@ def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
     # identically on both sides — an explicit round before the bigint
     # cast because Spark's double→bigint cast truncates while DuckDB's
     # rounds, which would put the two engines one ulp apart
-    scaled = (F.round(_cosine("tv", "ev") * 10000, 0).cast("bigint") + 10000).alias(
-        "scaled"
+    dot = F.expr(
+        "aggregate(zip_with(tv, ev, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
     )
+    cos = dot / (F.col("tn") * F.col("en"))
+    scaled = (F.round(cos * 10000, 0).cast("bigint") + 10000).alias("scaled")
     packed = tr.crossJoin(F.broadcast(ev)).select(
         "train_id",
         (

@@ -55,6 +55,9 @@ FAMILY = [
     "dedup_spans",
     "decontaminate_ngram_overlap",
     "chunk_documents",
+    # r11: embedding-space decon — cross-split cosine + packed-BIGINT
+    # argmax, the same float-sensitive class as the ANN replays
+    "decontaminate_embedding",
 ]
 
 
