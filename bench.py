@@ -455,20 +455,24 @@ def main() -> None:
         stamps[name] = {**kept_stamp, "kept_from": kept_src}
         kept_delta = (kept - prev) / prev
         prev_fp = prev_fps.get(name)
-        if prev_fp and prev_fp != cmp_fps[name]:
-            if (
-                prev_fp_ver == 2
-                and fingerprints[name] != fingerprints_v2[name]
-            ):
-                # v2 mismatch on a gid-bearing plan (v3 != v2 exactly when
-                # the v3 canonicalization touched it) compared against a
-                # v2-era record: the reproduced multi-COUNT(DISTINCT)
-                # slot-permutation artifact, not a plan change (see the
-                # gid-permutation adjudication). v3-vs-v3 from the next
-                # round settles any real change this could mask.
-                cls = "plan-change-v2-gid-artifact"
-            else:
-                cls = "plan-change"
+        # v2 mismatch on a gid-bearing plan (v3 != v2 exactly when the v3
+        # canonicalization touched it) compared against a v2-era record:
+        # the reproduced multi-COUNT(DISTINCT) slot-permutation artifact
+        # (see the gid-permutation adjudication). Treated as SAME PLAN so
+        # the wall delta still gets the full noise/improved/regressed
+        # attribution — an artifact label that short-circuited
+        # classification would launder a real regression on these plans
+        # out of the watchlist and into the next round's baseline
+        # (review r11). The row keeps the mismatched hashes plus this
+        # flag; v3-vs-v3 from the next round removes the ambiguity.
+        fp_gid_artifact = bool(
+            prev_fp
+            and prev_fp != cmp_fps[name]
+            and prev_fp_ver == 2
+            and fingerprints[name] != fingerprints_v2[name]
+        )
+        if prev_fp and prev_fp != cmp_fps[name] and not fp_gid_artifact:
+            cls = "plan-change"
         elif abs(kept_delta) <= DRIFT_TOLERANCE:
             cls = "noise"  # the retime reverted the swing on an unchanged plan
         elif kept_delta < 0:
@@ -506,6 +510,7 @@ def main() -> None:
             "fingerprint_prev": prev_fp,
             "fingerprint_now": cmp_fps[name],
             "fingerprint_compare_version": prev_fp_ver or FINGERPRINT_VERSION,
+            "fingerprint_v2_gid_artifact": fp_gid_artifact,
             "class": cls,
         }
         if name in prev_watch:

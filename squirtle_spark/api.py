@@ -110,8 +110,10 @@ def _fresh_results_dir(workdir: str) -> str:
 
     The streaming checkpoint is shared across invocations (that is what
     makes a restart fire only NEW windows), so the result sink cannot be:
-    a restarted run must return only the windows IT fired, not re-read a
-    predecessor's output. Deterministic counter, no timestamps."""
+    a restarted run returns the windows IT fired, plus — via
+    ``_adopt_and_finish`` — orphans from predecessors that DIED before
+    returning theirs; a successfully-returned predecessor's output is
+    never re-read. Deterministic counter, no timestamps."""
     n = 0
     while True:
         path = os.path.join(workdir, f"results-{n:03d}")
@@ -241,23 +243,51 @@ def run_streaming(
         A window fired by an invocation that failed BEFORE returning is
         in the ledger (so reruns don't re-fire it) and in that
         invocation's results dir (which nothing returns) — without
-        adoption it would be silently lost (review r11). Windows THIS run
-        re-fired (buffer counts advanced) are excluded from adoption so
-        the union carries their newest firing only. Concurrent
-        invocations of one spec are outside the contract — the shared
-        streaming checkpoint already forbids them.
+        adoption it would be silently lost (review r11). Each window is
+        taken from exactly ONE dir: this run's own firing wins, then
+        orphans NEWEST-first — two crashed predecessors can both hold a
+        window (A fired it over k rows, more rows arrived, B re-fired it
+        over k+m and also died); the union must carry B's firing, which
+        is the one the ledger's per-window count describes. The per-dir
+        key probe is a driver collect bounded by windows-per-invocation,
+        and only runs when orphans exist (the no-crash path does zero
+        extra work). A dir that exists with data files but fails to READ
+        (corrupt footer from a crash mid-write) raises — the invocation
+        fails, every dir stays open, and the rerun retries; swallowing
+        it would mark fired windows done while returning nothing.
+
+        Delivery contract: once this returns, the returned windows count
+        as delivered — the parquet dirs persist in workdir, so a caller
+        that dies before consuming its DataFrame can still re-read them
+        manually, but no future rerun re-returns them (the same line a
+        successful non-crashed invocation always drew). ``dirs_done`` is
+        post-mortem provenance (which dir a returned window's rows came
+        from), read by humans, not code. Concurrent invocations of one
+        spec are outside the contract — the shared streaming checkpoint
+        already forbids them.
 
         Returns None when there is nothing to return (caller emits its
         schema-correct empty frame)."""
         orphans = [d for d in led.get("dirs_open", []) if d != results_dir]
         parts = []
-        for d in [results_dir] + orphans:
-            try:
-                df = spark.read.parquet(d)
-            except Exception:
-                continue  # empty dir (fired nothing before dying)
-            if d != results_dir and fired_keys:
-                df = df.where(~F.col(key_col).isin(list(fired_keys)))
+        taken = set(fired_keys)  # own firings always win
+        # dirs_open is append-ordered by invocation; reversed = newest
+        # predecessor's firing of a twice-fired window wins
+        for d in [results_dir] + list(reversed(orphans)):
+            # empty-dir detection is explicit (no data files written):
+            # any OTHER read failure must propagate, not mark-done
+            if not any(f.startswith("part-") for f in os.listdir(d)):
+                continue
+            df = spark.read.parquet(d)
+            if d != results_dir:
+                keys = {
+                    r[0] for r in df.select(key_col).distinct().collect()
+                }
+                keep = keys - taken
+                if not keep:
+                    continue
+                df = df.where(F.col(key_col).isin(list(keep)))
+                taken |= keep
             parts.append(df)
         led["dirs_open"] = []
         led.setdefault("dirs_done", []).extend(orphans + [results_dir])

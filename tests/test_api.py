@@ -580,3 +580,64 @@ def test_elementwise_rerun_adopts_epochs_fired_by_dead_invocation(
     assert run_streaming(
         spark, q, data_dir, workdir=wd, files_per_trigger=1
     ).collect() == []
+
+
+def test_adoption_twice_fired_window_keeps_newest_firing(
+    spark, tmp_path, monkeypatch
+):
+    """Two crashed predecessors can both hold the SAME window: A fires
+    it over k rows and dies; more rows arrive for that window; B
+    re-fires it over k+m and also dies. The successful rerun must
+    return that window exactly once, from B's firing (the one the
+    ledger count describes) — not twice, and not A's stale rows."""
+    data_dir, batch = _write_bids(spark, tmp_path)
+    wd = str(tmp_path / "wd-twice")
+    q = Query(sql="SELECT COUNT(*) AS n FROM bid", window=Window.tumbling(2))
+    DF = type(spark.range(1))
+    orig = DF.createOrReplaceTempView
+
+    def crash_on_second_bind():
+        binds = {"n": 0}
+
+        def boom(self, name):
+            if name == "bid":
+                binds["n"] += 1
+                if binds["n"] == 2:
+                    raise RuntimeError("injected")
+            return orig(self, name)
+
+        return boom
+
+    # invocation A: fires the first window, dies on the second
+    monkeypatch.setattr(DF, "createOrReplaceTempView", crash_on_second_bind())
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    # more rows arrive INSIDE the already-fired first window's span (new
+    # epoch partitions so the replay consumes them), growing its count
+    first_ts = batch.agg(F.min("b_date_time")).first()[0]
+    extra = (
+        batch.limit(40)
+        .withColumn("b_date_time", F.lit(first_ts))
+        .withColumn("epoch", F.lit(900000))
+    )
+    extra.write.mode("append").partitionBy("epoch").parquet(data_dir)
+
+    # invocation B: re-fires the grown first window, dies on the next
+    monkeypatch.setattr(DF, "createOrReplaceTempView", crash_on_second_bind())
+    with pytest.raises(RuntimeError, match="injected"):
+        run_streaming(spark, q, data_dir, workdir=wd)
+    monkeypatch.undo()
+
+    recovered = run_streaming(spark, q, data_dir, workdir=wd).collect()
+    fresh = run_streaming(
+        spark, q, data_dir, workdir=str(tmp_path / "wd-twice-fresh")
+    ).collect()
+    rec = sorted((r["win_start"], r["n"]) for r in recovered)
+    # exactly once per window (no orphan-vs-orphan duplicate) ...
+    assert len({w for w, _ in rec}) == len(rec)
+    # ... and the twice-fired window carries B's k+m count, matching a
+    # clean end-to-end run over the full data
+    assert rec == sorted((r["win_start"], r["n"]) for r in fresh)
+    assert run_streaming(spark, q, data_dir, workdir=wd).collect() == []

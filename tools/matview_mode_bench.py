@@ -15,7 +15,8 @@ committed row lives in SCALING.md ("Matview reliability").
 Writes matview_mode_bench.json into the CWD (NOT a BENCH_* artifact —
 this must never shadow the driver's own bench record).
 
-Usage: python3 tools/matview_mode_bench.py            # both modes
+Usage: python3 tools/matview_mode_bench.py  # all three modes: 1 warmup
+       child + 2 interleaved samples per mode = 7 subprocesses (~8 min)
        python3 tools/matview_mode_bench.py --child local  # internal
 """
 
