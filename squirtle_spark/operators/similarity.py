@@ -1567,4 +1567,5 @@ register_df(
     doc="Embedding-space eval-set decontamination: train vectors whose max "
     "cosine vs the (broadcast) eval split >= threshold — paraphrase-level "
     "leakage the n-gram scrub misses; packed-BIGINT argmax, no window sort.",
+    bench=True,
 )
