@@ -115,10 +115,11 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict, int]:
             continue
         if d.get("sf") == sf and d.get("queries"):
             prev_ver = d.get("fingerprint_version", 1)
-            # v3 dual-records a v2 map, so a prev v2 record stays
-            # comparable (against our v2 hashes) — no blind window like
-            # the v1→v2 switch; v1 records stay incomparable.
-            comparable = prev_ver in (2, FINGERPRINT_VERSION)
+            # v4 dual-records v2 and v3(legacy) maps, so a prev v2 or
+            # v3 record stays comparable against the same-version map —
+            # no blind window like the v1→v2 switch; v1 records stay
+            # incomparable.
+            comparable = prev_ver in (2, 3, FINGERPRINT_VERSION)
             watch = {
                 n: row["class"]
                 for n, row in d.get("drift", {}).items()
@@ -147,19 +148,30 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict, int]:
 
 #: Fingerprint algorithm version. Bumped to 2 when plan rendering was
 #: switched to untruncated metadata (below); bumped to 3 when
-#: multi-COUNT(DISTINCT) grouping-id slots were canonicalized (below) —
-#: hashes from different versions are NOT comparable for plans the
-#: changed normalization touches, so drift compares same-version maps
-#: (v2 is dual-recorded as ``plan_fingerprints_v2`` so the v2→v3 switch
-#: has no blind window: a prev-round v2 record compares against this
-#: round's v2 hashes, unlike the v1→v2 switch which blinded one round).
-FINGERPRINT_VERSION = 3
+#: multi-COUNT(DISTINCT) grouping-id slots were canonicalized; bumped
+#: to 4 when v3's trailing-newline drop was fixed (ADVICE r11: v3
+#: joined canonicalized lines with "\n", losing the plan's final
+#: newline, so v3 != v2 even for gid-FREE plans — which made the
+#: ``fingerprint_v2_gid_artifact`` gate, defined as v3 != v2, vacuously
+#: true for every query and would have laundered any genuine
+#: plan-change vs a v2-era record into the artifact class). v4 rewrites
+#: only gid-bearing lines in place, byte-preserving every line ending,
+#: so a gid-free plan's v4 IS its v2. Hashes from different versions
+#: are NOT comparable for plans the changed normalization touches, so
+#: drift compares same-version maps: older maps are dual-recorded
+#: (``plan_fingerprints_v2`` / ``plan_fingerprints_v3``) so neither the
+#: v2→v3 nor the v3→v4 switch has a blind window (a prev-round v2/v3
+#: record compares against this round's same-version map), unlike the
+#: v1→v2 switch which blinded one round.
+FINGERPRINT_VERSION = 4
 
 
-def _plan_fingerprint(df) -> dict[str, str]:
+def _plan_fingerprint(df) -> dict:
     """Stable hashes of the physical plan, ephemeral ids stripped —
-    returns ``{"v2": ..., "v3": ...}`` (v3 is the canonical fingerprint;
-    v2 is kept for comparing against records written under version 2).
+    returns ``{"v2", "v3", "v4", "has_gid"}`` (v4 is the canonical
+    fingerprint; v2/v3 are kept for comparing against records written
+    under those versions, ``has_gid`` says whether the gid
+    canonicalization touched this plan at all).
 
     Two rounds with the same fingerprint ran the same plan shape, so a
     wall-clock swing between them is host noise (or data change — the
@@ -176,7 +188,7 @@ def _plan_fingerprint(df) -> dict[str, str]:
     fresh (r9's nexmark_q9 "plan-change" was exactly this artifact: the
     r8/r9 plans were reproduced identical once untruncated).
 
-    v3 additionally canonicalizes multi-COUNT(DISTINCT) plans: Spark
+    v3/v4 additionally canonicalize multi-COUNT(DISTINCT) plans: Spark
     assigns the Expand ``gid`` slots (and with them the grouping-key /
     Expand-branch / FILTER-predicate order) from an unordered collection
     whose iteration order moves with session state, so the SAME plan
@@ -189,7 +201,15 @@ def _plan_fingerprint(df) -> dict[str, str]:
     ``HashAggregate(keys=[X``, so WHICH key is first still leaked
     through) — permutation-invariant, while any real change (different
     aggregate, extra exchange, different keys) still changes the token
-    multiset or the surrounding lines."""
+    multiset or the surrounding lines.
+
+    v3 (RETIRED convention, recorded only for comparing against v3-era
+    records) joined the canonicalized lines with "\\n", dropping the
+    plan's trailing newline — so every plan, gid-free or not, hashed
+    differently from v2 (ADVICE r11). v4 rewrites gid lines in place
+    and byte-preserves all line endings: ``v4 == v2`` exactly when the
+    plan has no gid lines, which is the invariant the gid-artifact
+    gating needs."""
     import hashlib
 
     spark = df.sparkSession
@@ -204,15 +224,24 @@ def _plan_fingerprint(df) -> dict[str, str]:
     plan = re.sub(r"\[(?:plan_)?id=#?\d+\]", "[id=]", plan)
     plan = re.sub(r"file:[^\s,\]]+|/tmp/[^\s,\]]+", "<path>", plan)
     v2 = hashlib.sha1(plan.encode()).hexdigest()[:12]
-    lines = []
-    for line in plan.splitlines():
-        if "gid#" in line:
-            line = re.sub(r"gid# = \d+", "gid# = _", line)
-            toks = [t.strip() for t in re.split(r"[,\[\]()]", line)]
-            line = ", ".join(sorted(t for t in toks if t))
-        lines.append(line)
-    v3 = hashlib.sha1("\n".join(lines).encode()).hexdigest()[:12]
-    return {"v2": v2, "v3": v3}
+
+    def canon(line: str) -> str:
+        line = re.sub(r"gid# = \d+", "gid# = _", line)
+        toks = [t.strip() for t in re.split(r"[,\[\]()]", line)]
+        return ", ".join(sorted(t for t in toks if t))
+
+    legacy_lines = []  # v3: "\n"-joined, trailing newline lost
+    v4_parts = []  # v4: line endings preserved byte-for-byte
+    for raw in plan.splitlines(keepends=True):
+        body = raw.rstrip("\r\n")
+        ending = raw[len(body):]
+        if "gid#" in body:
+            body = canon(body)
+        legacy_lines.append(body)
+        v4_parts.append(body + ending)
+    v3 = hashlib.sha1("\n".join(legacy_lines).encode()).hexdigest()[:12]
+    v4 = hashlib.sha1("".join(v4_parts).encode()).hexdigest()[:12]
+    return {"v2": v2, "v3": v3, "v4": v4, "has_gid": "gid#" in plan}
 
 
 def _pctl(sorted_vals: list[float], p: float) -> float:
@@ -390,6 +419,8 @@ def main() -> None:
     stamps: dict[str, dict] = {}
     fingerprints: dict[str, str] = {}
     fingerprints_v2: dict[str, str] = {}
+    fingerprints_v3: dict[str, str] = {}
+    plan_has_gid: dict[str, bool] = {}
     aux_fps: dict[str, str] = {}
     total_reruns = 0
     # PQ-family queries read session-built index views whose CONTENT the
@@ -405,8 +436,10 @@ def main() -> None:
         times[name] = round(best, 3)
         stamps[name] = stamp
         fps = _plan_fingerprint(q.spark_fn(spark, sf_dir))
-        fingerprints[name] = fps["v3"]
+        fingerprints[name] = fps["v4"]
         fingerprints_v2[name] = fps["v2"]
+        fingerprints_v3[name] = fps["v3"]
+        plan_has_gid[name] = fps["has_gid"]
         if name in index_backed:
             aux_fps[name] = _similarity.index_content_fingerprint(spark, sf_dir)
         flag = f" [reran {stamp['reruns']}x]" if stamp["reruns"] else ""
@@ -419,9 +452,11 @@ def main() -> None:
     prev_round, prev_times, prev_fps, prev_aux, prev_watch, prev_fp_ver = (
         _prev_record(sf)
     )
-    # compare same-version hashes: a prev v2 record (the transition
-    # round) matches against our dual-recorded v2 map, v3 against v3
-    cmp_fps = fingerprints_v2 if prev_fp_ver == 2 else fingerprints
+    # compare same-version hashes: a prev v2 or v3(legacy) record
+    # matches against our dual-recorded map of that version, v4 vs v4
+    cmp_fps = {2: fingerprints_v2, 3: fingerprints_v3}.get(
+        prev_fp_ver, fingerprints
+    )
     drift: dict[str, dict] = {}
     for name, q in sorted(queries.items()):
         prev = prev_times.get(name)
@@ -455,21 +490,25 @@ def main() -> None:
         stamps[name] = {**kept_stamp, "kept_from": kept_src}
         kept_delta = (kept - prev) / prev
         prev_fp = prev_fps.get(name)
-        # v2 mismatch on a gid-bearing plan (v3 != v2 exactly when the v3
-        # canonicalization touched it) compared against a v2-era record:
-        # the reproduced multi-COUNT(DISTINCT) slot-permutation artifact
-        # (see the gid-permutation adjudication). Treated as SAME PLAN so
-        # the wall delta still gets the full noise/improved/regressed
-        # attribution — an artifact label that short-circuited
-        # classification would launder a real regression on these plans
-        # out of the watchlist and into the next round's baseline
-        # (review r11). The row keeps the mismatched hashes plus this
-        # flag; v3-vs-v3 from the next round removes the ambiguity.
+        # v2 mismatch on a gid-bearing plan compared against a v2-era
+        # record: the reproduced multi-COUNT(DISTINCT) slot-permutation
+        # artifact (see the gid-permutation adjudication). Gated on the
+        # plan ACTUALLY containing gid lines (ADVICE r11: the old gate
+        # was `v3 != v2`, which the trailing-newline bug made true for
+        # every plan, gid-free included — a genuine plan change on any
+        # query vs a v2 record would have been mislabeled as the
+        # artifact). Treated as SAME PLAN so the wall delta still gets
+        # the full noise/improved/regressed attribution — an artifact
+        # label that short-circuited classification would launder a
+        # real regression on these plans out of the watchlist and into
+        # the next round's baseline (review r11). The row keeps the
+        # mismatched hashes plus this flag; same-version compares
+        # (v3-legacy or v4) have no such ambiguity.
         fp_gid_artifact = bool(
             prev_fp
             and prev_fp != cmp_fps[name]
             and prev_fp_ver == 2
-            and fingerprints[name] != fingerprints_v2[name]
+            and plan_has_gid[name]
         )
         if prev_fp and prev_fp != cmp_fps[name] and not fp_gid_artifact:
             cls = "plan-change"
@@ -540,6 +579,8 @@ def main() -> None:
         "adjudications": _ADJUDICATIONS,
         "plan_fingerprints": fingerprints,
         "plan_fingerprints_v2": fingerprints_v2,
+        "plan_fingerprints_v3": fingerprints_v3,
+        "plan_has_gid": plan_has_gid,
         "index_fingerprints": aux_fps,
         "drift": drift,
         "canary": canary.stats(total_reruns),
@@ -1032,11 +1073,22 @@ _ADJUDICATIONS: dict[str, str] = {
         "from an unordered collection whose iteration order moves with "
         "session state — a pure permutation of the identical plan, "
         "verified line-by-line. Fixed as fingerprint v3 (gid numerals "
-        "blanked + comma-fragment multiset on gid# lines, all other "
-        "plans hash v2-identical); v2 is dual-recorded so the v2→v3 "
-        "switch has NO blind window, unlike v1→v2. Any remaining "
-        "plan-change row on these two queries against a v2-era record "
-        "is this artifact."
+        "blanked + comma-fragment multiset on gid# lines); v2 is "
+        "dual-recorded so the v2→v3 switch has NO blind window, unlike "
+        "v1→v2. Any remaining plan-change row on these two queries "
+        "against a v2-era record is this artifact. CORRECTION (r12, "
+        "ADVICE r11): the original r11 text here claimed 'all other "
+        "plans hash v2-identical' under v3 — false: v3 joined lines "
+        "with \\n and dropped the plan's trailing newline, so all 47 "
+        "r11 v3 hashes differ from v2, gid-free plans included "
+        "(BENCH_DETAIL_r11 proves it, e.g. tpch_q6). That also made "
+        "the fp_gid_artifact gate (defined as v3 != v2) vacuously true "
+        "for every query. v4 fixes both: gid lines are rewritten in "
+        "place with line endings byte-preserved, so gid-free v4 == v2 "
+        "by construction (asserted in test_bench_helpers), and the "
+        "artifact gate now keys on the plan actually containing gid# "
+        "lines. v3-legacy is dual-recorded for one round so the r11 "
+        "v3 record stays comparable — no blind window."
     ),
 }
 

@@ -573,10 +573,22 @@ def test_elementwise_rerun_adopts_epochs_fired_by_dead_invocation(
         workdir=str(tmp_path / "wd-ew-adopt-fresh"),
         files_per_trigger=1,
     ).collect()
-    # epoch ids differ between the interrupted pair and the clean run
-    # (the rerun's batches renumber), so compare window CONTENTS
+    # Adoption keys elementwise windows by foreachBatch epoch_id. The
+    # rerun resumes from the SHARED checkpoint, so its batch ids
+    # CONTINUE the dead predecessor's numbering rather than restarting
+    # at 0 — that is what makes the keys collision-free (a renumbered
+    # rerun's epoch 0 would collide with the orphaned epoch-0 window
+    # and own-firings-win would silently drop the orphan; ADVICE r11
+    # corrected this comment, which used to claim renumbering). Epoch
+    # ids still differ from the FRESH run's (different batch carve-up
+    # after the mid-stream crash), so values compare content-wise.
     assert sorted(r["n"] for r in recovered) == sorted(r["n"] for r in fresh)
     assert len(recovered) > 1
+    # collision-freedom made observable: the adopted (orphan) and
+    # re-fired portions occupy disjoint epoch keys, so no win_start
+    # repeats in the recovered union
+    rec_wins = [r["win_start"] for r in recovered]
+    assert len(rec_wins) == len(set(rec_wins))
     assert run_streaming(
         spark, q, data_dir, workdir=wd, files_per_trigger=1
     ).collect() == []

@@ -78,8 +78,9 @@ def test_round_number_is_one_past_latest_bench_artifact():
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
     rnd, times, fps, aux, watch, fp_ver = bench._prev_record(sf=0.1)
-    # a comparable record reports its fingerprint version (2 or current)
-    assert fp_ver in (0, 2, bench.FINGERPRINT_VERSION)
+    # a comparable record reports its fingerprint version (a
+    # dual-recorded older version or current)
+    assert fp_ver in (0, 2, 3, bench.FINGERPRINT_VERSION)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
     assert rnd < bench._round_number()  # never its own round (ADVICE r8)
     assert times  # some per-query seconds
@@ -116,8 +117,12 @@ def test_plan_fingerprint_v3_stable_under_session_aging(spark, sf_dir):
     """Multi-COUNT(DISTINCT) plans render with permuted Expand gid slots
     as session state moves (r11: dq_profile/interval_overlap_join showed
     v2 'plan-changes' that were pure permutations of the identical
-    plan). The v3 canonicalization must hash those renders identically;
-    for gid-free plans v3 == the v2 text hash by construction."""
+    plan). The gid canonicalization (v3-legacy and v4) must hash those
+    renders identically; for gid-free plans v4 == the v2 text hash BY
+    CONSTRUCTION — the load-bearing invariant the fp_gid_artifact
+    gating depends on (ADVICE r11: v3 broke it by dropping the plan's
+    trailing newline, so v3 != v2 for every plan and the gate was
+    vacuously true; this assertion would have caught it)."""
     from squirtle_spark.registry import load_all
 
     qs = load_all()
@@ -136,6 +141,15 @@ def test_plan_fingerprint_v3_stable_under_session_aging(spark, sf_dir):
     }
     for n in before:
         assert before[n]["v3"] == after[n]["v3"], n
-    # a gid-free plan is untouched by the v3 pass: both versions agree
-    # and stay stable (the fix must not perturb the stable majority)
+        assert before[n]["v4"] == after[n]["v4"], n
+    # a gid-free plan is untouched by the gid pass: v4 must equal the
+    # v2 text hash byte-for-byte (trailing newline preserved), v2 must
+    # stay stable, and has_gid must say the pass didn't touch it
     assert before["tpch_q6"]["v2"] == after["tpch_q6"]["v2"]
+    assert before["tpch_q6"]["v4"] == before["tpch_q6"]["v2"]
+    assert not before["tpch_q6"]["has_gid"]
+    # the gid-bearing plans ARE touched: v4 != v2 there, and has_gid
+    # records it (the artifact gate keys on this boolean, not on hash
+    # inequality, which the newline bug proved too blunt)
+    assert before["dq_profile"]["has_gid"]
+    assert before["interval_overlap_join"]["has_gid"]
