@@ -744,25 +744,12 @@ def _stream_q5_bench(
     tmp = tempfile.mkdtemp(prefix="bench-stream-")
     lane_stats: dict[str, dict] = {}
 
-    def lane(name: str, fn, n: int = 2) -> float:
+    def lane(name: str, fn, n: int = 3) -> float:
         """``n`` canary-sandwiched measured samples of fn() → min wall;
-        records the lane's sample stats. Callers run their own warm/init
-        pass first (the warm shape differs per lane)."""
-        samples = []
-        window = [canary.sample()] if canary else []
-        for _ in range(n):
-            samples.append(_timed(fn))
-            if canary:
-                window.append(canary.sample())
-        lane_stats[name] = {
-            "n_samples": n,
-            "samples_sec": [round(s, 3) for s in samples],
-            "min_sec": round(min(samples), 3),
-            "max_sec": round(max(samples), 3),
-            "canary_window_max_sec": round(max(window), 4) if window else None,
-            "dirty": not canary.clean(window) if canary else False,
-        }
-        return min(samples)
+        records the lane's sample stats (shared _lane_sample). Callers
+        run their own warm/init pass first (the warm shape differs per
+        lane), so warm=False here."""
+        return _lane_sample(name, fn, canary, lane_stats, n=n, warm=False)
 
     try:
         bids = sources.nexmark_bids(spark, events_per_sec, seconds)
@@ -977,6 +964,56 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+#: Noise floor multiplier on the lane's canary-window relative spread:
+#: the canary is a short fixed-cost probe, so its relative jitter upper-
+#: bounds a long lane wall's (walls integrate noise); 2x adds margin for
+#: the probe under-sampling a bursty window. Used by the stress/stream
+#: drift classifier INSTEAD of the lane's own 2-3-sample spread, which
+#: r11 showed is a thin ruler (spread-equals-delta coincidences on two
+#: samples — VERDICT r11 flag 2).
+CANARY_NOISE_MULT = 2.0
+
+
+def _lane_sample(name, fn, canary, lane_stats, n=3, warm=True):
+    """Warm/init pass + ``n`` canary-sandwiched samples of fn() → min.
+
+    Records per-lane sample stats INCLUDING the canary window itself
+    (samples, relative spread, ratio to the canary's effective
+    calibration) so cross-round drift can derive its noise floor from
+    host evidence rather than the lane's own min/max (VERDICT r11 #6)."""
+    if warm:
+        fn()  # path init (codegen, index/codebook builds, dir flushes)
+    samples = []
+    window = [canary.sample()] if canary else []
+    for _ in range(n):
+        samples.append(_timed(fn))
+        if canary:
+            window.append(canary.sample())
+    stats = {
+        "n_samples": n,
+        "samples_sec": [round(s, 3) for s in samples],
+        "min_sec": round(min(samples), 3),
+        "max_sec": round(max(samples), 3),
+    }
+    if canary:
+        cal = canary._effective_cal()
+        stats.update(
+            {
+                "canary_window_sec": [round(c, 4) for c in window],
+                "canary_window_max_sec": round(max(window), 4),
+                "canary_rel_spread": round(max(window) / min(window) - 1, 4),
+                "canary_window_vs_cal": round(
+                    (sum(window) / len(window)) / cal, 3
+                ),
+                "dirty": not canary.clean(window),
+            }
+        )
+    else:
+        stats.update({"canary_window_max_sec": None, "dirty": False})
+    lane_stats[name] = stats
+    return min(samples)
+
+
 def _fresh(tmp: str, name: str) -> str:
     """A never-used checkpoint dir (guarded reruns must not resume)."""
     import uuid
@@ -1100,11 +1137,16 @@ def _classify_stress_drift(
     wall delta vs the previous round is classed with evidence —
     ``lane-changed`` (the lane's code or measurement changed this round,
     see _STRESS_CHANGED_LANES / the caller's ``changed`` ledger),
-    ``noise`` (the measuring window's canary was
-    hot, or the swing is within this round's observed intra-round sample
-    spread, or the prior value falls inside this round's [min,max]),
+    ``noise`` (the measuring window's canary was hot, or the prior
+    value falls inside this round's [min,max], or the swing is within
+    the CANARY-derived noise floor — CANARY_NOISE_MULT × the canary
+    window's relative spread, host evidence rather than the lane's own
+    2-3-sample min/max, which r11 proved a thin ruler when
+    spread-equals-delta coincidences adjudicated two improvements),
     ``improved``/``regressed`` (sustained, clean-canary delta beyond
-    tolerance and beyond intra-round variance). Only lanes beyond
+    tolerance and beyond the canary floor). Lanes recorded before the
+    canary window rode along (pre-r12) fall back to the old intra-round
+    spread rule so old artifacts stay classifiable. Only lanes beyond
     DRIFT_TOLERANCE get a row; the summary counts the rest."""
     if changed is None:
         changed = _STRESS_CHANGED_LANES
@@ -1121,16 +1163,30 @@ def _classify_stress_drift(
         if abs(delta) <= DRIFT_TOLERANCE:
             continue
         spread = (stats["max_sec"] - stats["min_sec"]) / max(stats["min_sec"], 1e-9)
+        canary_floor = (
+            CANARY_NOISE_MULT * stats["canary_rel_spread"]
+            if "canary_rel_spread" in stats
+            else None
+        )
         if lane in changed:
             cls, why = "lane-changed", changed[lane]
         elif stats["dirty"]:
             cls, why = "noise", "canary-hot measurement window"
         elif stats["min_sec"] <= pv <= stats["max_sec"]:
             cls, why = "noise", "previous value inside this round's sample range"
-        elif spread >= abs(delta):
+        elif canary_floor is not None and canary_floor >= abs(delta):
+            cls, why = "noise", (
+                f"canary noise floor {100 * canary_floor:.0f}% "
+                f"({CANARY_NOISE_MULT}x window rel spread "
+                f"{100 * stats['canary_rel_spread']:.0f}%) >= "
+                f"cross-round delta {100 * abs(delta):.0f}%"
+            )
+        elif canary_floor is None and spread >= abs(delta):
+            # pre-r12 record without a canary window: legacy spread rule
             cls, why = "noise", (
                 f"intra-round sample spread {100 * spread:.0f}% >= "
-                f"cross-round delta {100 * abs(delta):.0f}%"
+                f"cross-round delta {100 * abs(delta):.0f}% "
+                "(legacy rule: no canary window recorded)"
             )
         elif delta < 0:
             cls, why = "improved", "sustained speedup across clean-canary samples"
@@ -1141,6 +1197,10 @@ def _classify_stress_drift(
             "prev_wall_sec": pv,
             "wall_sec": cv,
             "samples_sec": stats["samples_sec"],
+            "intra_round_spread_pct": round(100 * spread, 1),
+            "canary_noise_floor_pct": (
+                round(100 * canary_floor, 1) if canary_floor is not None else None
+            ),
             "delta_pct": round(100 * delta, 1),
             "class": cls,
             "evidence": why,
@@ -1186,24 +1246,12 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
     canary = Canary(spark)
     lane_stats: dict[str, dict] = {}
 
-    def lane(name: str, fn, n: int = 2) -> float:
+    def lane(name: str, fn, n: int = 3) -> float:
         """Warm/init run, then ``n`` canary-sandwiched measured samples;
-        records the lane's sample stats and returns the min wall."""
-        fn()  # path init (codegen, index/codebook builds, dir flushes)
-        samples = []
-        window = [canary.sample()]
-        for _ in range(n):
-            samples.append(_timed(fn))
-            window.append(canary.sample())
-        lane_stats[name] = {
-            "n_samples": n,
-            "samples_sec": [round(s, 3) for s in samples],
-            "min_sec": round(min(samples), 3),
-            "max_sec": round(max(samples), 3),
-            "canary_window_max_sec": round(max(window), 4),
-            "dirty": not canary.clean(window),
-        }
-        return min(samples)
+        records the lane's sample stats and returns the min wall
+        (shared _lane_sample: min-of-3 + canary-window noise evidence,
+        VERDICT r11 #6)."""
+        return _lane_sample(name, fn, canary, lane_stats, n=n, warm=True)
 
     try:
         bids = sources.nexmark_bids(spark, events_per_sec, seconds)

@@ -333,6 +333,24 @@ def configure_matview(mode: str, checkpoint_dir: str | None = None) -> None:
     global _MATVIEW_MODE, _CHECKPOINT_DIR
     if mode not in MATVIEW_MODES:
         raise ValueError(f"matview mode {mode!r} not in {MATVIEW_MODES}")
+    if mode == "persist":
+        # The +34% aggregate cost hides 3-6x per-query cliffs on deep
+        # matview CHAINS (persist keeps lineage, so every consumer
+        # re-walks the CacheManager's InMemoryTableScan per reference):
+        # measured ann_ivfpq_topk 3.6s -> 21.3s (6.0x), dsir_select
+        # 2.5 -> 7.3s, dedup_incremental_minhash 0.78 -> 3.9s
+        # (matview_mode_bench.json; SCALING.md "mode cost"). Warn so an
+        # operator picking persist on a checkpoint-less cluster knows
+        # which query families eat the cost (VERDICT r11 flag 1).
+        import warnings
+
+        warnings.warn(
+            "matview mode 'persist' costs 3-6x on chained-matview "
+            "queries (PQ/IVF-PQ indexes, dsir_select, incremental "
+            "minhash) vs +34% aggregate - prefer 'reliable' when any "
+            "checkpoint store exists; see SCALING.md mode rule",
+            stacklevel=2,
+        )
     _MATVIEW_MODE = mode
     if checkpoint_dir:
         _CHECKPOINT_DIR = checkpoint_dir

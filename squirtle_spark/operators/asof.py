@@ -29,18 +29,28 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
 ) -> DataFrame:
-    """Generic as-of join: latest right value at-or-before each left row."""
+    """Generic as-of join: latest right ROW at-or-before each left row.
+
+    The value columns ride in ONE struct and ``last(ignorenulls)`` skips
+    only the struct-NULL left rows — never a right row whose value
+    happens to be NULL. The first cut carried each value column through
+    its own ``last(col, ignorenulls=True)``, which silently rewrote
+    "most recent quote's value is NULL" into "older quote's non-null
+    value" — as-of must return the latest ROW's fields verbatim, nulls
+    included (caught by the r12 randomized differential lane vs DuckDB
+    ASOF JOIN on a fixture with ~3% null values; the fixed fixtures had
+    no nulls, so the bug was invisible for eleven rounds).
+    """
     l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r = (
         right.select(
             F.col(key),
             F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
         )
         .withColumn("_side", F.lit(0))
     )
-    for c in value_cols:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(r.schema[f"_r_{c}"].dataType))
+    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at equal ts (side 0 < 1), so an
     # exactly-simultaneous quote is visible to the probe (<= semantics).
@@ -50,16 +60,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
+    )
+    filled = filled.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
-    return (
-        filled.where(F.col("_side") == 1)
-        .drop("_side", "_ts", *[f"_r_{c}" for c in value_cols])
-    )
+    return filled.where(F.col("_side") == 1).drop("_side", "_ts", "_r", "_asof")
 
 
 def _asof_events(spark, sf_dir) -> DataFrame:

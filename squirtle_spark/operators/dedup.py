@@ -1012,10 +1012,14 @@ SELECT t.doc_id,
        {dl.array_len('t.tk', d)} AS n_tokens,
        COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(c.dup_tokens, 0) AS dup_tokens,
-       ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
-             / CAST({dl.array_len('t.tk', d)} AS DOUBLE), 4) AS dup_frac,
-       (CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
-            / CAST({dl.array_len('t.tk', d)} AS DOUBLE)) <= 0.30 AS gate_pass
+       CASE WHEN {dl.array_len('t.tk', d)} = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+                       / CAST({dl.array_len('t.tk', d)} AS DOUBLE), 4)
+       END AS dup_frac,
+       CASE WHEN {dl.array_len('t.tk', d)} = 0 THEN TRUE
+            ELSE (CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+                  / CAST({dl.array_len('t.tk', d)} AS DOUBLE)) <= 0.30
+       END AS gate_pass
 FROM tk t
 LEFT JOIN cov c ON t.doc_id = c.doc_id
 """

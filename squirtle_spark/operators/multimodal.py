@@ -62,18 +62,32 @@ def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     A real pipeline would decode the payload here (PIL/ffmpeg/soundfile) and
     emit features; those libs aren't in this container, so we emit
-    deterministic fake features (byte-sum, 64-byte frame count) with the
-    exact batch shape a real decoder would use. Swap the body, keep the
-    contract.
+    deterministic fake features (code-point sum, 64-symbol frame count)
+    with the exact batch shape a real decoder would use. Swap the body,
+    keep the contract. Two robustness rules a real codec needs too, both
+    found by the r12 randomized differential lane: a NULL payload (missing
+    asset) yields the row with NULL features — it must not crash the batch
+    or silently vanish — and features are defined over DECODED symbols
+    (code points), not raw bytes, so multi-byte UTF-8 payloads score
+    identically in the stub and the SQL oracle. ``n_bytes`` stays the true
+    byte length (the one genuinely byte-level fact).
     """
     for pdf in batches:
-        payload = pdf["payload"]
+        n_bytes, feat, frames = [], [], []
+        for b in pdf["payload"]:
+            if b is None:
+                n_bytes.append(None), feat.append(None), frames.append(None)
+                continue
+            s = bytes(b).decode("utf-8")
+            n_bytes.append(len(b))
+            feat.append(sum(ord(c) for c in s) % 2**31)
+            frames.append(len(s) // 64)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payload.map(len).astype("int64"),
-                "feat_sum": payload.map(lambda b: int(sum(b)) % 2**31).astype("int64"),
-                "n_frames": payload.map(lambda b: len(b) // 64).astype("int64"),
+                "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                "feat_sum": pd.array(feat, dtype="Int64"),
+                "n_frames": pd.array(frames, dtype="Int64"),
             }
         )
 
@@ -86,9 +100,12 @@ def _decode(spark, sf_dir) -> DataFrame:
     return docs.mapInPandas(_decode_stub, schema=DECODE_SCHEMA)
 
 
-#: The stub's fake features are themselves deterministic byte math, so the
-#: whole mapInPandas path gets a value-level oracle (payloads are ASCII ⇒
-#: code points == bytes).
+#: The stub's fake features are deterministic code-point math, so the
+#: whole mapInPandas path gets a value-level oracle (DuckDB ``ascii()``
+#: returns the full code point, not just 0-127). LEFT JOIN + the null
+#: pass-through keeps missing-payload rows present with NULL features,
+#: matching the stub. Empty text: string_split('','') = [''] with
+#: ascii('') = 0, so the sum is 0, matching the stub's empty decode.
 _DECODE_ORACLE = """
 WITH ch AS (
     SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
@@ -96,10 +113,11 @@ WITH ch AS (
 sums AS (SELECT doc_id, SUM(ascii(c)) AS s FROM ch GROUP BY doc_id)
 SELECT d.doc_id,
        CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-       CAST(s % 2147483648 AS BIGINT) AS feat_sum,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(s % 2147483648 AS BIGINT) END AS feat_sum,
        CAST(length(d.text) // 64 AS BIGINT) AS n_frames
 FROM documents d
-JOIN sums USING (doc_id)
+LEFT JOIN sums USING (doc_id)
 """
 
 
@@ -138,13 +156,23 @@ def _framesample_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [], "thumb": [], "frame_hash": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = len(payload) // FRAME_BYTES
+            if payload is None:
+                continue  # missing asset: no frames (oracle: NULL series)
+            # frames are DECODED-symbol windows, not raw byte windows: a
+            # byte slice can cut a multi-byte UTF-8 code point in half
+            # (the first cut crashed `.decode()` mid-rocket-emoji in the
+            # r12 randomized lane) and is unreplayable in the SQL oracle,
+            # which slices by character.
+            sym = bytes(payload).decode("utf-8")
+            n_frames = len(sym) // FRAME_BYTES
             for i in range(0, n_frames, FRAME_STRIDE):
-                frame = bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                frame = sym[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
-                out["thumb"].append(frame[:THUMB_BYTES].decode("utf-8"))
-                out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+                out["thumb"].append(frame[:THUMB_BYTES])
+                out["frame_hash"].append(
+                    hashlib.md5(frame.encode("utf-8")).hexdigest()
+                )
         yield pd.DataFrame(out)
 
 

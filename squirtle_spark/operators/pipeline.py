@@ -188,8 +188,14 @@ def _chunks(d: str) -> str:
     toks = dl.split_tokens("text", d)
     n = dl.array_len(toks, d)
     if d == dl.SPARK:
+        # Spark's sequence(1, 0) raises (illegal boundaries) where
+        # DuckDB's generate_series(1, 0) is simply empty — a zero-token
+        # document must yield zero chunks in both engines, not crash one
+        # (r12 randomized differential lane: empty-text docs).
         fanout = (
-            f"LATERAL VIEW explode(sequence(1, CAST({n} AS INT), {_CHUNK_STRIDE})) _c AS start"
+            f"LATERAL VIEW explode(CASE WHEN {n} >= 1 THEN "
+            f"sequence(1, CAST({n} AS INT), {_CHUNK_STRIDE}) "
+            f"ELSE array() END) _c AS start"
         )
         chunk = f"concat_ws(' ', slice({toks}, start, {_CHUNK_SIZE}))"
     else:

@@ -164,7 +164,12 @@ def _quality_calibration(d: str) -> str:
     Distribution: the rank is a window partitioned by source — the same
     keyed shuffle any per-source agg pays, no global ordering anywhere.
     Determinism: ORDER BY (z, doc_id) is a total order, so PERCENT_RANK
-    is identical across engines and partitionings.
+    is identical across engines and partitionings. Unscorable docs
+    (NULL text → NULL margin) are EXCLUDED before ranking: engines
+    disagree on default NULL sort placement (Spark ASC = NULLS FIRST,
+    DuckDB = NULLS LAST), which silently shifted every percentile in
+    any source containing one NULL doc (r12 randomized differential
+    lane) — and a doc with no text has no place in a quality ranking.
     """
     toks = dl.split_tokens("text", d)
     n_tok = dl.array_len(toks, d)
@@ -186,6 +191,7 @@ ranked AS (
     SELECT doc_id, source, z,
            PERCENT_RANK() OVER (PARTITION BY source ORDER BY z, doc_id) AS pr
     FROM (SELECT doc_id, source, {z} AS z FROM f) scored
+    WHERE z IS NOT NULL
 )
 SELECT doc_id, source,
        ROUND(z, 6) AS margin,
@@ -237,7 +243,14 @@ def _fingerprint(d: str) -> str:
     if d == dl.SPARK:
         tokset = f"array_join(array_sort(array_distinct({toks})), ' ')"
     else:
-        tokset = f"array_to_string(list_sort(list_distinct({toks})), ' ')"
+        # DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is '' — an empty document must fingerprint as
+        # md5('') in both engines, and a NULL document as NULL in both
+        # (r12 randomized differential lane: empty-text docs).
+        tokset = (
+            f"CASE WHEN {toks} IS NULL THEN NULL ELSE COALESCE("
+            f"array_to_string(list_sort(list_distinct({toks})), ' '), '') END"
+        )
     return f"""
 SELECT doc_id,
        md5(text) AS content_fp,

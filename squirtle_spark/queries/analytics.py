@@ -33,15 +33,20 @@ def _win_analytics(d: str) -> str:
     # All windows partition on user_id (high-cardinality at scale — a
     # low-cardinality key like event_type would cap parallelism at its
     # distinct count); ties per user still occur (10 bands per ~70 events).
+    # NULLS LAST is EXPLICIT: Spark's ASC default is NULLS FIRST,
+    # DuckDB's is NULLS LAST, so one NULL value in a partition silently
+    # shifted every rank/percentile in it (r12 randomized differential
+    # lane — the fixed fixtures have no NULL values, hiding the default).
     band = "CAST(FLOOR(value / 50) AS INT)"
+    by_band = f"ORDER BY {band} NULLS LAST"
     return f"""
 SELECT event_id,
        user_id,
        {band} AS price_band,
-       CAST(RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS BIGINT) AS rnk,
-       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS BIGINT) AS drnk,
-       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY {band}) AS prnk,
-       CUME_DIST() OVER (PARTITION BY user_id ORDER BY {band}) AS cdist,
+       CAST(RANK() OVER (PARTITION BY user_id {by_band}) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id {by_band}) AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER (PARTITION BY user_id {by_band}) AS prnk,
+       CUME_DIST() OVER (PARTITION BY user_id {by_band}) AS cdist,
        CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
        LEAD(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_value,
@@ -91,6 +96,12 @@ register_sql(
 def _stats_moments(d: str) -> str:
     # Exact decimal power sums -> DOUBLE -> closed-form moments. DECIMAL(14,4)
     # keeps products inside both engines' 38-digit cap (value<=1e10 fits).
+    # The power sums are exact, but the DECIMAL→DOUBLE cast itself is
+    # engine-dependent at the last ulp (measured r12: an 8-fractional-digit
+    # sum converted 107751494.94989571 in Spark vs ...572 in DuckDB —
+    # DuckDB's int128/scale path rounds twice), so the closed forms are
+    # ROUNDed to 6 dp: coarse enough that 1-ulp input jitter can't flip
+    # a digit, fine enough to keep the moments meaningful.
     x = "CAST(value AS DECIMAL(14,4))"
     y = "CAST(user_id AS DECIMAL(14,4))"
     return f"""
@@ -107,12 +118,12 @@ WITH m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       (sxx - sx * sx / n) / (n - 1) AS var_value,
-       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
-       (sxx - sx * sx / n) / n AS var_pop_value,
-       (sxy - sx * sy / n) / (n - 1) AS covar_value_user,
-       ((sxy - sx * sy / n) / (n - 1))
-         / (SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1)))
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+       ROUND((sxx - sx * sx / n) / n, 6) AS var_pop_value,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_value_user,
+       ROUND(((sxy - sx * sy / n) / (n - 1))
+         / (SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1))), 6)
          AS corr_value_user
 FROM m
 """

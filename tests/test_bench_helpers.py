@@ -153,3 +153,44 @@ def test_plan_fingerprint_v3_stable_under_session_aging(spark, sf_dir):
     # inequality, which the newline bug proved too blunt)
     assert before["dq_profile"]["has_gid"]
     assert before["interval_overlap_join"]["has_gid"]
+
+
+def test_stress_classifier_noise_floor_comes_from_canary():
+    """VERDICT r11 #6: with a canary window recorded, the noise
+    adjudication must key on the canary's relative spread (host
+    evidence), not the lane's own 2-3-sample min/max; without one
+    (pre-r12 artifacts) the legacy spread rule still applies."""
+    prev = {"x_wall_sec": 10.0}
+
+    def stats(mn, mx, canary_spread=None):
+        s = {
+            "n_samples": 3,
+            "samples_sec": [mx, (mn + mx) / 2, mn],
+            "min_sec": mn,
+            "max_sec": mx,
+            "dirty": False,
+        }
+        if canary_spread is not None:
+            s["canary_rel_spread"] = canary_spread
+        return s
+
+    # delta -30%; canary window spread 16% -> floor 32% >= 30% -> noise
+    d = bench._classify_stress_drift(
+        11, prev, {"x": stats(7.0, 7.2, canary_spread=0.16)}, changed={}
+    )
+    row = d["beyond_tolerance"]["x"]
+    assert row["class"] == "noise" and "canary noise floor" in row["evidence"]
+    assert row["canary_noise_floor_pct"] == 32.0
+
+    # same delta; canary quiet (2%) -> floor 4% < 30% -> improved, even
+    # though the lane's OWN spread (7.0..7.2 vs a hypothetical wide one)
+    # no longer gets a say
+    d = bench._classify_stress_drift(
+        11, prev, {"x": stats(7.0, 9.9, canary_spread=0.02)}, changed={}
+    )
+    assert d["beyond_tolerance"]["x"]["class"] == "improved"
+
+    # no canary window recorded (legacy artifact): spread rule applies
+    d = bench._classify_stress_drift(11, prev, {"x": stats(7.0, 9.9)}, changed={})
+    row = d["beyond_tolerance"]["x"]
+    assert row["class"] == "noise" and "legacy rule" in row["evidence"]

@@ -185,3 +185,18 @@ def test_reliable_eviction_defers_checkpoint_delete(
     catalog.clear_matviews(sess)
     assert not os.path.exists(local)
     assert id(sess) not in catalog._DEFERRED_CKPT_DELETES
+
+
+def test_persist_mode_warns_about_cliffs(reset_matview_mode):
+    """Configuring persist mode must warn about the measured 3-6x
+    per-query cliffs on chained-matview queries (VERDICT r11 flag 1:
+    the +34% aggregate hides ann_ivfpq_topk at 6x), and the other two
+    modes must stay silent."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="3-6x on chained-matview"):
+        catalog.configure_matview("persist")
+    for quiet in ("local", "reliable"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            catalog.configure_matview(quiet)

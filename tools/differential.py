@@ -1,0 +1,91 @@
+"""Seeded randomized differential lane vs DuckDB (VERDICT r11 #2).
+
+The driver's fixtures are fixed, so every oracle row is evidence on the
+same bytes — a query can be right-on-the-fixture and wrong-in-general.
+This lane regenerates the ten tables randomly (tools/randgen: skewed
+keys, NULLs, empty groups, unicode, planted dups) and replays every
+oracle-backed registry entry against its own DuckDB oracle on the new
+bytes. Same query code, same oracle SQL, adversarial data.
+
+First run (r12, seed 11) caught SIX real bugs the fixed fixtures could
+never show, all fixed:
+
+- asof_join_events: per-column ``last(ignorenulls)`` rewrote "latest
+  quote's value is NULL" into an older non-null value (row-struct fix);
+- dedup_spans: DIVIDE_BY_ZERO on zero-token documents;
+- chunk_documents: Spark ``sequence(1, 0)`` raises where DuckDB's
+  ``generate_series`` is empty — empty docs crashed the whole query;
+- multimodal_decode/framesample: NULL payloads crashed the Pandas stub;
+  byte-window frames cut UTF-8 code points in half;
+- quality_calibration / win_analytics: Spark ASC = NULLS FIRST vs
+  DuckDB = NULLS LAST silently shifted every rank/percentile in any
+  partition containing one NULL;
+- doc_fingerprint: DuckDB ``array_to_string([])`` is NULL, Spark
+  ``array_join([])`` is ''.
+
+Exclusions below are ADJUDICATED engine/contract differences, not
+skipped work — each names its mechanism and evidence.
+"""
+
+from __future__ import annotations
+
+import time
+
+#: Entries whose spark-vs-oracle comparison is only meaningful on the
+#: FIXED fixtures — each exclusion is an adjudicated mechanism, not a
+#: flake quarantine.
+EXCLUSIONS: dict[str, str] = {
+    "dedup_edit_distance": (
+        "DuckDB levenshtein counts BYTES, Spark counts code points — "
+        "probed r12: levenshtein('🚀🚀','ab') = 2 in Spark vs 8 in "
+        "DuckDB. The operator's code-point semantics are the intended "
+        "ones; the oracle is exact only on ASCII corpora (the driver "
+        "fixtures are ASCII, where the entry stays value-green)."
+    ),
+    "approx_sketch_stats_contract": (
+        "The contract asserts HLL++/t-digest error bounds that are "
+        "PROBABILISTIC (rsd=5% is a standard deviation, not a bound); "
+        "a random fixture resamples the sketch's luck — seed 11 put "
+        "Spark's HLL 5.8% off on a 121-distinct group. The contract "
+        "binds the fixture working point by design."
+    ),
+    "sketch_merge_distinct_contract": "same probabilistic-bound class as approx_sketch_stats_contract.",
+    "approx_topk_tokens_contract": "same probabilistic-bound class as approx_sketch_stats_contract.",
+    "dq_profile_approx_contract": "same probabilistic-bound class as approx_sketch_stats_contract.",
+}
+
+
+def run_seed(spark, seed: int, base_dir: str) -> dict[str, dict]:
+    """Generate the seed's fixture under base_dir and replay every
+    non-excluded oracle-backed entry; returns name -> result row."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from squirtle_spark.oracle import check_query
+    from squirtle_spark.registry import load_all
+
+    from .randgen import generate
+
+    d = generate(os.path.join(base_dir, f"s{seed}"), seed)
+    out: dict[str, dict] = {}
+    for name, q in sorted(load_all().items()):
+        if q.oracle is None or name in EXCLUSIONS:
+            continue
+        t = time.time()
+        try:
+            res = check_query(spark, name, d)
+            out[name] = {
+                "status": "ok" if res.ok else "mismatch",
+                "spark_rows": res.rows_spark,
+                "oracle_rows": res.rows_oracle,
+                "msg": None if res.ok else res.message()[:400],
+                "sec": round(time.time() - t, 2),
+            }
+        except Exception as e:  # a crash is a finding, not an abort
+            out[name] = {
+                "status": "error",
+                "msg": f"{type(e).__name__}: {str(e)[:300]}",
+                "sec": round(time.time() - t, 2),
+            }
+    return out

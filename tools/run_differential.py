@@ -1,0 +1,78 @@
+"""Artifact runner for the randomized differential lane: N seeds, full
+registry, one committed JSON (DIFFERENTIAL_r{N}.json) recording seeds,
+pass counts and any finding — the committed evidence VERDICT r11 #2
+asks for. The pytest lane (tests/test_differential.py) runs a 2-seed
+subset on every suite run; this runner goes wider when invoked.
+
+Usage: python tools/run_differential.py [seed ...]   (default: 5 seeds)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+
+
+def _round_number(repo: str) -> int:
+    import glob
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pyspark.sql import SparkSession
+
+    from tools.differential import EXCLUSIONS, run_seed
+
+    seeds = [int(a) for a in sys.argv[1:]] or [11, 23, 37, 59, 97]
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("differential")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("FATAL")
+    base = tempfile.mkdtemp(prefix="randfix-")
+    per_seed: dict[str, dict] = {}
+    findings: list[dict] = []
+    for seed in seeds:
+        res = run_seed(spark, seed, base)
+        bad = {k: v for k, v in res.items() if v["status"] != "ok"}
+        per_seed[str(seed)] = {
+            "checked": len(res),
+            "ok": len(res) - len(bad),
+            "bad": {k: v["msg"] for k, v in bad.items()},
+            "wall_s": round(sum(v["sec"] for v in res.values()), 1),
+        }
+        findings.extend({"seed": seed, "query": k, **v} for k, v in bad.items())
+        print(
+            f"# seed {seed}: {len(res) - len(bad)}/{len(res)} ok "
+            f"({per_seed[str(seed)]['wall_s']}s)",
+            file=sys.stderr,
+        )
+    art = {
+        "round": _round_number(repo),
+        "seeds": seeds,
+        "excluded": EXCLUSIONS,
+        "per_seed": per_seed,
+        "findings": findings,
+    }
+    path = os.path.join(repo, f"DIFFERENTIAL_r{art['round']:02d}.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({"written": path, "total_findings": len(findings)}))
+
+
+if __name__ == "__main__":
+    main()
