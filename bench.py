@@ -1058,6 +1058,18 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "r12 differential-lane fixes (win_analytics, chunk_documents, dedup_spans)": (
+        "Three benched queries carry INTENTIONAL r12 plan changes from "
+        "the randomized differential lane's bug fixes (DIFFERENTIAL_r12: "
+        "191/191 green x 5 seeds after): win_analytics pins NULLS LAST "
+        "on its rank windows (Spark/DuckDB default NULL placement "
+        "diverges), chunk_documents guards Spark's sequence(1,0) crash "
+        "on zero-token docs with a CASE around the explode, dedup_spans "
+        "guards a DIVIDE_BY_ZERO the same way. Any r12 'plan-change' "
+        "drift row on these three is these fixes; values on the driver "
+        "fixtures are unchanged (all three oracle-green both before and "
+        "after at sf0.01)."
+    ),
     "nexmark_q9": (
         "r9's +25.6% 'plan-change' was a fingerprint artifact, not a plan "
         "change: v1 fingerprints hashed metadata strings truncated at "

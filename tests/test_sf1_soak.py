@@ -233,3 +233,106 @@ def test_sf1_soak_float_sensitive(
         }
     )
     assert res.ok, res.message()
+
+
+def _salted_replica_dir(tmp_path_factory, n_replicas: int) -> str:
+    """documents replicated ``n_replicas``x over sf0.1 with the NEAR-DUP
+    structure held CONSTANT across scales: replica r≠0 salts every 2nd
+    token with an r-unique suffix, so every w=3 shingle of a salted doc
+    contains a salt and replicas of one original share ZERO shingles
+    (cross-replica Jaccard = 0, below any floor) — while two docs that
+    were near-dups INSIDE sf0.1 stay near-dups within each replica set
+    (same positions get the same salt). Each replica set is a disjoint
+    corpus copy carrying exactly the original intra-sf0.1 pair
+    structure, so output pairs scale ~linearly with the corpus and the
+    probe's exponent measures CORPUS growth. (Two prior attempts are
+    the cautionary tale: a suffix-only ' rep{r}' marker left all
+    replicas mutual near-dups — 109x output on 10x corpus — and
+    every-7th-token salting still left J≈0.40 at w=3 against the 0.2
+    floor; this gate's <30x bound failed both.) Other tables symlink
+    to sf0.1 (the probe only reads documents)."""
+    base = "/root/testdata/sf0.1"
+    out = str(tmp_path_factory.mktemp(f"salted{n_replicas}"))
+    con = duckdb.connect()
+    try:
+        n_doc = con.sql(
+            f"SELECT COUNT(*) FROM '{base}/documents.parquet'"
+        ).fetchone()[0]
+        salted = (
+            "CASE WHEN r = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split(text, ' '), (w, i) -> "
+            "CASE WHEN i % 2 = 0 THEN w || 'x' || CAST(r AS VARCHAR) "
+            "ELSE w END), ' ') END"
+        )
+        con.sql(
+            f"""COPY (
+                SELECT r * {n_doc} + doc_id AS doc_id,
+                       {salted} AS text,
+                       lang, source,
+                       CAST(length({salted}) AS BIGINT) AS n_chars
+                FROM '{base}/documents.parquet'
+                CROSS JOIN range({n_replicas}) t(r)
+                ORDER BY doc_id
+            ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def test_sf10_scaling_probe(spark, tmp_path_factory, soak_record):
+    """VERDICT r11 stretch #8: one more decade for the heaviest family
+    (dedup_minhash_lsh) to surface the first super-linear-cost term
+    before a real cluster does. Spark-side walls at 10x and 100x sf0.1
+    (sf1- and sf10-equivalent corpus sizes) in the SAME session, over
+    SALTED replica fixtures whose near-dup structure is scale-constant
+    (see _salted_replica_dir — value correctness at scale is carried by
+    the sf1 oracle soak above; replaying DuckDB over 500k docs would
+    double a multi-minute run for no information about OUR plan).
+    Exponent = log(w10/w1)/log(10): ~1 = the banded candidate join is
+    holding (work ~ input + output), >>1 = within-bucket pairing has
+    gone quadratic."""
+    import math
+    import time as _time
+
+    from squirtle_spark import catalog
+    from squirtle_spark.registry import load_all
+
+    q = load_all()["dedup_minhash_lsh"]
+    walls = {}
+    rows = {}
+    for label, n in (("sf1", 10), ("sf10", 100)):
+        d = _salted_replica_dir(tmp_path_factory, n)
+        catalog.invalidate(spark)  # fresh matviews per scale, no cache credit
+        t0 = _time.time()
+        rows[label] = q.spark_fn(spark, d).count()
+        walls[label] = _time.time() - t0
+    catalog.invalidate(spark)
+    exponent = math.log(walls["sf10"] / walls["sf1"]) / math.log(10)
+    soak_record.append(
+        {
+            "name": "dedup_minhash_lsh@sf10",
+            "rows": rows["sf10"],
+            "wall_sec": round(walls["sf10"], 2),
+            "pass": rows["sf10"] > 0,
+            "scale_equivalent": 10.0,
+            "spark_only": True,
+            "sf1_wall_sec": round(walls["sf1"], 2),
+            "sf1_rows": rows["sf1"],
+            "scaling_exponent_vs_sf1": round(exponent, 3),
+            "note": (
+                "wall ~ N^e over the decade sf1->sf10 at scale-constant "
+                "near-dup structure (salted replicas); e~1 = the banded "
+                "join is holding, e>>1 = within-bucket pairing has gone "
+                "quadratic"
+            ),
+        }
+    )
+    # output must scale ~linearly with the corpus when dup structure is
+    # scale-constant — the 109x blowup of the suffix-only fixture would
+    # fail this gate
+    assert rows["sf10"] > rows["sf1"]
+    assert rows["sf10"] < 30 * rows["sf1"]
