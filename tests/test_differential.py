@@ -126,3 +126,43 @@ def test_randomized_stream_equals_batch(spark, tmp_path):
     # the NULL-measure edge actually occurred: some window has rows but
     # zero non-null values (sum NULL), or fewer non-nulls than rows
     assert any(r["cnt"] > r["n_nonnull"] for r in expected)
+
+
+@pytest.mark.differential
+def test_spark_levenshtein_is_codepoint_exact_on_random_unicode(spark):
+    """dedup_edit_distance is EXCLUDED from the DuckDB lane (DuckDB
+    levenshtein counts bytes); this pins the operator's actual semantic
+    — code-point edit distance — against an independent pure-Python DP
+    reference on seeded random unicode pairs, so the excluded entry's
+    core function still has randomized coverage."""
+    import random
+
+    rng = random.Random(20240816)
+    alphabet = "ab 数据🚀cafémир"
+
+    def rand_s():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 24))
+        )
+
+    def dp(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pairs = [(rand_s(), rand_s()) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["d"]
+        for r in df.selectExpr("levenshtein(a, b) AS d").collect()
+    ]
+    want = [dp(a, b) for a, b in pairs]
+    assert got == want
+    # the domain actually exercised multi-byte code points
+    assert any(len(a.encode()) != len(a) for a, _ in pairs)
