@@ -1159,9 +1159,38 @@ def _classify_stress_drift(
     tolerance and beyond the canary floor). Lanes recorded before the
     canary window rode along (pre-r12) fall back to the old intra-round
     spread rule so old artifacts stay classifiable. Only lanes beyond
-    DRIFT_TOLERANCE get a row; the summary counts the rest."""
+    DRIFT_TOLERANCE get a row — EXCEPT lanes the previous round classed
+    ``noise`` on a beyond-tolerance SLOWDOWN: unlike the headline batch
+    path (whose
+    retime REPLACES the recorded value, so a noise verdict never
+    pollutes the baseline), these lanes record min-of-N directly, so a
+    real regression classed noise in a hot window would silently become
+    the next round's comparison base. Those lanes get a FORCED row
+    carrying the pre-noise BASELINE wall: back within tolerance of the
+    baseline → ``noise-reverted`` (host verdict confirmed, debt
+    closed); still elevated with a hot/jittery canary →
+    ``noise-sustained`` (debt renews); still elevated on a QUIET canary
+    → ``regressed-vs-baseline`` — the launder is caught, two rounds
+    late at worst."""
     if changed is None:
         changed = _STRESS_CHANGED_LANES
+    prev_drift = {}
+    if isinstance(prev, dict):
+        prev_drift = prev.get("drift", {}).get("beyond_tolerance", {})
+    noise_watch: dict[str, dict] = {}
+    for lane, row in prev_drift.items():
+        cls_prev = str(row.get("class", ""))
+        if not cls_prev.startswith("noise") or cls_prev == "noise-reverted":
+            continue
+        slow_now = row.get("delta_pct", 0) > DRIFT_TOLERANCE * 100
+        slow_base = row.get("baseline_delta_pct") is not None and (
+            row["baseline_delta_pct"] > DRIFT_TOLERANCE * 100
+        )
+        if slow_now or slow_base:  # only SLOWDOWNS can launder a regression
+            noise_watch[lane] = {
+                "round": row.get("baseline_round", row.get("prev_round")),
+                "wall_sec": row.get("baseline_wall_sec", row.get("prev_wall_sec")),
+            }
     drift: dict[str, dict] = {}
     checked = 0
     for lane, stats in lane_stats.items():
@@ -1172,7 +1201,48 @@ def _classify_stress_drift(
         checked += 1
         cv = stats["min_sec"]
         delta = (cv - pv) / pv
-        if abs(delta) <= DRIFT_TOLERANCE:
+        watch = noise_watch.get(lane)
+        if abs(delta) <= DRIFT_TOLERANCE and not watch:
+            continue
+        if abs(delta) <= DRIFT_TOLERANCE and watch:
+            # forced row: adjudicate against the pre-noise baseline
+            base = watch["wall_sec"]
+            bdelta = (cv - base) / base if base else 0.0
+            canary_floor = (
+                CANARY_NOISE_MULT * stats["canary_rel_spread"]
+                if "canary_rel_spread" in stats
+                else None
+            )
+            if abs(bdelta) <= DRIFT_TOLERANCE or bdelta < 0:
+                cls, why = "noise-reverted", (
+                    "prior round's noise verdict confirmed: wall back at "
+                    "the pre-noise baseline"
+                )
+            elif stats["dirty"] or (
+                canary_floor is not None and canary_floor >= abs(bdelta)
+            ):
+                cls, why = "noise-sustained", (
+                    "still elevated vs the pre-noise baseline but this "
+                    "window's canary is hot/jittery too — watch renews"
+                )
+            else:
+                cls, why = "regressed-vs-baseline", (
+                    "elevated vs the pre-noise baseline on a QUIET canary: "
+                    "the prior noise verdict laundered a real regression"
+                )
+            drift[lane] = {
+                "prev_round": prev_round,
+                "prev_wall_sec": pv,
+                "wall_sec": cv,
+                "samples_sec": stats["samples_sec"],
+                "delta_pct": round(100 * delta, 1),
+                "watch_prior_class": "noise",
+                "baseline_round": watch["round"],
+                "baseline_wall_sec": base,
+                "baseline_delta_pct": round(100 * bdelta, 1),
+                "class": cls,
+                "evidence": why,
+            }
             continue
         spread = (stats["max_sec"] - stats["min_sec"]) / max(stats["min_sec"], 1e-9)
         canary_floor = (
@@ -1217,6 +1287,18 @@ def _classify_stress_drift(
             "class": cls,
             "evidence": why,
         }
+        if watch:
+            base = watch["wall_sec"]
+            drift[lane].update(
+                {
+                    "watch_prior_class": "noise",
+                    "baseline_round": watch["round"],
+                    "baseline_wall_sec": base,
+                    "baseline_delta_pct": (
+                        round(100 * (cv - base) / base, 1) if base else None
+                    ),
+                }
+            )
     return {
         "prev_round": prev_round,
         "lanes_checked": checked,

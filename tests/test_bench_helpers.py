@@ -194,3 +194,66 @@ def test_stress_classifier_noise_floor_comes_from_canary():
     d = bench._classify_stress_drift(11, prev, {"x": stats(7.0, 9.9)}, changed={})
     row = d["beyond_tolerance"]["x"]
     assert row["class"] == "noise" and "legacy rule" in row["evidence"]
+
+
+def test_stress_noise_watch_carries_baseline_and_catches_launder():
+    """Stress/stream lanes record min-of-N directly, so a real
+    regression classed 'noise' in a hot window would become the next
+    round's comparison base. A prior noise row on a large delta must
+    force a row even when the new delta is within tolerance, adjudicated
+    against the PRE-NOISE baseline: reverted -> noise-reverted; still
+    elevated on a quiet canary -> regressed-vs-baseline; still elevated
+    on a jittery canary -> noise-sustained (watch renews)."""
+
+    def prev_record(prev_wall, noise_delta_pct):
+        return {
+            "x_wall_sec": prev_wall,
+            "drift": {
+                "beyond_tolerance": {
+                    "x": {
+                        "class": "noise",
+                        "delta_pct": noise_delta_pct,
+                        "prev_round": 11,
+                        "prev_wall_sec": 10.0,  # the pre-noise baseline
+                    }
+                }
+            },
+        }
+
+    def stats(mn, canary_spread):
+        return {
+            "n_samples": 3,
+            "samples_sec": [mn, mn, mn],
+            "min_sec": mn,
+            "max_sec": mn,
+            "dirty": False,
+            "canary_rel_spread": canary_spread,
+        }
+
+    # prior round: 10.0 -> 12.5 classed noise. Now 12.4 (within tol of
+    # 12.5) on a QUIET canary but still +24% over the 10.0 baseline:
+    # the launder is caught.
+    d = bench._classify_stress_drift(
+        12, prev_record(12.5, 25.0), {"x": stats(12.4, 0.02)}, changed={}
+    )
+    row = d["beyond_tolerance"]["x"]
+    assert row["class"] == "regressed-vs-baseline"
+    assert row["baseline_wall_sec"] == 10.0 and row["baseline_round"] == 11
+
+    # same but the wall reverted to the baseline: debt closed
+    d = bench._classify_stress_drift(
+        12, prev_record(12.5, 25.0), {"x": stats(10.2, 0.02)}, changed={}
+    )
+    assert d["beyond_tolerance"]["x"]["class"] == "noise-reverted"
+
+    # still elevated but THIS window's canary is jittery too: renew
+    d = bench._classify_stress_drift(
+        12, prev_record(12.5, 25.0), {"x": stats(12.4, 0.5)}, changed={}
+    )
+    assert d["beyond_tolerance"]["x"]["class"] == "noise-sustained"
+
+    # a prior noise row on an IMPROVEMENT (or small delta) forces nothing
+    d = bench._classify_stress_drift(
+        12, prev_record(10.3, 3.0), {"x": stats(10.2, 0.02)}, changed={}
+    )
+    assert "x" not in d["beyond_tolerance"]
