@@ -1624,6 +1624,40 @@ DECON_LSH_PLANES = 3
 DECON_LSH_TABLES = 16
 
 
+def _decon_norm_view(spark, sf_dir) -> str:
+    """Session matview of (vec_id, v, norm, LSH bucket keys): vectors
+    cast once, norms hoisted once, and the L×k hyperplane sign-bit
+    bucket keys computed once per SESSION — the index-build lifecycle
+    the PQ family runs (production LSH hashes at ingest and reuses the
+    keys across every decon run; re-hashing per query burned ~1 s of
+    interpreted plane-dot lambdas at fixture scale). Both the skinny
+    bucket tables and the pair re-join read it, so the base parquet is
+    scanned exactly once."""
+    planes = _planes(DECON_LSH_TABLES * DECON_LSH_PLANES)
+    entries = []
+    for t in range(DECON_LSH_TABLES):
+        bits = []
+        for j in range(DECON_LSH_PLANES):
+            arr = "array(" + ",".join(
+                f"{x}D" for x in planes[t * DECON_LSH_PLANES + j]
+            ) + ")"
+            bits.append(
+                f"(CASE WHEN aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0D,"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << j}L ELSE 0L END)"
+            )
+        entries.append(f"struct({t} AS tbl, ({' + '.join(bits)}) AS bucket)")
+    return _catalog.session_matview(
+        spark,
+        "decon_emb_lsh",
+        sf_dir,
+        "SELECT vec_id, v, "
+        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm, "
+        f"array({', '.join(entries)}) AS tb "
+        "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v "
+        "FROM embeddings)",
+    )
+
+
 def _decontaminate_embedding_bucketed(spark, sf_dir) -> DataFrame:
     """`decontaminate_embedding` without the broadcast requirement: the
     100 TB fallback for when the eval split itself is too large to ship
@@ -1634,20 +1668,53 @@ def _decontaminate_embedding_bucketed(spark, sf_dir) -> DataFrame:
     with the SAME shared packed-BIGINT scoring as the broadcast form
     (`_decon_pk`/`_decon_flagged`), so the two forms can only differ by
     LSH recall — which the parity test pins at 1.0 on the fixture
-    working point. No dropDuplicates over candidates: MAX(pk) is
-    idempotent to a pair colliding in several tables, saving the
-    distinct's shuffle of vector-carrying rows.
+    working point.
 
-    Scale shape: each side explodes ×L, shuffles on (tbl, bucket) —
-    never |tr|×|ev| rows materialized, no cross product in the plan
-    (plan-gated in tests/test_plans.py).
+    Scale shape (r12, rewritten from the first explode-the-vectors cut):
+    the bucket join is SKINNY — (id, tbl, bucket) rows only, never the
+    64-double vectors ×L tables (the first cut shuffled each vector 16×
+    through the join, and at 100 TB the duplicated vector bytes, not the
+    ids, are the shuffle bill). Candidate pairs dedup on (train_id,
+    eval_id) while still skinny, then re-join the session-materialized
+    norm view (`_decon_norm_view`) once per side, so each surviving pair
+    scores its cosine exactly once instead of once per colliding table
+    (~2.3× at the fixture working point). Never |tr|×|ev| rows
+    materialized, no cross product in the plan (plan-gated in
+    tests/test_plans.py); one base-table scan (the matview build).
     """
-    ev, tr = _decon_splits(spark)
+    mv = spark.table(_decon_norm_view(spark, sf_dir))
+    ev = mv.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("en"),
+    )
+    tr = mv.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+    )
     _decon_guard_eval_ids(ev)
-    ev_t = _lsh_tables(ev, "ev", DECON_LSH_PLANES, DECON_LSH_TABLES)
-    tr_t = _lsh_tables(tr, "tv", DECON_LSH_PLANES, DECON_LSH_TABLES)
-    packed = _decon_pk(tr_t.join(ev_t, ["tbl", "bucket"]))
-    return _decon_flagged(packed)
+
+    def skinny(id_alias: str, pred) -> DataFrame:
+        return (
+            mv.where(pred)
+            .select(F.col("vec_id").alias(id_alias), F.explode("tb").alias("t"))
+            .select(
+                id_alias,
+                F.col("t.tbl").alias("tbl"),
+                F.col("t.bucket").alias("bucket"),
+            )
+        )
+
+    ev_sk = skinny("eval_id", F.col("vec_id") % DECON_EVAL_MOD == 0)
+    tr_sk = skinny("train_id", F.col("vec_id") % DECON_EVAL_MOD != 0)
+    cand = (
+        tr_sk.join(ev_sk, ["tbl", "bucket"])
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    pairs = cand.join(tr, "train_id").join(ev, "eval_id")
+    return _decon_flagged(_decon_pk(pairs))
 
 
 def _decon_bucketed_oracle() -> str:
