@@ -1058,6 +1058,18 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "r12 degenerate-probe fixes (ann_cosine_topk, ann_sq8_topk, decontaminate_embedding[_bucketed])": (
+        "Four benched queries carry INTENTIONAL r12 plan changes from "
+        "the degenerate-fixture probe: every cosine-ranking vector "
+        "source now filters zero-norm embeddings in both dialects "
+        "(dialect.norm_positive — Spark's ANSI division DIES on one "
+        "corrupt row while DuckDB's list_cosine_similarity silently "
+        "returns -1.0), and the bucketed decon additionally moved its "
+        "LSH bucket keys into the session matview this round. Values "
+        "on all existing fixtures are unchanged (no zero vectors "
+        "exist there); the full registry is green on the new "
+        "degenerate fixture (DIFFERENTIAL_r12 'degenerate' section)."
+    ),
     "r12 differential-lane fixes (win_analytics, chunk_documents, dedup_spans)": (
         "Three benched queries carry INTENTIONAL r12 plan changes from "
         "the randomized differential lane's bug fixes (DIFFERENTIAL_r12: "

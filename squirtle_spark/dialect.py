@@ -171,6 +171,21 @@ def array_len(arr: str, d: str) -> str:
     return f"CAST(len({arr}) AS BIGINT)"
 
 
+def norm_positive(v: str, d: str) -> str:
+    """Zero-norm (all-zero / corrupt) embedding guard, both dialects.
+
+    Cosine against a zero vector is UNDEFINED and the engines disagree
+    about it in the worst way: Spark's ANSI division raises
+    DIVIDE_BY_ZERO (one corrupt row kills a 100 TB job) while DuckDB's
+    ``list_cosine_similarity`` silently returns -1.0 (r12 degenerate
+    differential probe). Every cosine-ranking entry filters its vector
+    sources through this predicate in BOTH dialects: corrupt embeddings
+    are dropped, not ranked."""
+    if d == SPARK:
+        return f"aggregate({v}, 0D, (acc, x) -> acc + x * x) > 0"
+    return f"list_dot_product({v}, {v}) > 0"
+
+
 def word_shingles(toks: str, w: int, d: str) -> str:
     """Array of word w-gram strings from a token array (empty when < w)."""
     if d == SPARK:

@@ -308,6 +308,10 @@ def _mixture_weights(d: str) -> str:
     resampling weight target_share / actual_share (the factor a sampler
     or loader applies per document of that language). One tiny grouped
     aggregate + a scalar total — the 100 TB cost is one pass.
+
+    Zero-char languages (empty/NULL-text shards) are dropped by the
+    HAVING: their share is undefined and an all-zero corpus divided
+    0/0 under ANSI (r12 degenerate differential probe).
     """
     case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_TARGET.items()))
     return textwrap.dedent(f"""
@@ -316,6 +320,7 @@ def _mixture_weights(d: str) -> str:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang
+            HAVING CAST(SUM(n_chars) AS BIGINT) > 0
         ),
         tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total_chars FROM per_lang)
         SELECT lang, n_docs, n_chars,
@@ -357,6 +362,7 @@ def _mixture_temperature(d: str) -> str:
         WITH per_lang AS (
             SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang
+            HAVING CAST(SUM(n_chars) AS BIGINT) > 0
         ),
         tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total_chars FROM per_lang),
         powed AS (

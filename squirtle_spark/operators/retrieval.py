@@ -216,12 +216,15 @@ WITH lex AS (
     FROM ({bm25}) b
 ),
 qv AS (
-    SELECT {q_arr} AS qv FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}
+    SELECT qv FROM (
+        SELECT {q_arr} AS qv FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}
+    ) q0 WHERE {dl.norm_positive('qv', d)}
 ),
 dense_top AS (
     SELECT doc_id, sim FROM (
         SELECT e.vec_id AS doc_id, ROUND({sim}, 4) AS sim
-        FROM (SELECT vec_id, {q_arr} AS ev FROM embeddings) e CROSS JOIN qv
+        FROM (SELECT vec_id, {q_arr} AS ev FROM embeddings
+              WHERE {dl.norm_positive(q_arr, d)}) e CROSS JOIN qv
         WHERE e.vec_id <> {DENSE_QUERY_ID}
     ) s
     ORDER BY sim DESC, doc_id

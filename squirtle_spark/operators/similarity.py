@@ -53,12 +53,18 @@ def _cosine(qv: str, cv: str) -> F.Column:
 
 def _ann_brute(spark, sf_dir) -> DataFrame:
     emb = spark.table("embeddings")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .where(F.expr(dl.norm_positive("qv", dl.SPARK)))
     )
     c = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("cv")
-    )
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).where(F.expr(dl.norm_positive("cv", dl.SPARK)))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
@@ -74,11 +80,15 @@ def _ann_brute(spark, sf_dir) -> DataFrame:
 
 _ANN_ORACLE = f"""
 WITH q AS (
-    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    SELECT q_id, qv FROM (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ) WHERE {dl.norm_positive('qv', dl.DUCK)}
 ),
 c AS (
-    SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    SELECT c_id, cv FROM (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ) WHERE {dl.norm_positive('cv', dl.DUCK)}
 ),
 scored AS (
     SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 4) AS cos_sim
@@ -241,8 +251,10 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
     deterministic, so the entry still carries a full value-level DuckDB
     oracle replaying cells and candidates bit-identically.
     """
-    emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        spark.table("embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .where(F.expr(dl.norm_positive("v", dl.SPARK)))
     )
     # index build: deterministic centroid sample (vec_ids just past the
     # query range), one bounded collect — this is index training, not query
@@ -253,6 +265,13 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not cents:
+        # no trainable index on a (near-)empty corpus: the graceful
+        # degenerate is an empty result with the right schema, not an
+        # array_max(array()) analysis error (r12 degenerate probe)
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cos_sim double, rank bigint"
+        )
 
     def cell_sims(vcol: str) -> str:
         """Array of (cos_sim, cell_id) structs against every centroid."""
@@ -307,7 +326,11 @@ def _ann_ivf_oracle() -> str:
     argmax/probe orderings (sim DESC, cell DESC) mirror Spark's
     lexicographic array_max / reverse(array_sort)."""
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ) WHERE {dl.norm_positive('v', dl.DUCK)}
+),
 cents AS (
     SELECT vec_id - {N_QUERIES} AS cell, v AS cv
     FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
@@ -628,7 +651,8 @@ def _ann_sq8(d: str) -> str:
 WITH codes AS (
     SELECT vec_id, {code} AS c
     FROM (SELECT vec_id, v, {absmax} AS s
-          FROM (SELECT vec_id, {v} AS v FROM embeddings) e) x
+          FROM (SELECT vec_id, {v} AS v FROM embeddings) e
+          WHERE {dl.norm_positive('v', d)}) x
 ),
 q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id < {N_QUERIES}),
 cand AS (SELECT vec_id AS c_id, c AS cc FROM codes),
@@ -1371,9 +1395,14 @@ def _ann_recall_report(spark, sf_dir) -> DataFrame:
             F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
             # n_truth = N_QUERIES x TOP_K = 50, so the ratio has <= 2
             # decimal digits — no 4-dp midpoint, both engines' double
-            # rounding agrees.
-            F.round(
-                F.coalesce("n_hit", F.lit(0)) * 1.0 / F.col("n_truth"), 4
+            # rounding agrees. Recall over ZERO truth pairs is
+            # undefined, not a crash (r12 degenerate probe: a corpus
+            # too small/corrupt for any brute-force pair).
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)) * 1.0 / F.col("n_truth"), 4
+                ),
             ).alias("recall"),
         )
     )
@@ -1416,7 +1445,9 @@ names(variant) AS (VALUES {names_values})
 SELECT n.variant,
        tot.n_truth,
        COALESCE(h.n_hit, 0) AS n_hit,
-       ROUND(COALESCE(h.n_hit, 0) * 1.0 / tot.n_truth, 4) AS recall
+       CASE WHEN tot.n_truth > 0
+            THEN ROUND(COALESCE(h.n_hit, 0) * 1.0 / tot.n_truth, 4)
+       END AS recall
 FROM names n
 CROSS JOIN tot
 LEFT JOIN hits h ON h.variant = n.variant
@@ -1492,6 +1523,7 @@ def _decon_splits(spark) -> tuple[DataFrame, DataFrame]:
         .withColumn(
             "en", F.expr("sqrt(aggregate(ev, 0D, (acc, x) -> acc + x * x))")
         )
+        .where(F.col("en") > 0)  # zero-norm guard (dialect.norm_positive)
     )
     tr = (
         emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0)
@@ -1502,6 +1534,7 @@ def _decon_splits(spark) -> tuple[DataFrame, DataFrame]:
         .withColumn(
             "tn", F.expr("sqrt(aggregate(tv, 0D, (acc, x) -> acc + x * x))")
         )
+        .where(F.col("tn") > 0)
     )
     return ev, tr
 
@@ -1566,12 +1599,16 @@ def _decon_flagged(packed: DataFrame) -> DataFrame:
 
 _DECON_EMB_ORACLE = f"""
 WITH ev AS (
-    SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
-    FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0
+    SELECT eval_id, ev FROM (
+        SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+        FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0
+    ) WHERE {dl.norm_positive('ev', dl.DUCK)}
 ),
 tr AS (
-    SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
-    FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} <> 0
+    SELECT train_id, tv FROM (
+        SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
+        FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} <> 0
+    ) WHERE {dl.norm_positive('tv', dl.DUCK)}
 ),
 packed AS (
     SELECT train_id,
@@ -1650,11 +1687,13 @@ def _decon_norm_view(spark, sf_dir) -> str:
         spark,
         "decon_emb_lsh",
         sf_dir,
+        "SELECT * FROM ("
         "SELECT vec_id, v, "
         "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm, "
         f"array({', '.join(entries)}) AS tb "
         "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v "
-        "FROM embeddings)",
+        "FROM embeddings)"
+        ") WHERE nrm > 0",  # zero-norm guard (dialect.norm_positive)
     )
 
 
@@ -1740,7 +1779,11 @@ def _decon_bucketed_oracle() -> str:
         )
     union = "\n    UNION ALL ".join(tables)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ) WHERE {dl.norm_positive('v', dl.DUCK)}
+),
 tb AS (
     {union}
 ),

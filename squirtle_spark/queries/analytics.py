@@ -101,7 +101,11 @@ def _stats_moments(d: str) -> str:
     # sum converted 107751494.94989571 in Spark vs ...572 in DuckDB —
     # DuckDB's int128/scale path rounds twice), so the closed forms are
     # ROUNDed to 6 dp: coarse enough that 1-ulp input jitter can't flip
-    # a digit, fine enough to keep the moments meaningful.
+    # a digit, fine enough to keep the moments meaningful. Degenerate
+    # groups match var_samp/corr SQL semantics instead of crashing
+    # (r12 degenerate probe): n=1 → sample moments NULL (the /(n-1)
+    # divided by zero under ANSI); a CONSTANT column → corr NULL (its
+    # sqrt(variance) denominator is 0).
     x = "CAST(value AS DECIMAL(14,4))"
     y = "CAST(user_id AS DECIMAL(14,4))"
     return f"""
@@ -118,13 +122,15 @@ WITH m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
-       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+       CASE WHEN n > 1 THEN ROUND((sxx - sx * sx / n) / (n - 1), 6) END AS var_value,
+       CASE WHEN n > 1 THEN ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) END AS stddev_value,
        ROUND((sxx - sx * sx / n) / n, 6) AS var_pop_value,
-       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_value_user,
-       ROUND(((sxy - sx * sy / n) / (n - 1))
-         / (SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1))), 6)
-         AS corr_value_user
+       CASE WHEN n > 1 THEN ROUND((sxy - sx * sy / n) / (n - 1), 6) END AS covar_value_user,
+       CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+            THEN ROUND(((sxy - sx * sy / n) / (n - 1))
+                       / (SQRT((sxx - sx * sx / n) / (n - 1))
+                          * SQRT((syy - sy * sy / n) / (n - 1))), 6)
+       END AS corr_value_user
 FROM m
 """
 
@@ -156,9 +162,13 @@ counts AS (
     GROUP BY user_bucket, band
 ),
 modes AS (
+    -- NULLS LAST pinned: a NULL band (NULL value) must not win the
+    -- mode on a tie — and the engines' default NULL placement under
+    -- ASC differs (Spark FIRST, DuckDB LAST; r12 degenerate probe)
     SELECT user_bucket, band AS mode_band,
            ROW_NUMBER() OVER (
-               PARTITION BY user_bucket ORDER BY n DESC, band ASC) AS rn
+               PARTITION BY user_bucket
+               ORDER BY n DESC, band ASC NULLS LAST) AS rn
     FROM counts
 ),
 lists AS (
@@ -222,11 +232,18 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 def _pivot_spark(spark, sf_dir):
     """Spark-native PIVOT; the oracle proves it equals conditional
     aggregation (which is also the 100 TB plan both engines compile to:
-    one grouped aggregate, no extra shuffle per pivot column)."""
+    one grouped aggregate, no extra shuffle per pivot column). Absent
+    cells COALESCE to 0: a count over an empty set is 0, but Spark's
+    PIVOT leaves the cell NULL where conditional aggregation's FILTER
+    counts 0 (invisible on the full fixture where every cell occurs;
+    r12 degenerate probe)."""
     cols = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    zeroed = ", ".join(
+        f"CAST(COALESCE(`{t}`, 0) AS BIGINT) AS `{t}`" for t in _EVENT_TYPES
+    )
     return spark.sql(
         f"""
-        SELECT * FROM (
+        SELECT user_bucket, {zeroed} FROM (
             SELECT user_id % 10 AS user_bucket, event_type FROM events
         )
         PIVOT (COUNT(*) FOR event_type IN ({cols}))
@@ -258,7 +275,15 @@ register_df(
 
 
 def _unpivot_spark(spark, sf_dir):
-    """UNPIVOT (melt) the pivoted matrix back to long form via stack()."""
+    """UNPIVOT (melt) the pivoted matrix back to long form via stack().
+
+    The melt of a DENSE matrix carries its zero cells: every
+    (bucket, type) combination appears, absent ones with cnt 0 — the
+    shape a loss-weights or sampling consumer indexes by both keys
+    without existence checks (the oracle builds the same dense frame by
+    cross-joining observed buckets × the type list; on the full fixture
+    every cell occurs so the two forms coincide — r12 degenerate
+    probe)."""
     cols = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
     stack_args = ", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES)
     return spark.sql(
@@ -269,24 +294,34 @@ def _unpivot_spark(spark, sf_dir):
             )
             PIVOT (COUNT(*) FOR event_type IN ({cols}))
         )
-        SELECT user_bucket, event_type, CAST(cnt AS BIGINT) AS cnt
+        SELECT user_bucket, event_type, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
         FROM wide
         LATERAL VIEW stack({len(_EVENT_TYPES)}, {stack_args}) s AS event_type, cnt
         """
     )
 
 
+_UNPIVOT_TYPE_LIST = ", ".join(f"('{t}')" for t in _EVENT_TYPES)
+
 register_df(
     "unpivot_event_matrix",
     _unpivot_spark,
-    oracle_body="""
-SELECT user_id % 10 AS user_bucket,
-       event_type,
-       COUNT(*) AS cnt
-FROM events
-GROUP BY user_id % 10, event_type
+    oracle_body=f"""
+WITH buckets AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+types(event_type) AS (VALUES {_UNPIVOT_TYPE_LIST}),
+observed AS (
+    SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id % 10, event_type
+)
+SELECT b.user_bucket, t.event_type,
+       CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+FROM buckets b
+CROSS JOIN types t
+LEFT JOIN observed o
+  ON o.user_bucket = b.user_bucket AND o.event_type = t.event_type
 """,
-    doc="UNPIVOT/stack back to long form (round-trips the pivot).",
+    doc="UNPIVOT/stack back to long form (dense melt: zero cells carried).",
 )
 
 

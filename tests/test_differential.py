@@ -166,3 +166,20 @@ def test_spark_levenshtein_is_codepoint_exact_on_random_unicode(spark):
     assert got == want
     # the domain actually exercised multi-byte code points
     assert any(len(a.encode()) != len(a) for a, _ in pairs)
+
+
+@pytest.mark.differential
+def test_degenerate_fixture_full_sweep(spark, tmp_path_factory):
+    """Every oracle-backed entry must survive the DEGENERATE fixture
+    (empty fact tables, singleton groups, a zero embedding, NULL/empty
+    text) — at 100 TB an empty shard or one corrupt row is a certainty,
+    and the crash class (9 entries on the first r12 sweep) kills the
+    whole job, not one row."""
+    from tools.differential import run_degenerate
+
+    res = run_degenerate(spark, str(tmp_path_factory.mktemp("degen")))
+    assert len(res) > 150
+    bad = {k: v for k, v in res.items() if v["status"] != "ok"}
+    assert not bad, "degenerate-fixture failures:\n" + "\n".join(
+        f"  {k}: {v['status']} {v['msg']}" for k, v in bad.items()
+    )

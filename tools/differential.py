@@ -89,3 +89,46 @@ def run_seed(spark, seed: int, base_dir: str) -> dict[str, dict]:
                 "sec": round(time.time() - t, 2),
             }
     return out
+
+
+def run_degenerate(spark, base_dir: str) -> dict[str, dict]:
+    """Replay every non-excluded oracle-backed entry on the DEGENERATE
+    fixture (tools/randgen.generate_degenerate: empty fact tables,
+    singleton groups, a zero embedding, NULL/empty text). First r12
+    sweep found 12 failures — 9 crashes (single-row-group sample
+    variance, zero-norm cosine, empty IVF centroid sample, zero-char
+    language shares) and 3 engine divergences (Spark PIVOT NULL cells
+    vs FILTER 0, NULL-band mode ties, sparse-vs-dense melt) — all
+    fixed; this lane keeps them fixed."""
+    import os
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from squirtle_spark.oracle import check_query
+    from squirtle_spark.registry import load_all
+
+    from .randgen import generate_degenerate
+
+    d = generate_degenerate(os.path.join(base_dir, "degen"))
+    out: dict[str, dict] = {}
+    for name, q in sorted(load_all().items()):
+        if q.oracle is None or name in EXCLUSIONS:
+            continue
+        t = _time.time()
+        try:
+            res = check_query(spark, name, d)
+            out[name] = {
+                "status": "ok" if res.ok else "mismatch",
+                "spark_rows": res.rows_spark,
+                "oracle_rows": res.rows_oracle,
+                "msg": None if res.ok else res.message()[:400],
+                "sec": round(_time.time() - t, 2),
+            }
+        except Exception as e:
+            out[name] = {
+                "status": "error",
+                "msg": f"{type(e).__name__}: {str(e)[:300]}",
+                "sec": round(_time.time() - t, 2),
+            }
+    return out

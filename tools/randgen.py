@@ -387,3 +387,36 @@ def generate(out_dir: str, seed: int) -> str:
         ),
     )
     return out_dir
+
+
+def generate_degenerate(out_dir: str) -> str:
+    """The DEGENERATE fixture: the smallest tables that still have the
+    ten schemas — empty fact tables, singleton dimensions, a zero
+    embedding, a single-event group, NULL/empty text. Fixed content (no
+    seed): these are boundary VALUES, not distributions. First sweep
+    (r12) crashed 9 entries and value-diverged 3 more — single-row
+    groups (sample variance /0), zero-norm vectors (Spark ANSI
+    DIVIDE_BY_ZERO vs DuckDB list_cosine_similarity = -1.0), empty
+    corpora (IVF centroid sample empty → array_max(array()) analysis
+    error), zero-char language shares (0/0), and Spark PIVOT's
+    NULL-for-absent-cell vs conditional aggregation's 0. At 100 TB an
+    empty shard or one corrupt row is a certainty, and the crash class
+    kills the whole job."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def w(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+    s, i32, i64, f64 = pa.string(), pa.int32(), pa.int64(), pa.float64()
+    ts = pa.timestamp("us")
+    w("region", pa.table({"r_regionkey": pa.array([0], i32), "r_name": pa.array(["ASIA"], s)}))
+    w("nation", pa.table({"n_nationkey": pa.array([0], i32), "n_name": pa.array(["N0"], s), "n_regionkey": pa.array([0], i32)}))
+    w("customer", pa.table({"c_custkey": pa.array([], i64), "c_name": pa.array([], s), "c_nationkey": pa.array([], i32), "c_acctbal": pa.array([], f64), "c_mktsegment": pa.array([], s)}))
+    w("supplier", pa.table({"s_suppkey": pa.array([0], i64), "s_name": pa.array(["s"], s), "s_nationkey": pa.array([0], i32), "s_acctbal": pa.array([None], f64)}))
+    w("part", pa.table({"p_partkey": pa.array([0], i64), "p_name": pa.array(["p"], s), "p_brand": pa.array(["Brand#1"], s), "p_type": pa.array(["ECONOMY"], s), "p_size": pa.array([1], i32), "p_retailprice": pa.array([1.0], f64)}))
+    w("orders", pa.table({"o_orderkey": pa.array([], i64), "o_custkey": pa.array([], i64), "o_orderstatus": pa.array([], s), "o_totalprice": pa.array([], f64), "o_orderdate": pa.array([], ts), "o_orderpriority": pa.array([], s)}))
+    w("lineitem", pa.table({"l_orderkey": pa.array([], i64), "l_partkey": pa.array([], i64), "l_suppkey": pa.array([], i64), "l_linenumber": pa.array([], i32), "l_quantity": pa.array([], f64), "l_extendedprice": pa.array([], f64), "l_discount": pa.array([], f64), "l_tax": pa.array([], f64), "l_returnflag": pa.array([], s), "l_linestatus": pa.array([], s), "l_shipdate": pa.array([], ts)}))
+    w("events", pa.table({"event_id": pa.array([0, 1], i64), "ts": pa.array([0, 1_000_000], ts), "user_id": pa.array([1, 1], i64), "event_type": pa.array(["signup", "click"], s), "value": pa.array([1.0, None], f64), "props": pa.array(['{"k": 1}', None], s)}))
+    w("documents", pa.table({"doc_id": pa.array([0, 1], i64), "text": pa.array(["", None], s), "lang": pa.array(["en", "en"], s), "source": pa.array(["src0", "src0"], s), "n_chars": pa.array([0, None], i64)}))
+    w("embeddings", pa.table({"vec_id": pa.array([0, 1], i64), "embedding": pa.array([[0.0] * EMB_DIM, [1.0] + [0.0] * (EMB_DIM - 1)], pa.list_(pa.float32())), "label": pa.array([0, 1], i32)}))
+    return out_dir

@@ -32,7 +32,7 @@ def main() -> None:
     sys.path.insert(0, repo)
     from pyspark.sql import SparkSession
 
-    from tools.differential import EXCLUSIONS, run_seed
+    from tools.differential import EXCLUSIONS, run_degenerate, run_seed
 
     seeds = [int(a) for a in sys.argv[1:]] or [11, 23, 37, 59, 97]
     spark = (
@@ -61,6 +61,19 @@ def main() -> None:
             f"({per_seed[str(seed)]['wall_s']}s)",
             file=sys.stderr,
         )
+    dres = run_degenerate(spark, base)
+    dbad = {k: v for k, v in dres.items() if v["status"] != "ok"}
+    per_seed["degenerate"] = {
+        "checked": len(dres),
+        "ok": len(dres) - len(dbad),
+        "bad": {k: v["msg"] for k, v in dbad.items()},
+        "wall_s": round(sum(v["sec"] for v in dres.values()), 1),
+    }
+    findings.extend({"seed": "degenerate", "query": k, **v} for k, v in dbad.items())
+    print(
+        f"# degenerate: {len(dres) - len(dbad)}/{len(dres)} ok",
+        file=sys.stderr,
+    )
     art = {
         "round": _round_number(repo),
         "seeds": seeds,
