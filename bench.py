@@ -973,6 +973,25 @@ def _timed(fn) -> float:
 #: samples — VERDICT r11 flag 2).
 CANARY_NOISE_MULT = 2.0
 
+#: Hard ceiling on the canary-derived noise floor. r12's loaded-host run
+#: produced floors of 41-609%, under which ANY plausible single-round
+#: regression reads as "noise" — an unfalsifiable verdict (VERDICT r12
+#: item 3 / ADVICE). Above the cap the window is declared too dirty to
+#: certify anything: the row is classed "unmeasurable" (not "noise"),
+#: which forces a re-record instead of laundering the delta.
+CANARY_FLOOR_CAP = 0.50
+
+
+def _capped_canary_floor(stats: dict) -> tuple[float | None, bool]:
+    """(floor, usable) — the canary noise floor, capped at CANARY_FLOOR_CAP.
+
+    usable=False means the raw floor exceeded the cap: this window's host
+    evidence is too noisy to adjudicate drift at all."""
+    if "canary_rel_spread" not in stats:
+        return None, True
+    raw = CANARY_NOISE_MULT * stats["canary_rel_spread"]
+    return min(raw, CANARY_FLOOR_CAP), raw <= CANARY_FLOOR_CAP
+
 
 def _lane_sample(name, fn, canary, lane_stats, n=3, warm=True):
     """Warm/init pass + ``n`` canary-sandwiched samples of fn() → min.
@@ -1220,11 +1239,7 @@ def _classify_stress_drift(
             # forced row: adjudicate against the pre-noise baseline
             base = watch["wall_sec"]
             bdelta = (cv - base) / base if base else 0.0
-            canary_floor = (
-                CANARY_NOISE_MULT * stats["canary_rel_spread"]
-                if "canary_rel_spread" in stats
-                else None
-            )
+            canary_floor, _floor_usable = _capped_canary_floor(stats)
             if abs(bdelta) <= DRIFT_TOLERANCE or bdelta < 0:
                 cls, why = "noise-reverted", (
                     "prior round's noise verdict confirmed: wall back at "
@@ -1257,22 +1272,28 @@ def _classify_stress_drift(
             }
             continue
         spread = (stats["max_sec"] - stats["min_sec"]) / max(stats["min_sec"], 1e-9)
-        canary_floor = (
-            CANARY_NOISE_MULT * stats["canary_rel_spread"]
-            if "canary_rel_spread" in stats
-            else None
-        )
+        canary_floor, floor_usable = _capped_canary_floor(stats)
         if lane in changed:
             cls, why = "lane-changed", changed[lane]
         elif stats["dirty"]:
             cls, why = "noise", "canary-hot measurement window"
         elif stats["min_sec"] <= pv <= stats["max_sec"]:
             cls, why = "noise", "previous value inside this round's sample range"
+        elif not floor_usable and canary_floor is not None and abs(delta) > canary_floor:
+            # raw floor blew past the cap: the window can't certify this
+            # delta either way — demand a re-record, don't class it noise
+            cls, why = "unmeasurable", (
+                f"canary window rel spread {100 * stats['canary_rel_spread']:.0f}% "
+                f"puts the raw noise floor above the {100 * CANARY_FLOOR_CAP:.0f}% "
+                f"cap — host too noisy to adjudicate a {100 * abs(delta):.0f}% "
+                "delta; re-record this lane on an idle host"
+            )
         elif canary_floor is not None and canary_floor >= abs(delta):
             cls, why = "noise", (
                 f"canary noise floor {100 * canary_floor:.0f}% "
                 f"({CANARY_NOISE_MULT}x window rel spread "
-                f"{100 * stats['canary_rel_spread']:.0f}%) >= "
+                f"{100 * stats['canary_rel_spread']:.0f}%"
+                f"{', capped' if not floor_usable else ''}) >= "
                 f"cross-round delta {100 * abs(delta):.0f}%"
             )
         elif canary_floor is None and spread >= abs(delta):
@@ -1295,6 +1316,7 @@ def _classify_stress_drift(
             "canary_noise_floor_pct": (
                 round(100 * canary_floor, 1) if canary_floor is not None else None
             ),
+            "canary_floor_capped": not floor_usable,
             "delta_pct": round(100 * delta, 1),
             "class": cls,
             "evidence": why,

@@ -186,6 +186,37 @@ def norm_positive(v: str, d: str) -> str:
     return f"list_dot_product({v}, {v}) > 0"
 
 
+def levenshtein_codepoints(a: str, b: str, d: str) -> str:
+    """Levenshtein edit distance over CODE POINTS in both dialects.
+
+    Spark's ``levenshtein`` is already code-point; DuckDB's counts BYTES
+    (probed on this build: ``levenshtein('🚀🚀','ab')`` = 2 in Spark vs 8
+    in DuckDB — the r12 differential exclusion). The DuckDB form recodes
+    the pair's joint code-point alphabet to one single-byte symbol each
+    (``string_split(s, '')`` is code-point based — combining marks and
+    ZWJ split out, probed), which preserves the edit distance because any
+    per-pair injective symbol map does. Alphabets beyond 95 symbols can't
+    recode into single bytes (chr > 127 is multi-byte UTF-8) and ERROR
+    loudly rather than silently diverging; fixture pairs sit far below.
+    """
+    if d == SPARK:
+        return f"levenshtein({a}, {b})"
+    alpha = f"list_distinct(string_split({a} || {b}, ''))"
+
+    def recode(s: str) -> str:
+        return (
+            f"list_aggregate(list_transform(string_split({s}, ''), "
+            f"c_ -> chr(32 + list_position({alpha}, c_))), 'string_agg', '')"
+        )
+
+    return (
+        f"CASE WHEN len({alpha}) <= 95 "
+        f"THEN levenshtein({recode(a)}, {recode(b)}) "
+        f"ELSE CAST(error('levenshtein_codepoints: pair alphabet exceeds "
+        f"95 symbols') AS BIGINT) END"
+    )
+
+
 def word_shingles(toks: str, w: int, d: str) -> str:
     """Array of word w-gram strings from a token array (empty when < w)."""
     if d == SPARK:

@@ -1318,7 +1318,9 @@ def _dedup_edit_distance(d: str) -> str:
     with additional cheap keys (suffix block, length band, a minhash
     band) unioned before the verify, exactly like dedup_minhash_lsh's
     band family. Edit distance is classic dynamic programming with one
-    well-defined answer, so the oracle is integer-exact.
+    well-defined answer, so the oracle is integer-exact — including on
+    multi-byte text: distances are over CODE POINTS in both dialects
+    (dialect.levenshtein_codepoints recodes DuckDB's byte semantics).
     """
     sim = (
         "1 - CAST(dist AS DOUBLE) / "
@@ -1327,7 +1329,7 @@ def _dedup_edit_distance(d: str) -> str:
     return f"""
 WITH blocked AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.text, b.text) AS dist,
+           {dl.levenshtein_codepoints('a.text', 'b.text', d)} AS dist,
            CAST(length(a.text) AS BIGINT) AS len_a,
            CAST(length(b.text) AS BIGINT) AS len_b
     FROM documents a

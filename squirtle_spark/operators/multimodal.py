@@ -78,7 +78,15 @@ def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if b is None:
                 n_bytes.append(None), feat.append(None), frames.append(None)
                 continue
-            s = bytes(b).decode("utf-8")
+            try:
+                s = bytes(b).decode("utf-8")
+            except UnicodeDecodeError:
+                # Corrupt asset (not valid UTF-8): the realistic failure a
+                # real codec hits too. Contract: the row survives with its
+                # true byte length and NULL features — one bad payload must
+                # never kill the Arrow batch (same class as the NULL path).
+                n_bytes.append(len(b)), feat.append(None), frames.append(None)
+                continue
             n_bytes.append(len(b))
             feat.append(sum(ord(c) for c in s) % 2**31)
             frames.append(len(s) // 64)
@@ -158,12 +166,15 @@ def _framesample_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None:
                 continue  # missing asset: no frames (oracle: NULL series)
+            try:
+                sym = bytes(payload).decode("utf-8")
+            except UnicodeDecodeError:
+                continue  # corrupt asset: zero frames, batch survives
             # frames are DECODED-symbol windows, not raw byte windows: a
             # byte slice can cut a multi-byte UTF-8 code point in half
             # (the first cut crashed `.decode()` mid-rocket-emoji in the
             # r12 randomized lane) and is unreplayable in the SQL oracle,
             # which slices by character.
-            sym = bytes(payload).decode("utf-8")
             n_frames = len(sym) // FRAME_BYTES
             for i in range(0, n_frames, FRAME_STRIDE):
                 frame = sym[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]

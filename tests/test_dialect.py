@@ -247,3 +247,41 @@ def test_pii_redaction_matches_python_re(spark):
     for i, t in rows:
         assert got[i] == py_redact(t), (i, t, got[i], py_redact(t))
         assert py_redact(got[i]) == got[i]  # idempotent
+
+
+def test_levenshtein_codepoints_cross_engine(spark):
+    """dialect.levenshtein_codepoints: Spark (natively code-point) and the
+    DuckDB recode shim must agree on multi-byte text — the r12
+    differential exclusion this helper closes. Third-engine check: both
+    must equal Python's code-point DP on the same pairs."""
+    import duckdb
+
+    def py_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        ("🚀🚀", "ab"),
+        ("café", "cafe"),
+        ("数据查询", "数据检索"),
+        ("hello", "hello!"),
+        ("мир", "мip"),
+        ("naïve 🚀 données", "naive 🚀 donnees"),
+        ("χ² мир", "χ² мир!"),
+        ("abc", "abc"),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = py_lev(a, b)
+        duck = con.sql(
+            f"SELECT {dl.levenshtein_codepoints(f'$${a}$$', f'$${b}$$', dl.DUCK)}"
+        ).fetchone()[0]
+        spk = spark.sql(
+            f"SELECT {dl.levenshtein_codepoints(repr(a), repr(b), dl.SPARK)}"
+        ).collect()[0][0]
+        assert duck == spk == want, (a, b, duck, spk, want)

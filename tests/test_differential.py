@@ -130,11 +130,12 @@ def test_randomized_stream_equals_batch(spark, tmp_path):
 
 @pytest.mark.differential
 def test_spark_levenshtein_is_codepoint_exact_on_random_unicode(spark):
-    """dedup_edit_distance is EXCLUDED from the DuckDB lane (DuckDB
-    levenshtein counts bytes); this pins the operator's actual semantic
-    — code-point edit distance — against an independent pure-Python DP
-    reference on seeded random unicode pairs, so the excluded entry's
-    core function still has randomized coverage."""
+    """dedup_edit_distance re-entered the DuckDB lane in r13 via the
+    dialect.levenshtein_codepoints recode shim; this test remains the
+    third-engine anchor, pinning Spark's levenshtein — code-point edit
+    distance — against an independent pure-Python DP reference on seeded
+    random unicode pairs (the shim's own cross-engine cases live in
+    tests/test_dialect.py)."""
     import random
 
     rng = random.Random(20240816)

@@ -21,6 +21,7 @@ def reset_matview_mode():
     yield
     catalog._MATVIEW_MODE = None
     catalog._CHECKPOINT_DIR = None
+    catalog._PERSIST_WARNED = False
 
 
 def _rows(spark, sf_dir, name):
@@ -194,7 +195,12 @@ def test_persist_mode_warns_about_cliffs(reset_matview_mode):
     modes must stay silent."""
     import warnings
 
+    catalog._PERSIST_WARNED = False
     with pytest.warns(UserWarning, match="3-6x on chained-matview"):
+        catalog.configure_matview("persist")
+    # once per process: a second configure adds no new information (ADVICE r12)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         catalog.configure_matview("persist")
     for quiet in ("local", "reliable"):
         with warnings.catch_warnings():

@@ -35,13 +35,9 @@ import time
 #: FIXED fixtures — each exclusion is an adjudicated mechanism, not a
 #: flake quarantine.
 EXCLUSIONS: dict[str, str] = {
-    "dedup_edit_distance": (
-        "DuckDB levenshtein counts BYTES, Spark counts code points — "
-        "probed r12: levenshtein('🚀🚀','ab') = 2 in Spark vs 8 in "
-        "DuckDB. The operator's code-point semantics are the intended "
-        "ones; the oracle is exact only on ASCII corpora (the driver "
-        "fixtures are ASCII, where the entry stays value-green)."
-    ),
+    # dedup_edit_distance re-entered the lane in r13: the oracle now
+    # recodes DuckDB's byte-based levenshtein to code points
+    # (dialect.levenshtein_codepoints), closing the r12 exclusion.
     "approx_sketch_stats_contract": (
         "The contract asserts HLL++/t-digest error bounds that are "
         "PROBABILISTIC (rsd=5% is a standard deviation, not a bound); "

@@ -108,8 +108,13 @@ def run_cell(provider: str, target_rows: int) -> dict:
             q.stop()
         except Exception:
             pass
-    # steady-state cost = median of the last 3 batches (startup excluded)
-    tail = sorted(b["duration_ms"] for b in batches[-3:])
+    # steady-state cost = median of the last 3 batches (startup excluded).
+    # A progress event can lack durationMs.triggerExecution (None) — drop
+    # those rather than letting sorted() TypeError discard the whole cell's
+    # measured batches (ADVICE r12).
+    tail = sorted(
+        d for b in batches[-3:] if (d := b["duration_ms"]) is not None
+    )
     return {
         "provider": provider,
         "target_rows": target_rows,

@@ -4,7 +4,8 @@ pass counts and any finding — the committed evidence VERDICT r11 #2
 asks for. The pytest lane (tests/test_differential.py) runs a 2-seed
 subset on every suite run; this runner goes wider when invoked.
 
-Usage: python tools/run_differential.py [seed ...]   (default: 5 seeds)
+Usage: python tools/run_differential.py [--round N] [seed ...]
+(default: 5 seeds; round defaults to newest CORRECTNESS round + 1)
 """
 
 from __future__ import annotations
@@ -17,14 +18,28 @@ import tempfile
 
 
 def _round_number(repo: str) -> int:
+    """Current build round = newest driver-written CORRECTNESS round + 1.
+
+    CORRECTNESS_rN.json is written once, by the driver, at the END of
+    round N — so this is stable for the whole build round. The old
+    BENCH_r*+1 heuristic broke as soon as the builder's own bench run
+    wrote this round's BENCH_rN.json: a differential rerun after that
+    point stamped r{N+1} (ADVICE r12). ``--round N`` overrides.
+    """
     import glob
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-    ]
-    return max(rounds, default=0) + 1
+    def newest(pattern: str) -> int:
+        return max(
+            (
+                int(m.group(1))
+                for f in glob.glob(os.path.join(repo, pattern))
+                if (m := re.search(r"_r(\d+)\.json$", f))
+            ),
+            default=0,
+        )
+
+    done = newest("CORRECTNESS_r*.json") or newest("BENCH_r*.json") - 1
+    return done + 1
 
 
 def main() -> None:
@@ -34,7 +49,13 @@ def main() -> None:
 
     from tools.differential import EXCLUSIONS, run_degenerate, run_seed
 
-    seeds = [int(a) for a in sys.argv[1:]] or [11, 23, 37, 59, 97]
+    argv = sys.argv[1:]
+    round_override = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        round_override = int(argv[i + 1])
+        del argv[i : i + 2]
+    seeds = [int(a) for a in argv] or [11, 23, 37, 59, 97]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -75,7 +96,7 @@ def main() -> None:
         file=sys.stderr,
     )
     art = {
-        "round": _round_number(repo),
+        "round": round_override or _round_number(repo),
         "seeds": seeds,
         "excluded": EXCLUSIONS,
         "per_seed": per_seed,
