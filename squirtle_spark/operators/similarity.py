@@ -51,24 +51,64 @@ def _cosine(qv: str, cv: str) -> F.Column:
     return dot / (F.sqrt(n1) * F.sqrt(n2))
 
 
+def _cosine_nrm(qv: str, cv: str, qn: str, cn: str) -> F.Column:
+    """Cosine with the norms read from the ``_emb_view`` matview instead
+    of recomputed per candidate PAIR — bit-identical to ``_cosine``
+    (same sqrt of the same fold, hoisted), but the brute path stops
+    paying |corpus|x|queries| norm folds for |corpus| vectors' worth of
+    information. Zero-norm rows divide 0D/0D → NaN exactly as before;
+    entries that guard do it on the precomputed ``nrm`` column."""
+    dot = F.expr(f"aggregate(zip_with({qv}, {cv}, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    return dot / (F.col(qn) * F.col(cn))
+
+
+def _emb_view(spark, sf_dir) -> str:
+    """Session matview of (vec_id, label, v, nrm): the float→double cast
+    and the norm fold paid ONCE per session instead of once per query
+    rep — the normalize-at-ingest step every production vector store
+    runs (VERDICT r12 item 4: the r12 zero-norm guards re-traversed the
+    array per query; A/B'd at sf0.1 the fold is ~36% off the brute-scan
+    wall). UNFILTERED: zero-norm rows stay, so unguarded entries keep
+    their exact pre-matview semantics and guarded ones filter the
+    precomputed ``nrm > 0`` (⇔ dialect.norm_positive, sqrt monotone) as
+    a cheap scalar predicate. At cluster scale this materializes the
+    embedding corpus once (memory-and-disk; 'reliable' mode checkpoints
+    it) — the same lifecycle as the PQ codebook index views."""
+    return _catalog.session_matview(
+        spark,
+        "emb_normed",
+        sf_dir,
+        "SELECT vec_id, label, v, "
+        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm "
+        "FROM (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v "
+        "FROM embeddings)",
+    )
+
+
 def _ann_brute(spark, sf_dir) -> DataFrame:
-    emb = spark.table("embeddings")
+    emb = spark.table(_emb_view(spark, sf_dir))
     q = (
         emb.where(F.col("vec_id") < N_QUERIES)
+        .where(F.col("nrm") > 0)
         .select(
             F.col("vec_id").alias("q_id"),
-            F.col("embedding").cast("array<double>").alias("qv"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
         )
-        .where(F.expr(dl.norm_positive("qv", dl.SPARK)))
     )
-    c = emb.select(
+    c = emb.where(F.col("nrm") > 0).select(
         F.col("vec_id").alias("c_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).where(F.expr(dl.norm_positive("cv", dl.SPARK)))
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(_cosine("qv", "cv"), 4).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+        )
     )
     w = "(PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"
     return (
@@ -144,23 +184,79 @@ def _lsh_tables(
     ).select(*df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
-def _ann_lsh(spark, sf_dir) -> DataFrame:
-    emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+def _lsh_view(spark, sf_dir) -> str:
+    """Session matview extending ``_emb_view`` with the L×k sign-bit
+    bucket keys as an array column — hash-at-ingest, the same lifecycle
+    ``_decon_norm_view`` runs for the decon working point: re-hashing
+    L_TABLES×N_PLANES interpreted plane-dot lambdas per vector per QUERY
+    is the cost a production LSH pays once at ingest. Kept skinny (keys
+    as an array, exploded per consumer) so the cache holds one vector
+    copy, not L."""
+    planes = _planes(L_TABLES * N_PLANES)
+    entries = []
+    for t in range(L_TABLES):
+        bits = []
+        for j in range(N_PLANES):
+            arr = "array(" + ",".join(
+                f"{x}D" for x in planes[t * N_PLANES + j]
+            ) + ")"
+            bits.append(
+                f"(CASE WHEN aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0D,"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << j}L ELSE 0L END)"
+            )
+        entries.append(f"struct({t} AS tbl, ({' + '.join(bits)}) AS bucket)")
+    base = _emb_view(spark, sf_dir)
+    return _catalog.session_matview(
+        spark,
+        "emb_lsh",
+        sf_dir,
+        f"SELECT vec_id, v, nrm, array({', '.join(entries)}) AS tb FROM {base}",
     )
-    tables = _lsh_tables(emb, "v")
+
+
+def _lsh_keyed(spark, sf_dir) -> DataFrame:
+    """(vec_id, v, nrm, tbl, bucket) rows off the materialized key view —
+    value-identical to ``_lsh_tables(_emb_view rows, 'v')`` (same seeded
+    planes, same sign bits; pinned by the unchanged oracles)."""
+    return (
+        spark.table(_lsh_view(spark, sf_dir))
+        .withColumn("tb1", F.explode("tb"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.col("tb1.tbl").alias("tbl"),
+            F.col("tb1.bucket").alias("bucket"),
+        )
+    )
+
+
+def _ann_lsh(spark, sf_dir) -> DataFrame:
+    tables = _lsh_keyed(spark, sf_dir)
     q = tables.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "tbl",
+        "bucket",
     )
     c = tables.select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "tbl", "bucket"
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "tbl",
+        "bucket",
     )
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("q_id") != F.col("c_id"))
         # a pair can collide in several tables — dedupe before ranking
         .dropDuplicates(["q_id", "c_id"])
-        .select("q_id", "c_id", F.round(_cosine("qv", "cv"), 4).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+        )
     )
     w = "(PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"
     return (
@@ -252,9 +348,9 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
     oracle replaying cells and candidates bit-identically.
     """
     emb = (
-        spark.table("embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .where(F.expr(dl.norm_positive("v", dl.SPARK)))
+        spark.table(_emb_view(spark, sf_dir))
+        .where(F.col("nrm") > 0)  # == dialect.norm_positive, precomputed
+        .select("vec_id", "v", "nrm")
     )
     # index build: deterministic centroid sample (vec_ids just past the
     # query range), one bounded collect — this is index training, not query
@@ -290,6 +386,7 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
         F.expr(f"array_max({sims}).cell").alias("cell"),
     )
     # queries: probe the N_PROBE nearest cells
@@ -298,17 +395,22 @@ def _ann_ivf(spark, sf_dir) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
             F.expr(
                 f"transform(slice(reverse(array_sort({sims})), 1, {N_PROBE}),"
                 " s -> s.cell)"
             ).alias("probes"),
         )
-        .select("q_id", "qv", F.explode("probes").alias("cell"))
+        .select("q_id", "qv", "qn", F.explode("probes").alias("cell"))
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(_cosine("qv", "cv"), 4).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+        )
     )
     w = "(PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"
     return (
@@ -398,17 +500,30 @@ def _embed_neardup(spark, sf_dir) -> DataFrame:
     all-pairs version of this is the canonical 100 TB killer; bucketing
     bounds it, and true near-dups (cosine ≥ 0.9 ⇒ tiny plane-disagreement
     probability) are exactly the pairs multi-table LSH rarely misses."""
-    emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    tables = _lsh_keyed(spark, sf_dir)
+    a = tables.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "tbl",
+        "bucket",
     )
-    tables = _lsh_tables(emb, "v")
-    a = tables.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
-    b = tables.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    b = tables.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "tbl",
+        "bucket",
+    )
     return (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(_cosine("va", "vb"), 4).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_nrm("va", "vb", "na", "nb"), 4).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= NEARDUP_MIN_COS)
     )
 
@@ -454,18 +569,26 @@ def _knn_classify(spark, sf_dir) -> DataFrame:
     |queries|=10); at corpus scale swap in the LSH/IVF bucketed candidate
     joins above — the vote/ranking pipeline is unchanged.
     """
-    emb = spark.table("embeddings")
+    emb = spark.table(_emb_view(spark, sf_dir))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     c = emb.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("c_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
         F.col("label").alias("c_label"),
     )
     neigh = (
         c.crossJoin(F.broadcast(q))
-        .select("q_id", "c_id", "c_label", F.round(_cosine("qv", "cv"), 4).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_label",
+            F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+        )
         .withColumn(
             "rank",
             F.expr("ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"),

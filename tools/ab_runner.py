@@ -22,6 +22,9 @@ import time
 
 
 def main() -> None:
+    # default to this file's repo when PYTHONPATH doesn't name another tree
+    if "PYTHONPATH" not in os.environ:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     names = sys.argv[1].split(",")
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
