@@ -336,3 +336,90 @@ def test_sf10_scaling_probe(spark, tmp_path_factory, soak_record):
     # fail this gate
     assert rows["sf10"] > rows["sf1"]
     assert rows["sf10"] < 30 * rows["sf1"]
+
+
+def _train_replica_dir(tmp_path_factory, n_replicas: int) -> str:
+    """embeddings with the TRAIN side replicated ``n_replicas``x and the
+    eval split (vec_id % 97 == 0) held FIXED — the actual 100 TB shape
+    of decontamination: the training corpus grows, the benchmark eval
+    suite doesn't. The id stride is a multiple of 97, so a replicated
+    train id keeps its nonzero residue (stays train) and never mints a
+    new eval row; replicas carry IDENTICAL vectors, so every replica of
+    a flagged train vector flags against the same eval vector — flagged
+    output is linear in the corpus BY CONSTRUCTION, and the probe's
+    exponent measures pure plan cost. Other tables symlink to sf0.1."""
+    base = "/root/testdata/sf0.1"
+    out = str(tmp_path_factory.mktemp(f"trainrep{n_replicas}"))
+    con = duckdb.connect()
+    try:
+        n_emb = con.sql(
+            f"SELECT COUNT(*) FROM '{base}/embeddings.parquet'"
+        ).fetchone()[0]
+        stride = ((n_emb // 97) + 1) * 97
+        con.sql(
+            f"""COPY (
+                SELECT r * {stride} + vec_id AS vec_id, embedding, label
+                FROM '{base}/embeddings.parquet' CROSS JOIN range({n_replicas}) t(r)
+                WHERE r = 0 OR vec_id % 97 != 0
+                ORDER BY vec_id
+            ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def test_decon_bucketed_sf10_scaling_probe(spark, tmp_path_factory, soak_record):
+    """VERDICT r12 item 5: give decontaminate_embedding_bucketed the
+    sf10 treatment dedup_minhash_lsh got — one more decade to prove the
+    skinny-join claim (ids x L through the bucket join, vectors shuffle
+    once via the session matview) holds over sf1->sf10. Fixture holds
+    the eval split constant while the train side replicates 10x/100x
+    (see _train_replica_dir), so flagged rows must scale EXACTLY
+    linearly — any deviation means the candidate join or the argmax
+    re-scored a pair it shouldn't. Exponent = log(w10/w1)/log(10):
+    ~1 = candidate generation and scoring stay linear in the train
+    corpus at fixed eval; >>1 = within-bucket pairing went quadratic."""
+    import math
+    import time as _time
+
+    from squirtle_spark import catalog
+    from squirtle_spark.registry import load_all
+
+    q = load_all()["decontaminate_embedding_bucketed"]
+    walls = {}
+    rows = {}
+    for label, n in (("sf1", 10), ("sf10", 100)):
+        d = _train_replica_dir(tmp_path_factory, n)
+        catalog.invalidate(spark)  # fresh matview per scale, no cache credit
+        t0 = _time.time()
+        rows[label] = q.spark_fn(spark, d).count()
+        walls[label] = _time.time() - t0
+    catalog.invalidate(spark)
+    exponent = math.log(walls["sf10"] / walls["sf1"]) / math.log(10)
+    soak_record.append(
+        {
+            "name": "decontaminate_embedding_bucketed@sf10",
+            "rows": rows["sf10"],
+            "wall_sec": round(walls["sf10"], 2),
+            "pass": rows["sf10"] == 10 * rows["sf1"] and rows["sf1"] > 0,
+            "scale_equivalent": 10.0,
+            "spark_only": True,
+            "sf1_wall_sec": round(walls["sf1"], 2),
+            "sf1_rows": rows["sf1"],
+            "scaling_exponent_vs_sf1": round(exponent, 3),
+            "note": (
+                "train side replicated 10x/100x, eval split fixed (the "
+                "100 TB decon shape); identical replicas make flagged "
+                "rows exactly linear, so e measures pure plan cost: "
+                "e~1 = skinny candidate join + once-per-pair scoring "
+                "hold over the decade"
+            ),
+        }
+    )
+    assert rows["sf1"] > 0
+    # identical train replicas against a fixed eval split flag identically
+    assert rows["sf10"] == 10 * rows["sf1"], (rows["sf1"], rows["sf10"])
