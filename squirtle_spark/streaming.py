@@ -143,20 +143,38 @@ def _drain_to_parquet_sink(
     path: str,
     timeout_s: int,
     metrics: dict | None = None,
+    crash_after_s: float | None = None,
 ) -> None:
     """Drain a bounded replay through an APPEND-mode parquet file sink —
     the production result path (every batch's rows land distributed on
     storage; nothing crosses back to the driver). ``metrics``, when
     given, receives the final progress's state-operator summary
-    (capture_state_metrics)."""
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    (capture_state_metrics).
+
+    ``crash_after_s`` injects a mid-replay failure: the first drain is
+    stopped after that many seconds (uncommitted batch and all) and an
+    identical sink restarts from the SAME checkpoint — state stores
+    recover, the sink commit log keeps the union exactly-once (flock's
+    PROCESSED_WINDOWS idempotence, subsumed by checkpoint + commit log).
+    Callers use it to run the crash-recovery adoption check through the
+    REAL runner instead of a reimplemented pipeline."""
+    import time as _time
+
+    def start() -> StreamingQuery:
+        return (
+            result.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    if crash_after_s is not None:
+        _time.sleep(crash_after_s)
+        q.stop()  # interrupt mid-replay; commit log hides the partial batch
+        q = start()
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream sink '{path}' still running after {timeout_s}s")
@@ -213,6 +231,7 @@ def run_nexmark_q5_stream(
     flush_advance_s: int = 3_600,
     result_path: str | None = None,
     metrics: dict | None = None,
+    crash_after_s: float | None = None,
 ) -> DataFrame:
     """Full NEXMark q5 (hot items) end-to-end as a WATERMARKED APPEND
     stream; returns the hot-items DataFrame read lazily from the result
@@ -260,7 +279,12 @@ def run_nexmark_q5_stream(
     )
     out = result_path or f"{checkpoint}-out"
     _drain_to_parquet_sink(
-        counts, checkpoint=checkpoint, path=out, timeout_s=timeout_s, metrics=metrics
+        counts,
+        checkpoint=checkpoint,
+        path=out,
+        timeout_s=timeout_s,
+        metrics=metrics,
+        crash_after_s=crash_after_s,
     )
     finalized = _read_result_sink(
         spark, out, "starttime TIMESTAMP, auction BIGINT, num BIGINT"
@@ -414,6 +438,7 @@ def run_nexmark_q11_append_stream(
     timeout_s: int = 300,
     result_path: str | None = None,
     metrics: dict | None = None,
+    crash_after_s: float | None = None,
 ) -> DataFrame:
     """NEXMark q11 as a WATERMARKED APPEND stream — the operational
     session lane, and the closer semantic match to the reference: its
@@ -462,7 +487,12 @@ def run_nexmark_q11_append_stream(
     )
     out = result_path or f"{checkpoint}-out"
     _drain_to_parquet_sink(
-        sessions, checkpoint=checkpoint, path=out, timeout_s=timeout_s, metrics=metrics
+        sessions,
+        checkpoint=checkpoint,
+        path=out,
+        timeout_s=timeout_s,
+        metrics=metrics,
+        crash_after_s=crash_after_s,
     )
     return _read_result_sink(
         spark,
