@@ -746,24 +746,17 @@ def query_lsh_index(
 # ---------------------------------------------------------------------------
 
 
-def _ann_sq8(d: str) -> str:
-    if d == dl.SPARK:
-        v = "CAST(embedding AS ARRAY<DOUBLE>)"
-        absmax = "array_max(transform(v, x -> abs(x)))"
-        code = "transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT))"
+def _ann_sq8(d: str = dl.DUCK) -> str:
+    """DuckDB oracle for SQ8: replays the encode + integer-dot ranking
+    inline (the Spark side reads its session codes matview instead —
+    same values, encode hoisted)."""
+    assert d == dl.DUCK, "Spark side runs _ann_sq8_spark over the codes matview"
+    v = "CAST(embedding AS DOUBLE[])"
+    absmax = "list_max(list_transform(v, x -> abs(x)))"
+    code = "list_transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT))"
 
-        def dot(a, b):
-            return (
-                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            )
-    else:
-        v = "CAST(embedding AS DOUBLE[])"
-        absmax = "list_max(list_transform(v, x -> abs(x)))"
-        code = "list_transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT))"
-
-        def dot(a, b):
-            return f"list_dot_product({a}, {b})"
+    def dot(a, b):
+        return f"list_dot_product({a}, {b})"
 
     cos = (
         f"CAST({dot('qc', 'cc')} AS DOUBLE) / "
@@ -794,15 +787,64 @@ WHERE rank <= {TOP_K}
 """
 
 
-register_sql(
+def _sq8_codes_view(spark, sf_dir) -> str:
+    """Session matview of the int8 codes — encode-at-ingest. The encode
+    pass (abs-max scale + 64 rounds per vector) used to run per QUERY,
+    which is what made SQ8 slower than brute force at bench scale (the
+    old register_sql docstring kept that tradeoff measured); a real SQ8
+    index encodes once and scans codes forever. Chains off ``_emb_view``
+    so cast/norm/guard are shared with the rest of the ANN family."""
+    base = _emb_view(spark, sf_dir)
+    return _catalog.session_matview(
+        spark,
+        "sq8_codes",
+        sf_dir,
+        "SELECT vec_id, transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT)) AS c "
+        f"FROM (SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS s "
+        f"FROM {base} WHERE nrm > 0)",
+    )
+
+
+def _ann_sq8_spark(spark, sf_dir) -> DataFrame:
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    cos = (
+        f"CAST({dot.format(a='qc', b='cc')} AS DOUBLE) / "
+        f"(SQRT(CAST({dot.format(a='qc', b='qc')} AS DOUBLE)) * "
+        f"SQRT(CAST({dot.format(a='cc', b='cc')} AS DOUBLE)))"
+    )
+    codes = _sq8_codes_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH q AS (SELECT vec_id AS q_id, c AS qc FROM {codes} WHERE vec_id < {N_QUERIES}),
+cand AS (SELECT vec_id AS c_id, c AS cc FROM {codes}),
+scored AS (
+    SELECT q_id, c_id, ROUND({cos}, 4) AS cos_sim
+    FROM cand CROSS JOIN q
+    WHERE q_id <> c_id
+)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT q_id, c_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+    )
+
+
+register_df(
     "ann_sq8_topk",
-    _ann_sq8,
+    _ann_sq8_spark,
+    oracle_body=_ann_sq8(dl.DUCK),
     doc="Int8 scalar-quantized cosine top-k: per-vector scales cancel in "
     "cosine, so ranking runs on exact BIGINT dot products (8x smaller "
-    "candidate scan; exact oracle despite quantization). At bench scale "
-    "the encode pass makes it SLOWER than brute force — the win is "
-    "memory-bandwidth-bound corpora that no longer fit page cache, and "
-    "the benched row exists to keep that tradeoff measured, not hidden.",
+    "candidate scan; exact oracle despite quantization). Codes are a "
+    "session matview (encode-at-ingest) — the per-query encode pass that "
+    "made SQ8 slower than brute force at bench scale is paid once.",
     bench=True,
 )
 
@@ -1489,7 +1531,7 @@ def _ann_recall_report(spark, sf_dir) -> DataFrame:
     variant_dfs = {
         "lsh": _ann_lsh(spark, sf_dir),
         "ivf": _ann_ivf(spark, sf_dir),
-        "sq8": spark.sql(_ann_sq8(dl.SPARK)),
+        "sq8": _ann_sq8_spark(spark, sf_dir),
         "pq": _ann_pq_spark(spark, sf_dir),
         "ivfpq": _ann_ivfpq_spark(spark, sf_dir),
     }
