@@ -52,12 +52,22 @@ DRIFT_TOLERANCE = 0.20  # per-query delta vs previous round that triggers a reti
 
 
 def _round_number() -> int:
-    """Next round index: 1 + the highest recorded BENCH_r{N}.json.
+    """Current round index: max(newest CORRECTNESS + 1, newest BENCH).
 
-    The driver writes BENCH_r{N}.json AFTER running this script, so at
-    run time the highest existing artifact is the PREVIOUS round."""
-    rounds = [r for r, _ in _rounds_glob("BENCH_r*.json")]
-    return (max(rounds) + 1) if rounds else 1
+    The old BENCH+1 rule stamped one round ahead as soon as THIS round's
+    BENCH_r{N}.json was recorded mid-round (r13: a --stress run after the
+    headline record wrote STRESS_DETAIL_r14 — the same rerun instability
+    ADVICE r12 flagged in run_differential). CORRECTNESS_r{N} is written
+    by the driver at round N's end, so CORRECTNESS+1 is the current
+    round; taking the max with newest BENCH keeps reruns stable after
+    this round's bench lands, and still works if a CORRECTNESS sweep
+    hasn't produced its first artifact yet."""
+    bench = [r for r, _ in _rounds_glob("BENCH_r*.json")]
+    correctness = [r for r, _ in _rounds_glob("CORRECTNESS_r*.json")]
+    return max(
+        (max(correctness) + 1) if correctness else 1,
+        max(bench) if bench else 1,
+    )
 
 
 def _rounds_glob(pattern: str) -> list[tuple[int, str]]:

@@ -61,19 +61,27 @@ def test_compact_line_does_not_mutate_caller_and_takes_custom_order():
     assert parsed["metric"] == "stress_events_per_sec"
 
 
-def test_round_number_is_one_past_latest_bench_artifact():
-    # the repo carries BENCH_r01..r07 (and this round's detail file);
-    # the next round index must be strictly past every recorded one
+def test_round_number_is_stable_across_same_round_reruns():
+    # r13 rule: max(newest CORRECTNESS + 1, newest BENCH). Must be past
+    # every COMPLETED round (CORRECTNESS is the driver's round-end stamp)
+    # and must NOT advance just because this round's own bench record
+    # already landed (the r13 --stress rerun stamped r14 under the old
+    # BENCH+1 rule).
     import glob
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
-    recorded = [
-        int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
-        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
-    ]
-    assert bench._round_number() == max(recorded) + 1
+
+    def newest(pat):
+        return max(
+            int(re.search(r"_r(\d+)\.json$", f).group(1))
+            for f in glob.glob(os.path.join(here, pat))
+        )
+
+    rnd = bench._round_number()
+    assert rnd == max(newest("CORRECTNESS_r*.json") + 1, newest("BENCH_r*.json"))
+    assert rnd > newest("CORRECTNESS_r*.json")
 
 
 def test_prev_record_prefers_detail_and_carries_fingerprints():
@@ -82,7 +90,10 @@ def test_prev_record_prefers_detail_and_carries_fingerprints():
     # dual-recorded older version or current)
     assert fp_ver in (0, 2, 3, bench.FINGERPRINT_VERSION)
     assert rnd >= 6  # r6 is the oldest parseable full record in the repo
-    assert rnd < bench._round_number()  # never its own round (ADVICE r8)
+    # never a FUTURE round; its own round is legitimate after this
+    # round's first record lands (intra-round re-record drift, as r12's
+    # idle-host re-record flow used)
+    assert rnd <= bench._round_number()
     assert times  # some per-query seconds
     # once a BENCH_DETAIL exists (written this round), fingerprints ride
     # along; before that the BENCH_r fallback has none — either way the

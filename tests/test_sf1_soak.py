@@ -110,10 +110,9 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _round_number() -> int:
-    """bench.py's rule, not a reimplementation: counting CORRECTNESS
-    artifacts too would stamp SOAK one round ahead whenever the soak
-    runs after the driver's mid-round correctness sweep (the driver
-    writes CORRECTNESS_r{N} mid-round but BENCH_r{N} at round end)."""
+    """bench.py's rule, not a reimplementation (r13: that rule is now
+    max(newest CORRECTNESS + 1, newest BENCH), which stays stable when
+    the soak runs after this round's bench record already landed)."""
     import bench
 
     return bench._round_number()
