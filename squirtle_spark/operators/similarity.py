@@ -1665,41 +1665,29 @@ def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
     ``decontaminate_embedding_bucketed`` below — the same scoring over
     an LSH banded candidate join instead of the cross product.
     """
-    ev, tr = _decon_splits(spark)
+    ev, tr = _decon_splits(spark, sf_dir)
     _decon_guard_eval_ids(ev)
     packed = _decon_pk(tr.crossJoin(F.broadcast(ev)))
     return _decon_flagged(packed)
 
 
-def _decon_splits(spark) -> tuple[DataFrame, DataFrame]:
-    """(eval, train) embedding splits with per-vector hoisted norms."""
-    emb = spark.table("embeddings")
-    # norms hoisted to once per VECTOR: the interpreted higher-order
-    # aggregate is the per-pair cost driver (3 lambda passes/pair is
-    # ~3x the wall at the sf1 soak scale's 4M pairs), and
-    # sqrt(aggregate(squares)) is the same double hoisted or inline —
-    # values bit-identical to the per-pair form the oracle replays
-    ev = (
-        emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0)
-        .select(
-            F.col("vec_id").alias("eval_id"),
-            F.col("embedding").cast("array<double>").alias("ev"),
-        )
-        .withColumn(
-            "en", F.expr("sqrt(aggregate(ev, 0D, (acc, x) -> acc + x * x))")
-        )
-        .where(F.col("en") > 0)  # zero-norm guard (dialect.norm_positive)
+def _decon_splits(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(eval, train) embedding splits off the shared ``_emb_view``
+    matview — cast, per-vector norm, and zero-norm guard paid once per
+    session with the rest of the ANN family (r13; previously re-derived
+    here per query). ``nrm`` is the same sqrt of the same fold the old
+    inline form hoisted, so values are bit-identical to the per-pair
+    form the oracle replays."""
+    emb = spark.table(_emb_view(spark, sf_dir)).where(F.col("nrm") > 0)
+    ev = emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("en"),
     )
-    tr = (
-        emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0)
-        .select(
-            F.col("vec_id").alias("train_id"),
-            F.col("embedding").cast("array<double>").alias("tv"),
-        )
-        .withColumn(
-            "tn", F.expr("sqrt(aggregate(tv, 0D, (acc, x) -> acc + x * x))")
-        )
-        .where(F.col("tn") > 0)
+    tr = emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
     )
     return ev, tr
 
@@ -1848,17 +1836,15 @@ def _decon_norm_view(spark, sf_dir) -> str:
                 f" (acc, x) -> acc + x) > 0 THEN {1 << j}L ELSE 0L END)"
             )
         entries.append(f"struct({t} AS tbl, ({' + '.join(bits)}) AS bucket)")
+    base = _emb_view(spark, sf_dir)  # cast+norm shared with the ANN family
     return _catalog.session_matview(
         spark,
         "decon_emb_lsh",
         sf_dir,
-        "SELECT * FROM ("
-        "SELECT vec_id, v, "
-        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm, "
+        "SELECT vec_id, v, nrm, "
         f"array({', '.join(entries)}) AS tb "
-        "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v "
-        "FROM embeddings)"
-        ") WHERE nrm > 0",  # zero-norm guard (dialect.norm_positive)
+        f"FROM {base} "
+        "WHERE nrm > 0",  # zero-norm guard (dialect.norm_positive)
     )
 
 
