@@ -98,17 +98,25 @@ _CONTRIB = "score * CAST(w AS DOUBLE) / wdeg"
 
 
 def _textrank_spark(spark, sf_dir):
-    """Spark side: materialize the aggregated co-occurrence graph ONCE
-    (localCheckpoint — the corpus pass runs one time; the checkpointed
-    result is vocab²-bounded, the dedup_clusters iteration pattern), then
-    run the unrolled iterations as vocab-sized joins over it. Without the
+    """Spark side: the aggregated co-occurrence graph is a SESSION
+    matview (r13; previously a per-query localCheckpoint — correct plan
+    shape, but the corpus pass re-ran on every invocation): the one
+    corpus-scale job runs once per (session, table), and the vocab²-
+    bounded graph is what repeated rankings read — the same
+    build-at-ingest lifecycle the ANN index family runs. Without any
     materialization Catalyst inlines the edges CTE into every iteration
     and re-scans the corpus 14 times (measured) — the exact plan shape
     this rewrite forbids.
     """
     from pyspark.sql import functions as F
 
-    edges = spark.sql(_edges_sql(dl.SPARK)).localCheckpoint()
+    from .. import catalog
+
+    edges = spark.table(
+        catalog.session_matview(
+            spark, "textrank_edges", sf_dir, _edges_sql(dl.SPARK)
+        )
+    )
     wdeg = edges.groupBy("src").agg(F.expr("CAST(SUM(w) AS DOUBLE)").alias("wdeg"))
     ew = edges.join(wdeg, "src").select("src", "dst", "w", "wdeg").localCheckpoint()
     scores = wdeg.select(F.col("src").alias("tok"), F.expr("CAST(1.0 AS DOUBLE)").alias("score"))
