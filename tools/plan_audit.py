@@ -55,6 +55,14 @@ CROSS_BY_DESIGN = {
     "dsir_select",
     "hard_negatives",
     "bpe_train_merges",
+    # train x broadcast(eval) scoring (r13 audit sweep — benched since
+    # r11 but the audit had not been re-run past the r10 entry set):
+    # the eval split is ~1% by construction (vec_id % 97) and broadcasts;
+    # BroadcastNestedLoopJoin against that bounded side IS the documented
+    # 100 TB plan, and the bucketed fallback exists for when it isn't
+    # (decontaminate_embedding_bucketed, which is plan-GATED to have no
+    # cross product at all — tests/test_plans.py).
+    "decontaminate_embedding",
 }
 
 
