@@ -84,3 +84,42 @@ def test_framesample_skips_non_utf8_payload():
     pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"\xff" * 200, good.encode()]})
     (out,) = list(_framesample_fn(iter([pdf])))
     assert set(out["doc_id"]) == {2}
+
+
+def test_package_zip_is_content_addressed(tmp_path, monkeypatch):
+    """The shipped archive's name embeds a source hash: unchanged tree →
+    same path reused (SparkContext caches shipped files by name), changed
+    tree → NEW name (Spark refuses to re-add a same-named file with
+    different bytes, so a stale name would strand workers on old code)."""
+    from squirtle_spark import session as s
+
+    a = s._package_zip()
+    assert a == s._package_zip()  # stable + file reused
+    assert os.path.exists(a)
+
+    import zipfile
+
+    with zipfile.ZipFile(a) as zf:
+        names = zf.namelist()
+    assert all(n.startswith("squirtle_spark/") for n in names)
+    assert "squirtle_spark/session.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+    # simulate a source change by hashing a copied tree with one byte added
+    import shutil
+
+    pkg = os.path.dirname(os.path.abspath(s.__file__))
+    clone = tmp_path / "squirtle_spark"
+    shutil.copytree(pkg, clone, ignore=shutil.ignore_patterns("__pycache__"))
+    (clone / "session.py").write_text(
+        (clone / "session.py").read_text() + "\n# touched\n"
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "squirtle_spark_clone.session", clone / "session.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    b = mod._package_zip()
+    assert b != a  # content change -> new archive name
