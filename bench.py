@@ -1209,10 +1209,12 @@ def _classify_stress_drift(
     the next round's comparison base. Those lanes get a FORCED row
     carrying the pre-noise BASELINE wall: back within tolerance of the
     baseline → ``noise-reverted`` (host verdict confirmed, debt
-    closed); still elevated with a hot/jittery canary →
-    ``noise-sustained`` (debt renews); still elevated on a QUIET canary
-    → ``regressed-vs-baseline`` — the launder is caught, two rounds
-    late at worst."""
+    closed); raw canary floor beyond the cap → ``unmeasurable`` (window
+    can't certify either way, debt renews); still elevated with a
+    hot/jittery canary → ``noise-sustained`` (debt renews); still
+    elevated on a QUIET canary → ``regressed-vs-baseline`` — the
+    launder is caught, two rounds late at worst. ``unmeasurable`` rows
+    (forced or main-path) carry the watch forward like noise ones."""
     if changed is None:
         changed = _STRESS_CHANGED_LANES
     prev_drift = {}
@@ -1221,7 +1223,12 @@ def _classify_stress_drift(
     noise_watch: dict[str, dict] = {}
     for lane, row in prev_drift.items():
         cls_prev = str(row.get("class", ""))
-        if not cls_prev.startswith("noise") or cls_prev == "noise-reverted":
+        # unmeasurable slowdowns launder exactly like noise ones (the lane
+        # recorded min-of-N as the next comparison base either way), so
+        # they carry the watch too (ADVICE r13)
+        if cls_prev == "noise-reverted" or not (
+            cls_prev.startswith("noise") or cls_prev == "unmeasurable"
+        ):
             continue
         slow_now = row.get("delta_pct", 0) > DRIFT_TOLERANCE * 100
         slow_base = row.get("baseline_delta_pct") is not None and (
@@ -1249,11 +1256,22 @@ def _classify_stress_drift(
             # forced row: adjudicate against the pre-noise baseline
             base = watch["wall_sec"]
             bdelta = (cv - base) / base if base else 0.0
-            canary_floor, _floor_usable = _capped_canary_floor(stats)
+            canary_floor, floor_usable = _capped_canary_floor(stats)
             if abs(bdelta) <= DRIFT_TOLERANCE or bdelta < 0:
                 cls, why = "noise-reverted", (
                     "prior round's noise verdict confirmed: wall back at "
                     "the pre-noise baseline"
+                )
+            elif canary_floor is not None and not floor_usable:
+                # raw floor blew the cap: this window can't certify the
+                # baseline delta either way — neither acquit via the capped
+                # floor nor convict "on a QUIET canary" (ADVICE r13)
+                cls, why = "unmeasurable", (
+                    f"canary window rel spread "
+                    f"{100 * stats['canary_rel_spread']:.0f}% puts the raw "
+                    f"noise floor above the {100 * CANARY_FLOOR_CAP:.0f}% cap "
+                    "— host too noisy to adjudicate the baseline delta; "
+                    "watch renews, re-record on an idle host"
                 )
             elif stats["dirty"] or (
                 canary_floor is not None and canary_floor >= abs(bdelta)

@@ -186,6 +186,9 @@ def norm_positive(v: str, d: str) -> str:
     return f"list_dot_product({v}, {v}) > 0"
 
 
+LEVENSHTEIN_ALPHABET_CAP = 127  # chr(1..127) are the single-byte UTF-8 symbols
+
+
 def levenshtein_codepoints(a: str, b: str, d: str) -> str:
     """Levenshtein edit distance over CODE POINTS in both dialects.
 
@@ -194,26 +197,47 @@ def levenshtein_codepoints(a: str, b: str, d: str) -> str:
     in DuckDB — the r12 differential exclusion). The DuckDB form recodes
     the pair's joint code-point alphabet to one single-byte symbol each
     (``string_split(s, '')`` is code-point based — combining marks and
-    ZWJ split out, probed), which preserves the edit distance because any
-    per-pair injective symbol map does. Alphabets beyond 95 symbols can't
-    recode into single bytes (chr > 127 is multi-byte UTF-8) and ERROR
-    loudly rather than silently diverging; fixture pairs sit far below.
+    ZWJ split out, probed; Spark's ``split(s, '')`` matches exactly),
+    which preserves the edit distance because any per-pair injective
+    symbol map does. Guards (ADVICE r13), branch-for-branch IDENTICAL in
+    both dialects so a differential pair can never diverge on a guard:
+
+    - NULL input → NULL (matches plain ``levenshtein``; previously the
+      DuckDB CASE fell into the error branch);
+    - an empty side → the other side's code-point length (DuckDB's
+      ``string_split('', '')`` is ``['']``, which would recode an empty
+      doc to one symbol);
+    - a joint alphabet beyond LEVENSHTEIN_ALPHABET_CAP single-byte
+      symbols (127 = chr 1..127; was 95) → NULL in BOTH dialects — a deterministic per-pair
+      exclusion a `dist <= k` predicate drops on both sides, instead of
+      an error() that killed the whole oracle query on an unlucky
+      unicode-rich seed.
     """
+    cap = LEVENSHTEIN_ALPHABET_CAP
     if d == SPARK:
-        return f"levenshtein({a}, {b})"
+        alpha_n = f"size(array_distinct(split({a} || {b}, '')))"
+        return (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN length({a}) = 0 OR length({b}) = 0 "
+            f"THEN length({a}) + length({b}) "
+            f"WHEN {alpha_n} <= {cap} THEN levenshtein({a}, {b}) "
+            f"ELSE CAST(NULL AS INT) END"
+        )
     alpha = f"list_distinct(string_split({a} || {b}, ''))"
 
     def recode(s: str) -> str:
         return (
             f"list_aggregate(list_transform(string_split({s}, ''), "
-            f"c_ -> chr(32 + list_position({alpha}, c_))), 'string_agg', '')"
+            f"c_ -> chr(list_position({alpha}, c_))), 'string_agg', '')"
         )
 
     return (
-        f"CASE WHEN len({alpha}) <= 95 "
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN length({a}) = 0 OR length({b}) = 0 "
+        f"THEN length({a}) + length({b}) "
+        f"WHEN len({alpha}) <= {cap} "
         f"THEN levenshtein({recode(a)}, {recode(b)}) "
-        f"ELSE CAST(error('levenshtein_codepoints: pair alphabet exceeds "
-        f"95 symbols') AS BIGINT) END"
+        f"ELSE CAST(NULL AS BIGINT) END"
     )
 
 

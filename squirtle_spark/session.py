@@ -18,6 +18,7 @@ knob is chosen so the same code lands well on a 1000-executor cluster:
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 import tempfile
 import zipfile
@@ -76,28 +77,61 @@ def configure_state_store(spark: SparkSession, provider: str | None = None) -> s
     return cls
 
 
+def _package_zip_bytes() -> tuple[bytes, str]:
+    """(zip bytes, content hash) for the installed ``squirtle_spark`` tree.
+
+    The archive is built DETERMINISTICALLY (sorted members, pinned
+    timestamps/permissions) so the same source tree always yields the
+    same bytes — that's what lets ``_package_zip`` verify a cached
+    archive by comparison instead of trusting its name.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    files = sorted(p for p in pkg_dir.rglob("*.py") if "__pycache__" not in p.parts)
+    h = hashlib.sha256()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in files:
+            rel = str(p.relative_to(pkg_dir))
+            data = p.read_bytes()
+            h.update(rel.encode())
+            h.update(data)
+            zi = zipfile.ZipInfo(
+                str(Path(pkg_dir.name) / rel), date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, data, zipfile.ZIP_DEFLATED)
+    return buf.getvalue(), h.hexdigest()[:16]
+
+
 def _package_zip() -> str:
     """Zip the installed ``squirtle_spark`` package for worker shipment.
 
     The archive name embeds a content hash, so re-zipping after a code
     change produces a new file (SparkContext caches shipped files by
-    name) while an unchanged tree reuses the existing archive. Written
-    atomically (temp file + rename) so concurrent sessions can't read a
-    half-written zip.
+    name) while an unchanged tree reuses the existing archive. Two
+    hardenings (ADVICE r13): the archive lives under a per-user 0700
+    directory rather than the shared world-writable tempdir, and a
+    cached file is reused only if its BYTES equal the deterministic
+    rebuild — the name alone is never trusted, so a pre-planted
+    same-named zip can't reach ``addPyFile``. Written atomically (temp
+    file + rename) so concurrent sessions can't read a half-written zip.
     """
-    pkg_dir = Path(__file__).resolve().parent
-    files = sorted(p for p in pkg_dir.rglob("*.py") if "__pycache__" not in p.parts)
-    h = hashlib.sha256()
-    for p in files:
-        h.update(str(p.relative_to(pkg_dir)).encode())
-        h.update(p.read_bytes())
-    zip_path = Path(tempfile.gettempdir()) / f"squirtle_spark-{h.hexdigest()[:16]}.zip"
-    if not zip_path.exists():
-        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=zip_path.parent)
-        os.close(fd)
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for p in files:
-                zf.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    payload, digest = _package_zip_bytes()
+    base = Path(tempfile.gettempdir()) / f"squirtle-{os.getuid()}"
+    try:
+        base.mkdir(mode=0o700, exist_ok=True)
+        if base.stat().st_uid != os.getuid() or os.path.islink(base):
+            raise OSError("per-user zip dir not owned by this uid")
+        os.chmod(base, 0o700)
+    except OSError:
+        # someone squatted the per-user name: fall back to a fresh
+        # private dir (no reuse across sessions, but always safe)
+        base = Path(tempfile.mkdtemp(prefix="squirtle-"))
+    zip_path = base / f"squirtle_spark-{digest}.zip"
+    if not (zip_path.exists() and zip_path.read_bytes() == payload):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=base)
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
         os.replace(tmp, zip_path)
     return str(zip_path)
 

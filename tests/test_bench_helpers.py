@@ -257,11 +257,29 @@ def test_stress_noise_watch_carries_baseline_and_catches_launder():
     )
     assert d["beyond_tolerance"]["x"]["class"] == "noise-reverted"
 
-    # still elevated but THIS window's canary is jittery too: renew
+    # still elevated but THIS window's canary is jittery too (floor 2 x
+    # 0.15 = 30% >= the 24% baseline delta, raw floor under the cap): renew
+    d = bench._classify_stress_drift(
+        12, prev_record(12.5, 25.0), {"x": stats(12.4, 0.15)}, changed={}
+    )
+    assert d["beyond_tolerance"]["x"]["class"] == "noise-sustained"
+
+    # ADVICE r13: raw floor BEYOND the cap (2 x 0.5 = 100% > 50%) can
+    # certify nothing — not "regressed on a QUIET canary", not noise via
+    # the capped floor; the forced row must say so and renew the watch
     d = bench._classify_stress_drift(
         12, prev_record(12.5, 25.0), {"x": stats(12.4, 0.5)}, changed={}
     )
-    assert d["beyond_tolerance"]["x"]["class"] == "noise-sustained"
+    row = d["beyond_tolerance"]["x"]
+    assert row["class"] == "unmeasurable"
+    assert "QUIET" not in row["evidence"]
+
+    # ...and an unmeasurable slowdown row carries the watch next round
+    # exactly like a noise one (it recorded min-of-N as the new base too)
+    prev = prev_record(12.5, 25.0)
+    prev["drift"]["beyond_tolerance"]["x"]["class"] = "unmeasurable"
+    d = bench._classify_stress_drift(12, prev, {"x": stats(12.4, 0.02)}, changed={})
+    assert d["beyond_tolerance"]["x"]["class"] == "regressed-vs-baseline"
 
     # a prior noise row on an IMPROVEMENT (or small delta) forces nothing
     d = bench._classify_stress_drift(

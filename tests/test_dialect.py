@@ -275,6 +275,10 @@ def test_levenshtein_codepoints_cross_engine(spark):
         ("χ² мир", "χ² мир!"),
         ("abc", "abc"),
     ]
+    # ADVICE r13 guard edges: empty sides (DuckDB string_split('','') is
+    # ['']) and alphabets just under the widened 127-symbol cap
+    wide = "".join(chr(0x4E00 + i) for i in range(63))  # 63 CJK cp
+    pairs += [("", ""), ("", "abc"), ("héllo", ""), (wide, wide + "魚")]
     con = duckdb.connect()
     for a, b in pairs:
         want = py_lev(a, b)
@@ -285,3 +289,32 @@ def test_levenshtein_codepoints_cross_engine(spark):
             f"SELECT {dl.levenshtein_codepoints(repr(a), repr(b), dl.SPARK)}"
         ).collect()[0][0]
         assert duck == spk == want, (a, b, duck, spk, want)
+
+
+def test_levenshtein_codepoints_null_and_cap_degrade_to_null(spark):
+    """ADVICE r13: a NULL input or a >127-symbol joint alphabet must yield
+    NULL in BOTH dialects (per-pair exclusion), never error() the query —
+    the r13 lane-crash risk on a unicode-rich seed."""
+    import duckdb
+
+    over = "'" + "".join(chr(0x4E00 + i) for i in range(130)) + "'"
+    con = duckdb.connect()
+    cases = [("NULL", "'abc'"), ("'abc'", "NULL"), (over, "'abc'")]
+    for a, b in cases:
+        duck = con.sql(
+            f"SELECT {dl.levenshtein_codepoints(a, b, dl.DUCK)}"
+        ).fetchone()[0]
+        spk = spark.sql(
+            f"SELECT {dl.levenshtein_codepoints(a, b, dl.SPARK)}"
+        ).collect()[0][0]
+        assert duck is None and spk is None, (a, b, duck, spk)
+    # just-at-cap still computes (127 distinct symbols in the pair)
+    at = "'" + "".join(chr(0x4E00 + i) for i in range(126)) + "'"
+    atb = "'" + "".join(chr(0x4E00 + i) for i in range(125)) + "魚'"
+    duck = con.sql(
+        f"SELECT {dl.levenshtein_codepoints(at, atb, dl.DUCK)}"
+    ).fetchone()[0]
+    spk = spark.sql(
+        f"SELECT {dl.levenshtein_codepoints(at, atb, dl.SPARK)}"
+    ).collect()[0][0]
+    assert duck == spk == 1, (duck, spk)

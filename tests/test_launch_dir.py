@@ -123,3 +123,33 @@ def test_package_zip_is_content_addressed(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
     b = mod._package_zip()
     assert b != a  # content change -> new archive name
+
+
+def test_package_zip_rejects_preplanted_archive():
+    """ADVICE r13 (medium): the cached archive is reused only when its
+    BYTES match the deterministic rebuild — a same-named zip planted at
+    the predictable path must be overwritten before addPyFile ever sees
+    it — and it lives under a per-user 0700 dir, not the shared tempdir."""
+    import stat
+
+    from squirtle_spark import session as s
+
+    path = s._package_zip()
+    base = os.path.dirname(path)
+    assert os.path.basename(base).startswith("squirtle-")
+    mode = stat.S_IMODE(os.stat(base).st_mode)
+    assert mode == 0o700, oct(mode)
+    assert os.stat(base).st_uid == os.getuid()
+
+    good = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(b"PK\x05\x06" + b"\x00" * 18)  # valid-but-empty planted zip
+    again = s._package_zip()
+    assert again == path
+    assert open(path, "rb").read() == good  # planted bytes replaced
+
+    # determinism: two independent builds of the same tree byte-match
+    payload1, h1 = s._package_zip_bytes()
+    payload2, h2 = s._package_zip_bytes()
+    assert payload1 == payload2 and h1 == h2
+    assert good == payload1

@@ -12,34 +12,25 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import tempfile
 
 
 def _round_number(repo: str) -> int:
-    """Current build round = newest driver-written CORRECTNESS round + 1.
-
-    CORRECTNESS_rN.json is written once, by the driver, at the END of
-    round N — so this is stable for the whole build round. The old
-    BENCH_r*+1 heuristic broke as soon as the builder's own bench run
-    wrote this round's BENCH_rN.json: a differential rerun after that
-    point stamped r{N+1} (ADVICE r12). ``--round N`` overrides.
+    """Current build round — DELEGATES to bench._round_number so the two
+    stampers can never disagree (ADVICE r13: the local
+    ``newest(CORRECTNESS) or newest(BENCH) - 1`` formula yielded round 0
+    in an artifact-less repo and diverged from bench's
+    ``max(CORRECTNESS + 1, BENCH)`` whenever bench rounds ran ahead).
+    bench resolves artifact globs against its own directory (the repo
+    root), which is the same ``repo`` passed here. ``--round N``
+    overrides.
     """
-    import glob
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import bench
 
-    def newest(pattern: str) -> int:
-        return max(
-            (
-                int(m.group(1))
-                for f in glob.glob(os.path.join(repo, pattern))
-                if (m := re.search(r"_r(\d+)\.json$", f))
-            ),
-            default=0,
-        )
-
-    done = newest("CORRECTNESS_r*.json") or newest("BENCH_r*.json") - 1
-    return done + 1
+    return bench._round_number()
 
 
 def main() -> None:
