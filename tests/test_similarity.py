@@ -169,6 +169,45 @@ def test_ivfpq_recall_and_cell_pruning(spark, sf_dir):
         assert covered < n_corpus, "probing covered the whole corpus"
 
 
+def test_ivfpq_driver_routing_matches_distributed(spark, sf_dir):
+    """Coordinator probe routing (r14): the registered IVF-PQ search
+    routes queries to cells driver-side against the cached centroid
+    table — the FAISS/Milvus coarse-quantizer locality — instead of a
+    per-search BroadcastNestedLoopJoin + window chain. The probe set and
+    the final top-k must match the distributed SQL form BIT-FOR-BIT
+    (same BIGINT rel arithmetic, same (rel ASC, cell ASC) tie-break);
+    the distributed form stays available via probes_rows=None for query
+    batches too large to route at the coordinator."""
+    import re
+
+    from squirtle_spark import catalog, dialect as dl
+    from squirtle_spark.operators import similarity as sim
+
+    catalog.register_all(spark, sf_dir)
+    views = sim._pq_index_views(spark, sf_dir, ivf=True)
+    key = sim._pq_key(spark, sf_dir, True, sim.N_CELLS)
+    routed = sorted(sim._route_probes(key, sim.N_PROBE))
+    assert routed and len(routed) == sim.N_QUERIES * sim.N_PROBE
+
+    _, _, q_dist = sim._ann_pq(dl.SPARK, ivf=True, views=views)
+    m = re.search(r"probes AS \(\n.*?\n\)", q_dist, re.S)
+    pre = q_dist.split(",\nprobes AS")[0]
+    sql_probes = sorted(
+        (int(r["q_id"]), int(r["cell"]))
+        for r in spark.sql(
+            pre
+            + ", probes AS ("
+            + m.group(0)[len("probes AS (") : -1]
+            + ") SELECT q_id, cell FROM probes"
+        ).collect()
+    )
+    assert routed == sql_probes
+
+    dist_result = sorted(map(tuple, spark.sql(q_dist).collect()))
+    routed_result = sorted(map(tuple, sim._ann_ivfpq_spark(spark, sf_dir).collect()))
+    assert dist_result == routed_result
+
+
 def test_stream_ann_probe_equals_batch(spark, sf_dir, tmp_path):
     """Ingest-and-serve with both sides streamed: queries streamed in
     epochs against the persisted LSH index must produce, in union, the
