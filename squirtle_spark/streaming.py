@@ -152,12 +152,19 @@ def _drain_to_parquet_sink(
     (capture_state_metrics).
 
     ``crash_after_s`` injects a mid-replay failure: the first drain is
-    stopped after that many seconds (uncommitted batch and all) and an
-    identical sink restarts from the SAME checkpoint — state stores
-    recover, the sink commit log keeps the union exactly-once (flock's
-    PROCESSED_WINDOWS idempotence, subsumed by checkpoint + commit log).
-    Callers use it to run the crash-recovery adoption check through the
-    REAL runner instead of a reimplemented pipeline."""
+    stopped as soon as it has committed ≥1 micro-batch while still
+    active — gated on OBSERVED batch progress, not a wall-clock sleep,
+    so a fast host can't drain everything before the stop lands and
+    turn the recovery path into a vacuous no-op restart (ADVICE r13);
+    ``crash_after_s`` bounds how long to wait for that first commit. An
+    identical sink then restarts from the SAME checkpoint — state
+    stores recover, the sink commit log keeps the union exactly-once
+    (flock's PROCESSED_WINDOWS idempotence, subsumed by checkpoint +
+    commit log). ``metrics["crash"]`` records whether the stop actually
+    interrupted an active query, so tests can assert the recovery path
+    ran rather than trust the timing. Callers use it to run the
+    crash-recovery adoption check through the REAL runner instead of a
+    reimplemented pipeline."""
     import time as _time
 
     def start() -> StreamingQuery:
@@ -171,8 +178,15 @@ def _drain_to_parquet_sink(
         )
 
     q = start()
+    crash_info: dict | None = None
     if crash_after_s is not None:
-        _time.sleep(crash_after_s)
+        deadline = _time.time() + crash_after_s
+        while _time.time() < deadline and q.isActive and not q.recentProgress:
+            _time.sleep(0.05)
+        crash_info = {
+            "interrupted_active": bool(q.isActive),
+            "batches_before_crash": len(q.recentProgress),
+        }
         q.stop()  # interrupt mid-replay; commit log hides the partial batch
         q = start()
     if not q.awaitTermination(timeout_s):
@@ -180,6 +194,8 @@ def _drain_to_parquet_sink(
         raise TimeoutError(f"stream sink '{path}' still running after {timeout_s}s")
     if metrics is not None:
         metrics.update(capture_state_metrics(q))
+        if crash_info is not None:
+            metrics["crash"] = crash_info
 
 
 def capture_state_metrics(q: StreamingQuery) -> dict:
@@ -779,6 +795,78 @@ def write_flush_epoch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch")
         .parquet(data_dir)
+    )
+
+
+def write_keyed_flush_epoch(
+    spark: SparkSession,
+    data_dir: str,
+    key_col: str,
+    flush_col: str = "is_flush",
+) -> None:
+    """Append ONE flush row per distinct key (``flush_col`` = true) in a
+    reserved final epoch partition — the explicit per-key sweep
+    ``stateful_proc_window_count_legacy`` consumes to close each key's
+    open processing-time window on a finite replay (write_flush_epoch's
+    watermark sentinel can't serve here: proc-time state has no
+    watermark, and a legacy-API timeout only fires if yet another batch
+    arrives). Idempotent per dir: the reserved partition is overwritten.
+    Written AFTER the data epochs, so the file source's
+    modification-time ordering replays it last."""
+    base = spark.read.parquet(data_dir)
+    flush = (
+        base.where(~F.col(flush_col))
+        .dropDuplicates([key_col])
+        .withColumn(flush_col, F.lit(True))
+        .withColumn("epoch", F.lit(999_999).cast("long"))
+    )
+    (
+        flush.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(data_dir)
+    )
+
+
+def run_nexmark_q12_proc_stream(
+    spark: SparkSession,
+    bids_path: str,
+    *,
+    checkpoint: str,
+    window_s: int = 1,
+    files_per_trigger: int = 1,
+    timeout_s: int = 300,
+    result_path: str | None = None,
+    metrics: dict | None = None,
+    crash_after_s: float | None = None,
+) -> DataFrame:
+    """NEXMark q12 end-to-end as a stream on the LEGACY stateful API:
+    replay → stateful_proc_window_count_legacy → append-mode parquet
+    sink. The replay dir must carry an ``is_flush`` column and a
+    write_keyed_flush_epoch partition (the sweep that closes the tail
+    windows). Emitted windows are wall-clock-placed, so the checkable
+    contract is the partition invariant: per-key window counts sum to
+    the per-key input count — the degenerate lane's q12 cells pin
+    exactly that."""
+    stream = replay_stream(spark, bids_path, files_per_trigger=files_per_trigger)
+    if "epoch" in stream.columns:
+        stream = stream.drop("epoch")
+    res = stateful_proc_window_count_legacy(
+        stream, "bidder", window_s=window_s
+    ).select(
+        F.col("key").cast("long").alias("key"), "win_start_ms", "n"
+    )
+    out = result_path or f"{checkpoint}-out"
+    _drain_to_parquet_sink(
+        res,
+        checkpoint=checkpoint,
+        path=out,
+        timeout_s=timeout_s,
+        metrics=metrics,
+        crash_after_s=crash_after_s,
+    )
+    return _read_result_sink(
+        spark, out, "key BIGINT, win_start_ms BIGINT, n BIGINT"
     )
 
 
@@ -2238,6 +2326,100 @@ def stateful_anomaly(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_proc_window_count_legacy(
+    stream: DataFrame,
+    key_col: str,
+    window_s: int = 1,
+    flush_col: str = "is_flush",
+) -> DataFrame:
+    """NEXMark q12 — per-key PROCESSING-time tumbling counts — on the
+    LEGACY stateful API (``applyInPandasWithState``), runnable in
+    environments where ``transformWithStateInPandas`` can't start (its
+    Python worker needs google.protobuf — the r13 degenerate-lane skip
+    this runner closes). Same state machine as ProcWindowCount: per key
+    ONE open (win_start_ms, n) pair; a row landing in a LATER processing
+    window finalizes the old one eagerly.
+
+    Where ProcWindowCount closes idle windows with a processing-time
+    TIMER, this form closes them with per-key FLUSH rows (``flush_col``
+    = true): the legacy timeout only fires when a subsequent micro-batch
+    arrives, which an availableNow replay never guarantees, so the sweep
+    is made explicit data — the same role flock's wall-clock sweep plays
+    over its per-key window arena
+    (flock-function/src/aws/window/global.rs:161-307), and the same
+    sentinel pattern the event-time drains use (write_flush_epoch). A
+    flush row is never counted; it only finalizes the key's open window.
+
+    Window placement is wall-clock (state.getCurrentProcessingTimeMs —
+    the engine's own batch clock), so placement is non-deterministic by
+    nature; the checkable contract is q12's partition INVARIANT — every
+    real row lands in exactly ONE emitted window, so per-key emitted
+    counts sum to the per-key input count (the reference's own q12 check
+    is count-based for the same reason, SURVEY §2.11 B5).
+    """
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("win_start_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("win_start_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    win_ms = window_s * 1000
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        open_win, n = state.get if state.exists else (None, 0)
+        out: list[tuple] = []
+        flush = False
+        for pdf in batches:
+            n_flush = int(pdf[flush_col].sum())
+            flush = flush or n_flush > 0
+            n_real = len(pdf) - n_flush
+            if n_real:
+                cur = state.getCurrentProcessingTimeMs() // win_ms * win_ms
+                if open_win is not None and cur != open_win:
+                    out.append((key[0], int(open_win), int(n)))
+                    open_win, n = None, 0
+                if open_win is None:
+                    open_win = cur
+                n += n_real
+        if flush and open_win is not None:
+            out.append((key[0], int(open_win), int(n)))
+            open_win, n = None, 0
+        if open_win is None:
+            state.remove()
+        else:
+            state.update((int(open_win), int(n)))
+        yield pd.DataFrame(out, columns=["key", "win_start_ms", "n"])
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

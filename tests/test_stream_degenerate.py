@@ -68,6 +68,7 @@ def test_q11_append_skewed_stream_recovers_from_crash(spark, tmp_path):
     d = str(tmp_path / "bids")
     streaming.write_epoch_files(_epochify(bids, "b_date_time"), d)
 
+    metrics: dict = {}
     got = streaming.run_nexmark_q11_append_stream(
         spark,
         d,
@@ -75,8 +76,15 @@ def test_q11_append_skewed_stream_recovers_from_crash(spark, tmp_path):
         gap_s=3,
         delay="5 seconds",
         files_per_trigger=1,
-        crash_after_s=2,
+        crash_after_s=30,
+        metrics=metrics,
     ).collect()
+
+    # ADVICE r13: the injected stop must have interrupted an ACTIVE query
+    # — otherwise the "restart" replays nothing and the checkpoint-recovery
+    # path is silently untested (the pre-fix wall-clock sleep was vacuous
+    # on a fast host)
+    assert metrics["crash"]["interrupted_active"], metrics["crash"]
 
     b = bids.withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
     expected = (

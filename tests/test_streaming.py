@@ -2148,3 +2148,47 @@ def test_rocksdb_state_store_count_window(spark, tmp_path):
             spark.conf.unset(_STATE_STORE_KEY)
         else:
             spark.conf.set(_STATE_STORE_KEY, prev)
+
+
+def test_legacy_proc_window_count_invariant(spark, tmp_path):
+    """q12 on the LEGACY stateful API (applyInPandasWithState + per-key
+    flush sweep) — the runner that closes the r13 degenerate-lane skips
+    because it needs no protobuf. Window placement is wall-clock; the
+    pinned contract is the q12 partition invariant (per-key emitted
+    window counts sum exactly to per-key input counts) across an
+    empty-epoch replay, and every emitted window is non-empty."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from squirtle_spark import sources, streaming
+    from tools.stream_degenerate import _write_empty_epoch_file
+
+    bids = sources.nexmark_bids(spark, 200, 8).where(
+        F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 4 != 1
+    )
+    d = str(tmp_path / "bids")
+    streaming.write_epoch_files(
+        bids.withColumn("is_flush", F.lit(False)).withColumn(
+            "epoch",
+            F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 100000,
+        ),
+        d,
+    )
+    _write_empty_epoch_file(d)
+    streaming.write_keyed_flush_epoch(spark, d, "bidder")
+
+    res = streaming.run_nexmark_q12_proc_stream(
+        spark, d, checkpoint=str(tmp_path / "ck"), window_s=1, files_per_trigger=2
+    )
+    rows = res.collect()
+    assert rows and all(r["n"] >= 1 for r in rows)
+    got = sorted(
+        (int(r["key"]), int(r["total"]))
+        for r in res.groupBy("key").agg(F.sum("n").alias("total")).collect()
+    )
+    exp = sorted(
+        (int(r["bidder"]), int(r["count"]))
+        for r in bids.groupBy("bidder").count().collect()
+    )
+    assert got == exp

@@ -208,18 +208,23 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
     d, surv, _ = bids_for("single_key_skew")
 
     def q5_crash(d=d, surv=surv):
+        m: dict = {}
         got = streaming.run_nexmark_q5_stream(
             spark,
             d,
             checkpoint=ck("q5-crash"),
             files_per_trigger=1,
-            crash_after_s=3,
+            crash_after_s=30,
+            metrics=m,
         ).collect()
+        # ADVICE r13: a stop that landed on an already-terminated query
+        # tests nothing — fail the cell rather than pass vacuously
+        assert m["crash"]["interrupted_active"], f"vacuous crash: {m['crash']}"
         return got, q5_twin(surv).collect()
 
     record(
         "q5_hopping", "single_key_skew+crash", q5_crash,
-        note="mid-replay stop + restart from the same checkpoint; exactly-once via sink commit log",
+        note="mid-replay stop + restart from the same checkpoint; exactly-once via sink commit log; stop asserted to interrupt an ACTIVE query",
     )
 
     # ---- q7 tumbling max (B2)
@@ -256,6 +261,7 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
     d, surv, _ = bids_for("single_key_skew")
 
     def q11_crash(d=d, surv=surv):
+        m: dict = {}
         got = streaming.run_nexmark_q11_append_stream(
             spark,
             d,
@@ -263,13 +269,15 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
             gap_s=3,
             delay="5 seconds",
             files_per_trigger=1,
-            crash_after_s=3,
+            crash_after_s=30,
+            metrics=m,
         ).collect()
+        assert m["crash"]["interrupted_active"], f"vacuous crash: {m['crash']}"
         return got, q11_twin(surv).collect()
 
     record(
         "q11_session_append", "single_key_skew+crash", q11_crash,
-        note="session state recovers across the restart; one emit per closed session",
+        note="session state recovers across the restart; one emit per closed session; stop asserted to interrupt an ACTIVE query",
     )
 
     # ---- q8 stream-stream join (B3)
@@ -400,24 +408,73 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
             note="no watermark: all rows land, late ones into their old dt= partitions",
         )
 
-    # ---- q12 proc-time (B5): env-gated in this sandbox
-    try:
-        import google.protobuf  # noqa: F401
-
-        q12_skip = None
-    except ImportError:
-        q12_skip = (
-            "env-gated: transformWithStateInPandas needs google.protobuf "
-            "(absent; installs off-limits) — same gate as "
-            "tests/test_streaming.py::test_transform_with_state_proc_window_count"
-        )
-    for shape in ("empty_epoch", "all_late", "single_key_skew"):
-        if q12_skip:
-            cells.append(
-                {"runner": "q12_proc_time", "shape": shape, "passed": None, "skipped": q12_skip}
+    # ---- q12 proc-time (B5): runs on the LEGACY stateful API
+    # (stateful_proc_window_count_legacy + per-key flush sweep), which
+    # needs no protobuf — closing the r13 skips; the
+    # transformWithStateInPandas variant stays env-gated in pytest.
+    # Window placement is wall-clock, so the cell's value check is q12's
+    # partition INVARIANT: per-key emitted window counts sum to the
+    # per-key input count (the reference's own q12 check is count-based,
+    # SURVEY §2.11 B5).
+    def q12_fixture(shape):
+        bids = sources.nexmark_bids(spark, 200, 8)
+        if shape == "single_key_skew":
+            bids = bids.withColumn("auction", F.lit(7)).withColumn(
+                "bidder", F.lit(3)
             )
-    if q12_skip:
-        print(f"# q12_proc_time: skipped ({q12_skip})", file=sys.stderr)
+        elif shape == "empty_epoch":
+            bids = bids.where(
+                F.unix_timestamp(F.col("b_date_time").cast("timestamp")) % 4 != 1
+            )
+        elif shape == "all_late":
+            # proc-time windows ignore event time, so "late" can't drop
+            # rows — the cell feeds the same disordered union anyway and
+            # requires every row counted exactly once
+            adv = shift(
+                sources.nexmark_bids(spark, 200, 2, seed=7),
+                "b_date_time",
+                ["auction", "bidder"],
+            )
+            bids = bids.unionByName(adv)
+        d = os.path.join(base, f"q12-{shape}")
+        streaming.write_epoch_files(
+            epochify(bids.withColumn("is_flush", F.lit(False)), "b_date_time"), d
+        )
+        if shape == "empty_epoch":
+            _write_empty_epoch_file(d)
+        streaming.write_keyed_flush_epoch(spark, d, "bidder")
+        return d, bids
+
+    for shape in ("empty_epoch", "all_late", "single_key_skew"):
+
+        def q12_cell(shape=shape):
+            d, inp = q12_fixture(shape)
+            res = streaming.run_nexmark_q12_proc_stream(
+                spark,
+                d,
+                checkpoint=ck(f"q12-{shape}"),
+                window_s=1,
+                files_per_trigger=2,
+            )
+            emitted = res.collect()
+            assert all(r["n"] >= 1 for r in emitted), "empty window emitted"
+            got = sorted(
+                (int(r["key"]), int(r["total"]))
+                for r in res.groupBy("key")
+                .agg(F.sum("n").alias("total"))
+                .collect()
+            )
+            exp = sorted(
+                (int(r["bidder"]), int(r["count"]))
+                for r in inp.groupBy("bidder").count().collect()
+            )
+            return got, exp
+
+        record(
+            "q12_proc_time", shape, q12_cell,
+            note="legacy stateful API (applyInPandasWithState) + per-key flush sweep; "
+            "value check = partition invariant (per-key window counts sum to input)",
+        )
 
     ran = [c for c in cells if c.get("passed") is not None]
     art = {
