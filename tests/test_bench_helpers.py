@@ -286,3 +286,61 @@ def test_stress_noise_watch_carries_baseline_and_catches_launder():
         12, prev_record(10.3, 3.0), {"x": stats(10.2, 0.02)}, changed={}
     )
     assert "x" not in d["beyond_tolerance"]
+
+
+def test_stress_watch_rebases_artifact_baselines():
+    """VERDICT r13 #4: the q5_full/q11_session watch carried r11 baseline
+    walls the r13 interleaved A/B proved unreproducible even by r11 code
+    (fast-window artifact) — a watch that could never close. The watch
+    must adjudicate against the A/B-certified band (STRESS_BASELINE_REBASE)
+    and record that it did."""
+    prev = {
+        "q5_full_wall_sec": 4.652,
+        "drift": {
+            "beyond_tolerance": {
+                "q5_full": {
+                    "class": "noise-sustained",
+                    "delta_pct": 5.4,
+                    "prev_round": 12,
+                    "prev_wall_sec": 4.415,
+                    "baseline_round": 11,
+                    "baseline_wall_sec": 3.489,  # the artifact record
+                    "baseline_delta_pct": 33.3,
+                }
+            }
+        },
+    }
+    stats = {
+        "q5_full": {
+            "n_samples": 3,
+            "samples_sec": [4.6, 4.62, 4.65],
+            "min_sec": 4.6,
+            "max_sec": 4.65,
+            "dirty": False,
+            "canary_rel_spread": 0.02,
+        }
+    }
+    d = bench._classify_stress_drift(13, prev, stats, changed={})
+    row = d["beyond_tolerance"]["q5_full"]
+    # vs the rebased 4.05s band, 4.6 is +13.6% — inside tolerance: the
+    # watch finally closes instead of renewing against the dead 3.489
+    assert row["baseline_round"] == 13
+    assert row["baseline_wall_sec"] == 4.05
+    assert row["class"] == "noise-reverted"
+    assert "AB_ADJUDICATION_r13" in row["baseline_rebased"]
+
+    # a lane NOT in the rebase map keeps its carried baseline
+    prev2 = {
+        "other_wall_sec": 4.652,
+        "drift": {
+            "beyond_tolerance": {
+                "other": dict(
+                    prev["drift"]["beyond_tolerance"]["q5_full"]
+                )
+            }
+        },
+    }
+    stats2 = {"other": dict(stats["q5_full"])}
+    d2 = bench._classify_stress_drift(13, prev2, stats2, changed={})
+    row2 = d2["beyond_tolerance"]["other"]
+    assert row2["baseline_round"] == 11 and "baseline_rebased" not in row2
