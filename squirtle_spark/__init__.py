@@ -16,4 +16,6 @@ Layout:
 
 from .session import get_spark
 
-__all__ = ["get_spark"]
+__version__ = "0.14.0"  # minor tracks the build round
+
+__all__ = ["get_spark", "__version__"]
