@@ -58,16 +58,32 @@ def evidence_history(repo_root: str | Path | None = None) -> dict[str, int]:
     return latest
 
 
+#: Driver budget size (the driver truncates queries() after this many).
+BUDGET = 50
+#: A pin-tail entry whose last driver row is at least this many rounds
+#: old takes ONE budget slot this round (VERDICT r13 #6): pin-tail rows
+#: can only prove rows>0, so they must never displace an oracle-bearing
+#: re-check in the steady state — but a decade of rounds without ANY
+#: driver row leaves no independent confirmation that the engine-native
+#: path still runs under the driver harness. One slot per round, oldest
+#: first, only while stale: cheap insurance, bounded displacement.
+TAIL_REFRESH_STALENESS = 5
+
+
 def budget_order(
     names: list[str],
     history: dict[str, int],
     pin_head: list[str] = (),
     pin_tail: list[str] = (),
+    current_round: int | None = None,
 ) -> list[str]:
     """Order ``names`` per the evidence-allocation policy (see module doc).
 
     Sorting is stable on registration order within each class, so the
-    result is deterministic for a fixed registry + artifact set.
+    result is deterministic for a fixed registry + artifact set. With
+    ``current_round`` given, the stalest pin-tail entry ≥
+    TAIL_REFRESH_STALENESS rounds old is promoted into the LAST budget
+    slot (one per round — see TAIL_REFRESH_STALENESS).
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     # dedup pins (order-preserving): a repeated pin would otherwise emit
@@ -81,4 +97,15 @@ def budget_order(
     rest = [n for n in names if n not in head and n not in tail]
     # never-checked → round 0, which sorts before every real round
     rest.sort(key=lambda n: (history.get(n, 0), reg_pos[n]))
-    return head + rest + tail
+    order = head + rest + tail
+    if current_round is not None:
+        stale = [
+            n
+            for n in tail
+            if current_round - history.get(n, 0) >= TAIL_REFRESH_STALENESS
+        ]
+        if stale:
+            pick = min(stale, key=lambda n: (history.get(n, 0), reg_pos[n]))
+            order.remove(pick)
+            order.insert(min(BUDGET - 1, len(order)), pick)
+    return order

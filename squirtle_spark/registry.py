@@ -179,11 +179,20 @@ def load_all() -> dict[str, Query]:
     for pins in (_PIN_HEAD, _PIN_TAIL):
         missing = [n for n in pins if n not in QUERIES]
         assert not missing, f"pins name unknown queries: {missing}"
+    hist = _budget.evidence_history()
     order = _budget.budget_order(
         list(QUERIES),
-        _budget.evidence_history(),
+        hist,
         pin_head=_PIN_HEAD,
         pin_tail=_PIN_TAIL,
+        # pin-tail refresh policy (VERDICT r13 #6): pin-tail entries are
+        # rows-only by nature and normally never spend budget, but the
+        # stalest one takes ONE slot per round once its last driver row
+        # is >= budget.TAIL_REFRESH_STALENESS rounds old — a periodic
+        # rows>0 re-confirmation that the engine-native paths still run
+        # under the driver harness, without displacing more than one
+        # oracle-bearing re-check per round.
+        current_round=max(hist.values(), default=0) + 1,
     )
     ordered = {n: QUERIES[n] for n in order}
     assert len(ordered) == len(QUERIES)
