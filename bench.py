@@ -1092,6 +1092,26 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "dedup_incremental_minhash": (
+        "VERDICT r13's +17% driver-run delta adjudicated r14 "
+        "(AB_ADJUDICATION_r14.json): query SQL, matview pipeline and "
+        "v3/v4 plan fingerprints identical r12->r14; a 7-round "
+        "interleaved deep-warm fresh-session A/B with position and "
+        "zip-ship controls pools to +0.8% (round scatter +/-20-30%), "
+        "and neither side reproduces the driver's 0.523s wall in "
+        "isolation. Class: suite-context/environment, no code delta - "
+        "the same mechanism AB_ADJUDICATION_r13 pinned for nexmark_q4."
+    ),
+    "r14 IVF-PQ probe routing (ann_ivfpq_topk)": (
+        "INTENTIONAL r14 plan change (commit d82fc4e): probe routing "
+        "moved driver-side against the cached centroid table (bit-equal "
+        "to the distributed SQL form, parity-tested) and the "
+        "query-batch-bounded probes/LUT sides carry BROADCAST hints, "
+        "removing the two stat-less SortMergeJoins. 1.08 -> 0.645s at "
+        "sf0.1. Any r14 'plan-change' drift row on ann_ivfpq_topk is "
+        "this fix; values unchanged (routed == distributed == oracle, "
+        "tests/test_similarity.py)."
+    ),
     "r12 degenerate-probe fixes (ann_cosine_topk, ann_sq8_topk, decontaminate_embedding[_bucketed])": (
         "Four benched queries carry INTENTIONAL r12 plan changes from "
         "the degenerate-fixture probe: every cosine-ranking vector "
