@@ -1102,15 +1102,28 @@ _ADJUDICATIONS: dict[str, str] = {
         "isolation. Class: suite-context/environment, no code delta - "
         "the same mechanism AB_ADJUDICATION_r13 pinned for nexmark_q4."
     ),
-    "r14 IVF-PQ probe routing (ann_ivfpq_topk)": (
+    "r14 IVF-PQ probe routing (ann_ivfpq_topk, ann_pq_topk)": (
         "INTENTIONAL r14 plan change (commit d82fc4e): probe routing "
         "moved driver-side against the cached centroid table (bit-equal "
         "to the distributed SQL form, parity-tested) and the "
         "query-batch-bounded probes/LUT sides carry BROADCAST hints, "
         "removing the two stat-less SortMergeJoins. 1.08 -> 0.645s at "
-        "sf0.1. Any r14 'plan-change' drift row on ann_ivfpq_topk is "
-        "this fix; values unchanged (routed == distributed == oracle, "
+        "sf0.1 (pq 0.58 -> 0.54: the hints live in the shared _ann_pq "
+        "generator, so ann_pq_topk's fingerprint moved too). Any r14 "
+        "'plan-change' drift row on these two is this fix; values "
+        "unchanged (routed == distributed == oracle, "
         "tests/test_similarity.py)."
+    ),
+    "dedup_spans": (
+        "r14's regressed-same-plan row (+25.3%, 0.573 -> 0.718, v4 "
+        "fingerprint identical, source untouched r13->r14) adjudicated "
+        "same-day (AB_ADJUDICATION_r14.json question_2): interleaved "
+        "deep-warm A/B vs the r13 tree pools to +3.2% with the sign "
+        "flipping per round, and BOTH trees run 0.63-0.68 isolated "
+        "against the r13-recorded 0.573 - a uniform host-day elevation, "
+        "the same weather that had the builder's first unsettled r14 "
+        "run convicting four queries its settled re-run acquitted. "
+        "Environment-of-day; the auto-watch stays armed."
     ),
     "r12 degenerate-probe fixes (ann_cosine_topk, ann_sq8_topk, decontaminate_embedding[_bucketed])": (
         "Four benched queries carry INTENTIONAL r12 plan changes from "
