@@ -344,3 +344,19 @@ def test_stress_watch_rebases_artifact_baselines():
     d2 = bench._classify_stress_drift(13, prev2, stats2, changed={})
     row2 = d2["beyond_tolerance"]["other"]
     assert row2["baseline_round"] == 11 and "baseline_rebased" not in row2
+
+
+def test_host_load_stamp_reads_proc_loadavg():
+    """_host_load reads real /proc/loadavg and applies the settled-host
+    thresholds the measurement discipline documents (1m < 0.3, 5m < 0.5)
+    — the stamp that makes an unsettled record machine-visible instead
+    of letting it masquerade as a quiet one (r14: the first bench run at
+    5-min load 0.84 convicted four queries the settled re-run acquitted).
+    """
+    h = bench._host_load()
+    assert h is not None  # CI runs on Linux
+    assert set(h) == {"load_1m", "load_5m", "settled"}
+    assert h["load_1m"] >= 0.0 and h["load_5m"] >= 0.0
+    assert h["settled"] == (
+        h["load_1m"] < bench._SETTLED_1M and h["load_5m"] < bench._SETTLED_5M
+    )
