@@ -419,11 +419,8 @@ def main() -> None:
     if "--stress" in sys.argv:
         stress = _stress_bench(spark)
         stress["host_load"] = {"start": load_start, "end": _host_load()}
-        stress["host_settled"] = bool(
-            load_start
-            and load_start["settled"]
-            and (stress["host_load"]["end"] or {}).get("settled")
-        )
+        # start-reading verdict only — see the headline stamp's comment
+        stress["host_settled"] = bool(load_start and load_start["settled"])
         # Same bounded-stdout discipline as the headline line: the
         # stress payload crossed 1,600 chars when the 30x ANN point
         # landed, and one more lane would overflow a 2,000-char tail
@@ -645,11 +642,11 @@ def main() -> None:
         "streaming": streaming_stats,
         "host_load": {"start": load_start, "end": _host_load()},
     }
-    detail["host_settled"] = bool(
-        load_start
-        and load_start["settled"]
-        and (detail["host_load"]["end"] or {}).get("settled")
-    )
+    # Verdict keys on the START reading only: the end reading always
+    # shows the benchmark's own 32-thread load (measured: end 1m=5.08
+    # after a quiet-start run) and is recorded for forensics, not
+    # judged — what the stamp must catch is OTHER work at launch.
+    detail["host_settled"] = bool(load_start and load_start["settled"])
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
