@@ -1172,6 +1172,16 @@ _ADJUDICATIONS: dict[str, str] = {
         "run convicting four queries its settled re-run acquitted. "
         "Environment-of-day; the auto-watch stays armed."
     ),
+    "tpch_q9 / dq_profile (r14 stamped-record rows)": (
+        "Both regressed-same-plan rows in the committed r14 record "
+        "adjudicated same-day (AB_ADJUDICATION_r14.json question_3): "
+        "interleaved deep-warm A/B vs the r13 tree pools tpch_q9 to "
+        "+4.0% (neither tree reproduces the 0.296 baseline in "
+        "isolation; both run 0.33-0.36 on the day) and dq_profile to "
+        "-1.1% (its FOURTH consecutive suite-context adjudication - "
+        "the two COUNT(DISTINCT) Expands make it the suite's most "
+        "context-sensitive wall). Environment; watches stay armed."
+    ),
     "r12 degenerate-probe fixes (ann_cosine_topk, ann_sq8_topk, decontaminate_embedding[_bucketed])": (
         "Four benched queries carry INTENTIONAL r12 plan changes from "
         "the degenerate-fixture probe: every cosine-ranking vector "
