@@ -360,3 +360,84 @@ def test_host_load_stamp_reads_proc_loadavg():
     assert h["settled"] == (
         h["load_1m"] < bench._SETTLED_1M and h["load_5m"] < bench._SETTLED_5M
     )
+
+
+def test_settle_gate_settled_start_no_wait():
+    """A settled start passes through instantly with the gate stamped
+    settled-at-start (VERDICT r14 #1: the gate exists so driver-run
+    records are settled by construction, not by luck)."""
+    load = {"load_1m": 0.0, "load_5m": 0.1, "settled": True}
+    out, stamp = bench._settle_gate(load)
+    assert out is load
+    assert stamp == {"waited_s": 0, "outcome": "settled-at-start"}
+
+
+def test_settle_gate_times_out_with_honest_stamp(monkeypatch):
+    """An unsettled host that never quiets inside the bound proceeds —
+    the gate must not hang the driver — but stamps wait-timeout so the
+    record can't masquerade as quiet."""
+    monkeypatch.setenv("SPARK_GRAFT_SETTLE_WAIT_S", "0.05")
+    monkeypatch.setattr(bench, "_SETTLE_POLL_S", 0.01)
+    busy = {"load_1m": 9.0, "load_5m": 9.0, "settled": False}
+    monkeypatch.setattr(bench, "_host_load", lambda: dict(busy))
+    out, stamp = bench._settle_gate(dict(busy))
+    assert out["settled"] is False
+    assert stamp["outcome"] == "wait-timeout"
+    assert stamp["waited_s"] >= 0.05
+
+
+def test_settle_gate_returns_when_host_quiets(monkeypatch):
+    """The gate polls and returns the first settled reading."""
+    monkeypatch.setenv("SPARK_GRAFT_SETTLE_WAIT_S", "5")
+    monkeypatch.setattr(bench, "_SETTLE_POLL_S", 0.01)
+    readings = iter(
+        [
+            {"load_1m": 2.0, "load_5m": 1.0, "settled": False},
+            {"load_1m": 0.1, "load_5m": 0.2, "settled": True},
+        ]
+    )
+    monkeypatch.setattr(bench, "_host_load", lambda: next(readings))
+    busy = {"load_1m": 3.0, "load_5m": 2.0, "settled": False}
+    out, stamp = bench._settle_gate(busy)
+    assert out["settled"] is True
+    assert stamp["outcome"] == "settled-after-wait"
+
+
+def test_settle_gate_disabled_and_unavailable(monkeypatch):
+    """SPARK_GRAFT_NO_SETTLE_WAIT=1 skips the wait (CI); a None load
+    (off-Linux) is stamped load-unavailable, never waited on."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_SETTLE_WAIT", "1")
+    busy = {"load_1m": 9.0, "load_5m": 9.0, "settled": False}
+    out, stamp = bench._settle_gate(dict(busy))
+    assert stamp["outcome"] == "disabled" and out["settled"] is False
+    monkeypatch.delenv("SPARK_GRAFT_NO_SETTLE_WAIT")
+    out, stamp = bench._settle_gate(None)
+    assert out is None and stamp["outcome"] == "load-unavailable"
+
+
+def test_settled_verdict_distinguishes_unknown_from_unsettled():
+    """host_settled must be None (unknown) when /proc/loadavg was
+    unavailable, not False — ADVICE r14: a valid record taken on a
+    non-Linux host must not be permanently classed as suspect."""
+    assert bench._settled_verdict(None) is None
+    assert (
+        bench._settled_verdict({"load_1m": 0.0, "load_5m": 0.0, "settled": True})
+        is True
+    )
+    assert (
+        bench._settled_verdict({"load_1m": 9.0, "load_5m": 9.0, "settled": False})
+        is False
+    )
+
+
+def test_round_flag_rejects_missing_or_bad_value(monkeypatch):
+    """--round with no value or a non-integer exits with a usable error
+    message instead of a bare IndexError/ValueError (ADVICE r14)."""
+    import pytest
+
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--round"])
+    with pytest.raises(SystemExit, match="--round requires an integer"):
+        bench._round_number()
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--round", "abc"])
+    with pytest.raises(SystemExit, match="--round requires an integer"):
+        bench._round_number()
