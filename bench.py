@@ -1215,6 +1215,21 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "r15 partsupp supplier-count spread (tpch_q2, tpch_q9, tpch_q11, "
+    "tpch_q16, tpch_q20)": (
+        "INTENTIONAL r15 fixture-bridge change (VERDICT r14 #2): the "
+        "partsupp derived view's supplier modulus was hard-coded at 100 "
+        "(sf0.01's supplier count), so sf0.1 partsupp referenced only "
+        "10% of suppliers and tpch_q20's NATION_7 semi-join executed as "
+        "an AQE EmptyRelation at bench scale. The modulus now comes "
+        "from the supplier table's row count (TPC-H's own "
+        "(partkey + i*(S/4)) % S spread), baked as a literal at "
+        "register_all time. q20 sf0.1 now returns 4 rows and its bench "
+        "wall measures the real nested-IN semi-join chain, not "
+        "empty-relation propagation - expect q20 slower than r14's "
+        "0.445s artifact and value-level changes (not plan-shape "
+        "changes) in the other partsupp consumers."
+    ),
     "dedup_incremental_minhash": (
         "VERDICT r13's +17% driver-run delta adjudicated r14 "
         "(AB_ADJUDICATION_r14.json): query SQL, matview pipeline and "

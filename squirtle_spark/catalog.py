@@ -190,12 +190,30 @@ FROM {dl.series_0_to(1000, 'k', d)} s
 def _partsupp_sql(d: str) -> str:
     """TPC-H partsupp derived from part × 4 suppliers with closed-form
     costs (the fixtures ship no partsupp table; flock ships the full TPC-H
-    schema incl. partsupp, flock/src/datasource/tpch/mod.rs:24-29). The
-    offsets 0/25/50/75 make each part's 4 suppliers distinct mod 100 —
-    mirroring TPC-H's own (partkey + i·(S/4)) % S supplier spread."""
+    schema incl. partsupp, flock/src/datasource/tpch/mod.rs:24-29),
+    spread over ALL suppliers via TPC-H's own (partkey + i·(S/4)) % S
+    rule with S read from the supplier table itself. The pre-r15 form
+    hard-coded S=100 (sf0.01's supplier count), so at sf0.1 partsupp
+    referenced only 10% of suppliers — which emptied tpch_q20's
+    NATION_7 semi-join at bench scale (VERDICT r14 #2) and would shrink
+    to 1% coverage at sf1. S is dialect-split: the DuckDB oracle form
+    stays a self-contained scalar subquery (the driver runs oracle SQL
+    standalone at whatever sf its views hold), while the Spark form
+    carries a ``__S_CNT__`` placeholder that register_all resolves to a
+    literal from ONE dim-table count at view-registration time — an
+    inline COUNT in the Spark view body would add a supplier scan + a
+    single-partition exchange to every partsupp consumer's plan, and a
+    scalar subquery inlined into q20's correlated threshold position
+    trips Spark's 'Subquery has not finished' limitation. The spread
+    S/4+1 keeps each part's 4 suppliers distinct mod S for any S ≥ 4."""
+    if d == SPARK:
+        s_cnt, spread = "__S_CNT__", "__S_SPREAD__"
+    else:
+        s_cnt = "(SELECT COUNT(*) FROM supplier)"
+        spread = f"({dl.intdiv(s_cnt, '4', d)} + 1)"
     return f"""
 SELECT p_partkey AS ps_partkey,
-       CAST((p_partkey + k * 25) % 100 AS BIGINT) AS ps_suppkey,
+       CAST((p_partkey + k * {spread}) % {s_cnt} AS BIGINT) AS ps_suppkey,
        CAST(1 + (p_partkey * 37 + k * 19) % 9999 AS INT) AS ps_availqty,
        (CAST((p_partkey * 53 + k * 11) % 90000 AS DOUBLE) / 100 + 10.0) AS ps_supplycost
 FROM part {dl.lateral_series(4, 'k', d)}
@@ -251,8 +269,18 @@ def register_all(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     configure(spark)
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # One dim-table count per registration, baked into partsupp's spread
+    # as literals (see _partsupp_sql for why not an inline subquery).
+    s_cnt = None
     for name, sql_fn in DERIVED_VIEWS.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql_fn(SPARK)}")
+        body = sql_fn(SPARK)
+        if "__S_CNT__" in body:
+            if s_cnt is None:
+                s_cnt = spark.table("supplier").count()
+            body = body.replace("__S_CNT__", str(s_cnt)).replace(
+                "__S_SPREAD__", str(s_cnt // 4 + 1)
+            )
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     _REGISTERED[key] = sf_dir
 
 

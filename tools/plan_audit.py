@@ -92,7 +92,22 @@ def main() -> None:
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
         if "*(" not in executed and "WholeStageCodegen" not in executed:
-            problems.append(f"{name}: no whole-stage codegen span in executed plan")
+            # Distinguish the benign AQE artifact from a real codegen miss:
+            # when a query legitimately returns 0 rows at audit SF, AQE
+            # collapses the executed plan to LocalTableScan/EmptyRelation
+            # and no codegen span can exist (r14: tpch_q20's then-empty
+            # sf0.1 fixture was mis-reported as a codegen miss here).
+            if "EmptyRelation" in executed or (
+                "LocalTableScan" in executed and df.count() == 0
+            ):
+                print(
+                    f"note: {name} executed as AQE EmptyRelation "
+                    "(0 rows at audit SF) - codegen check not applicable"
+                )
+            else:
+                problems.append(
+                    f"{name}: no whole-stage codegen span in executed plan"
+                )
         if "PushedFilters: [" in plan and "PushedFilters: []" in plan and "Filter (" in plan:
             # informational: some filters (post-window/post-agg) can't push
             print(f"note: {name} has scans with empty PushedFilters")
