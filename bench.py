@@ -2073,6 +2073,26 @@ def _stress_bench(spark, events_per_sec: int = 10_000, seconds: int = 60) -> dic
             "ann_ivfpq_scaled_30x_wall_sec": round(wall_ivfpq30s, 3),
             "ann_ivfpq_30x_cells_probe": [256, 64],
             "ann_ivfpq_30x_recall_vs_pq": round(recall30, 4),
+            # ann_ivfpq_auto resolves geometry from the corpus count
+            # (similarity.auto_ivf_geometry, VERDICT r14 #3); at both
+            # stress corpora it lands on the hand-tuned geometry
+            # EXACTLY, so the scaled walls/recalls above ARE the auto
+            # entry's numbers — recorded so the equivalence is an
+            # artifact-checkable fact, not a docstring claim.
+            "ann_ivfpq_auto_geometry_10x": list(
+                similarity.auto_ivf_geometry(n_emb10 - similarity.N_QUERIES)
+            ),
+            "ann_ivfpq_auto_geometry_30x": list(
+                similarity.auto_ivf_geometry(n_emb30 - similarity.N_QUERIES)
+            ),
+            "ann_ivfpq_auto_matches_hand_tuned": (
+                similarity.auto_ivf_geometry(n_emb10 - similarity.N_QUERIES)
+                == (128, 32)
+                and similarity.auto_ivf_geometry(
+                    n_emb30 - similarity.N_QUERIES
+                )
+                == (256, 64)
+            ),
             "lane_samples": lane_stats,
             "canary": canary.stats(0),
             "state_operators": state_metrics,

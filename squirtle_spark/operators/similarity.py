@@ -332,6 +332,32 @@ register_df(
 N_CELLS = 16  # IVF coarse cells; at scale ~sqrt(|corpus|), kmeans-trained
 N_PROBE = 8  # cells scanned per query (recall/scan-fraction knob)
 
+#: Corpus size below which IVF pruning is disabled (probe = all cells):
+#: with sample-based centroids and probe = cells/4, measured recall_vs_pq
+#: at r15 was 0.32 (N=490) and 0.58 (N=1990) — IVF pruning only clears
+#: the 0.9 recall floor once cells are dense enough (0.94 at N=19,900
+#: with 128/32; 1.0 at N=59,700 with 256/64). Matches FAISS guidance
+#: that IVF indexes want >= ~10^4 vectors; below that a full ADC scan is
+#: both cheap and exact, so the auto rule degrades to it honestly.
+N_IVF_MIN = 10_000
+
+
+def auto_ivf_geometry(n_corpus: int) -> tuple[int, int]:
+    """(n_cells, n_probe) derived from the corpus row count (VERDICT r14
+    #3): cells = 2^round(log2(sqrt(N))) — the centroid table stays
+    O(sqrt(corpus)), the bound the r14 coordinator probe routing is
+    built around — and probe = cells/4 (~25% scan fraction) once the
+    corpus clears N_IVF_MIN; smaller corpora probe every cell (exact
+    full-corpus ADC, recall 1.0 by construction). Reproduces the
+    hand-tuned stress geometries exactly: N=19,990 -> (128, 32),
+    N=59,990 -> (256, 64)."""
+    import math
+
+    cells = max(4, 2 ** round(math.log2(max(4.0, math.sqrt(n_corpus)))))
+    if n_corpus < N_IVF_MIN:
+        return cells, cells
+    return cells, max(1, cells // 4)
+
 
 def _ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the partition-pruned scale path.
@@ -1541,6 +1567,40 @@ register_df(
     "join strategy, not geometry; the scaled stress lane keeps 128/32 "
     "where its corpus is big enough to feed 128 cells.",
     bench=True,
+)
+
+
+def _ann_ivfpq_auto_spark(spark, sf_dir) -> DataFrame:
+    _catalog.register_all(spark, sf_dir)
+    n = (
+        spark.table("embeddings")
+        .where(F.col("vec_id") >= N_QUERIES)
+        .count()
+    )
+    cells, probe = auto_ivf_geometry(n)
+    return ann_ivfpq_topk_at(spark, sf_dir, n_cells=cells, n_probe=probe)
+
+
+register_df(
+    "ann_ivfpq_auto",
+    _ann_ivfpq_auto_spark,
+    # The fixture corpus (sf0.01: 490 vectors) is below N_IVF_MIN, so
+    # auto_ivf_geometry resolves to (16, 16) — probe-all, exact ADC —
+    # and the static oracle replays exactly that geometry. The driver's
+    # correctness gate runs at sf0.01 by contract; at bench/stress scale
+    # only walls are compared, so the runtime-derived geometry cannot
+    # diverge from an oracle there.
+    oracle_body=_ann_pq(dl.DUCK, ivf=True, n_cells=16, n_probe=16),
+    doc="IVF-PQ ANN top-k with corpus-derived geometry (VERDICT r14 #3): "
+    "cells = 2^round(log2(sqrt(N))) keeps the centroid table at the "
+    "O(sqrt(corpus)) bound the coordinator probe routing assumes, probe "
+    "= cells/4 above N_IVF_MIN (reproducing the hand-tuned 128/32 and "
+    "256/64 stress geometries exactly), and small corpora probe every "
+    "cell — measured r15: pruned probing at N <= 2k reads recall_vs_pq "
+    "0.32-0.58, far under the 0.9 floor, so the honest small-N answer "
+    "is the exact full-ADC scan. The registered ann_ivfpq_topk keeps "
+    "its fixed oracle-replayed defaults; this twin is the "
+    "no-knobs-to-tune entry a pipeline points at a growing corpus.",
 )
 
 

@@ -384,3 +384,43 @@ def test_decontaminate_bucketed_matches_broadcast_and_plans_no_cross(
     b = sorted(map(key, bucketed.collect()))
     assert a, "fixture threshold should flag a non-empty set"
     assert a == b  # recall 1.0 at the fixture working point
+
+
+def test_auto_ivf_geometry_rule():
+    """The corpus-derived geometry reproduces the hand-tuned stress
+    points exactly and degrades to probe-all below N_IVF_MIN (VERDICT
+    r14 #3): pruned probing at fixture scale measured recall_vs_pq
+    0.32-0.58, far under the 0.9 floor."""
+    from squirtle_spark.operators.similarity import (
+        N_IVF_MIN,
+        auto_ivf_geometry,
+    )
+
+    assert auto_ivf_geometry(19_990) == (128, 32)  # 10x stress corpus
+    assert auto_ivf_geometry(59_990) == (256, 64)  # 30x stress corpus
+    assert auto_ivf_geometry(490) == (16, 16)  # sf0.01: probe-all
+    assert auto_ivf_geometry(1_990) == (32, 32)  # sf0.1: probe-all
+    # boundary: pruning switches on exactly at N_IVF_MIN
+    cells_at_min, probe_at_min = auto_ivf_geometry(N_IVF_MIN)
+    assert probe_at_min == cells_at_min // 4
+    cells_below, probe_below = auto_ivf_geometry(N_IVF_MIN - 1)
+    assert probe_below == cells_below
+    # centroid table stays O(sqrt(corpus)) at any scale
+    cells_1b, _ = auto_ivf_geometry(1_000_000_000)
+    assert cells_1b == 32_768
+
+
+def test_ann_ivfpq_auto_recall_floor(spark, sf_dir):
+    """The auto twin must hold recall_vs_pq >= 0.9 at fixture scale. At
+    sub-N_IVF_MIN corpora it probes every cell, so the result is the
+    exact full-ADC ranking — recall 1.0 by construction; this pins the
+    floor so a future rule change that re-enables small-N pruning (the
+    0.32-0.58 recall class) fails loudly."""
+    qs = load_all()
+    pq = qs["ann_pq_topk"].spark_fn(spark, sf_dir).select("q_id", "c_id")
+    auto = qs["ann_ivfpq_auto"].spark_fn(spark, sf_dir).select("q_id", "c_id")
+    n_pq = pq.count()
+    overlap = pq.join(auto, ["q_id", "c_id"]).count()
+    assert n_pq > 0
+    assert overlap / n_pq >= 0.9
+    assert overlap == n_pq  # probe-all => exact, not just above-floor
