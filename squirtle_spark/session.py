@@ -208,6 +208,11 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         spark.conf.set(k, v)
     configure_state_store(spark)  # env-gated ($SPARK_GRAFT_STATE_STORE)
+    from . import streaming as _streaming  # lazy: avoids import cycle
+
+    # one-time state-pressure warning before the measured HDFSBacked
+    # capacity wall (SCALING.md; VERDICT r14 #7) — idempotent per session
+    _streaming.install_state_pressure_advisor(spark)
     _ship_package(spark)  # workers must import squirtle_spark from ANY cwd
     spark.sparkContext.setLogLevel("WARN")
     return spark

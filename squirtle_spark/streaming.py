@@ -180,9 +180,26 @@ def _drain_to_parquet_sink(
     q = start()
     crash_info: dict | None = None
     if crash_after_s is not None:
+        # The crash must land AFTER >= 1 committed micro-batch or the
+        # "recovery" restarts from an empty checkpoint and proves
+        # nothing. crash_after_s is the target delay, but the stop is
+        # GATED on recentProgress being non-empty — on a slow host the
+        # wait extends up to the drain timeout and then fails loudly
+        # instead of recording a vacuous batches_before_crash=0 crash
+        # (ADVICE r14).
         deadline = _time.time() + crash_after_s
         while _time.time() < deadline and q.isActive and not q.recentProgress:
             _time.sleep(0.05)
+        hard_deadline = _time.time() + timeout_s
+        while _time.time() < hard_deadline and q.isActive and not q.recentProgress:
+            _time.sleep(0.05)
+        if q.isActive and not q.recentProgress:
+            q.stop()
+            raise RuntimeError(
+                f"crash injection for '{path}': no micro-batch committed "
+                f"within {timeout_s}s past the {crash_after_s}s target - "
+                "cannot stage a meaningful recovery"
+            )
         crash_info = {
             "interrupted_active": bool(q.isActive),
             "batches_before_crash": len(q.recentProgress),
@@ -225,6 +242,122 @@ def capture_state_metrics(q: StreamingQuery) -> dict:
             cur["final_rows"] = rows
             cur["final_bytes"] = mem
     return {"state_operators": ops}
+
+
+#: Warn when HDFSBacked state crosses this fraction of the JVM heap.
+#: SCALING.md's measured rule: the in-heap provider DIES (executor OOM,
+#: not degradation) once state approaches ~half the heap (join state;
+#: session-heavy state hits the wall ~40% earlier at ~1.1 KB/open
+#: session), while RocksDB held 6.7x heap as compressed SSTs. 0.25
+#: leaves the operator margin to drain and switch providers at the next
+#: (re)start — provider choice is baked into a checkpoint's format, so
+#: the advisor must fire with room to spare, not at the wall.
+STATE_PRESSURE_WARN_FRACTION = 0.25
+
+#: Session ids that already got the one-time warning (the advisor is a
+#: nudge toward a config switch, not a per-batch alarm).
+_STATE_PRESSURE_WARNED: set[str] = set()
+
+#: Session ids with an installed advisor listener (idempotence guard —
+#: get_spark re-runs its session setup on every call).
+_STATE_PRESSURE_INSTALLED: dict[str, object] = {}
+
+
+def _executor_heap_bytes(spark: SparkSession) -> int:
+    """Heap budget a state store competes with: ``spark.executor.memory``
+    when configured (cluster), else the live JVM's max heap (local[*],
+    where executors share the driver JVM)."""
+    mem = None
+    try:
+        mem = spark.conf.get("spark.executor.memory")
+    except Exception:
+        pass
+    if mem:
+        m = re.fullmatch(r"(\d+)([kmgt]?)b?", mem.strip().lower())
+        if m:
+            mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            return int(m.group(1)) * mult[m.group(2)]
+    return int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+
+
+def install_state_pressure_advisor(
+    spark: SparkSession, warn_fraction: float = STATE_PRESSURE_WARN_FRACTION
+) -> None:
+    """Surface SCALING.md's state-store rule at runtime (VERDICT r14 #7).
+
+    Adds a StreamingQueryListener that, after each micro-batch, sums the
+    progress event's ``memoryUsedBytes`` across state operators and —
+    when the default in-heap (HDFSBacked) provider is active and the
+    total crosses ``warn_fraction`` of the executor heap — logs ONE
+    warning per session naming the ``$SPARK_GRAFT_STATE_STORE=rocksdb``
+    switch (``session.configure_state_store``). RocksDB sessions never
+    warn here: the same probe measured it holding 6.7x heap of logical
+    state as compressed SSTs. Flock makes the state backend a config
+    choice (flock/src/state/mod.rs:17-25); ours self-diagnoses when the
+    in-heap choice is approaching its measured death, BEFORE the wall —
+    provider choice is checkpoint-baked, so the operator needs the
+    warning while a drain-and-restart is still cheap."""
+    import logging
+
+    from pyspark.sql.streaming import listener as _listener_mod
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _STATE_PRESSURE_INSTALLED:
+        return
+    heap = _executor_heap_bytes(spark)
+    threshold = int(heap * warn_fraction)
+    log = logging.getLogger(__name__)
+
+    def _rocksdb_active() -> bool:
+        try:
+            cls = spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass", ""
+            )
+        except Exception:
+            return False
+        return "RocksDB" in (cls or "")
+
+    class _StatePressureListener(_listener_mod.StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            if app_id in _STATE_PRESSURE_WARNED or _rocksdb_active():
+                return
+            try:
+                used = sum(
+                    (so.memoryUsedBytes or 0)
+                    for so in (event.progress.stateOperators or [])
+                )
+            except Exception:
+                return
+            if used > threshold:
+                _STATE_PRESSURE_WARNED.add(app_id)
+                log.warning(
+                    "streaming state is %.1f MB = %.0f%% of the %.1f GB "
+                    "executor heap on the in-heap (HDFSBacked) provider, "
+                    "which dies (executor OOM) once state approaches "
+                    "~half the heap. Switch to RocksDB before the wall: "
+                    "set SPARK_GRAFT_STATE_STORE=rocksdb or call "
+                    "session.configure_state_store(spark, 'rocksdb') and "
+                    "restart the query from a fresh checkpoint "
+                    "(provider choice is baked into the checkpoint "
+                    "format). Measured: RocksDB held 6.7x heap of "
+                    "logical state as compressed SSTs (SCALING.md).",
+                    used / 2**20,
+                    100.0 * used / max(heap, 1),
+                    heap / 2**30,
+                )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    lst = _StatePressureListener()
+    spark.streams.addListener(lst)
+    _STATE_PRESSURE_INSTALLED[app_id] = lst
 
 
 def _read_result_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -85,6 +85,9 @@ def test_q11_append_skewed_stream_recovers_from_crash(spark, tmp_path):
     # path is silently untested (the pre-fix wall-clock sleep was vacuous
     # on a fast host)
     assert metrics["crash"]["interrupted_active"], metrics["crash"]
+    # ADVICE r14: the stop must land after >= 1 COMMITTED batch, or the
+    # restart adopts an empty checkpoint and the test proves nothing
+    assert metrics["crash"]["batches_before_crash"] >= 1, metrics["crash"]
 
     b = bids.withColumn("b_date_time", F.col("b_date_time").cast("timestamp"))
     expected = (

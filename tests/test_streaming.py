@@ -2192,3 +2192,101 @@ def test_legacy_proc_window_count_invariant(spark, tmp_path):
         for r in bids.groupBy("bidder").count().collect()
     )
     assert got == exp
+
+
+def test_state_pressure_advisor_warns_before_the_wall(spark, tmp_path, caplog):
+    """Driving state past the advisor's threshold logs the one-time
+    provider-switch warning (VERDICT r14 #7): SCALING.md's measured rule
+    — HDFSBacked dies past ~half-heap of state; RocksDB held 6.7x heap —
+    must surface at runtime, not only in a doc. Threshold forced to 0
+    here so fixture-scale state trips it; the warning must name the
+    $SPARK_GRAFT_STATE_STORE switch and fire exactly once per session."""
+    import logging
+
+    app_id = spark.sparkContext.applicationId
+    # the conftest session installed the default-threshold advisor;
+    # swap in a trip-on-anything one for this test, then restore
+    prev = streaming._STATE_PRESSURE_INSTALLED.pop(app_id, None)
+    if prev is not None:
+        spark.streams.removeListener(prev)
+    streaming._STATE_PRESSURE_WARNED.discard(app_id)
+    streaming.install_state_pressure_advisor(spark, warn_fraction=0.0)
+    try:
+        batch_df, stream = _replay_setup(spark, tmp_path)
+        result = streaming.tumbling_agg(
+            stream, "b_date_time", "auction", size="2 seconds"
+        )
+        with caplog.at_level(logging.WARNING, logger="squirtle_spark.streaming"):
+            streaming.run_available_now(
+                result,
+                checkpoint=str(tmp_path / "ckpt-pressure"),
+                mode="complete",
+            )
+            # listener delivery is async; poll briefly for the flag
+            import time as _t
+
+            for _ in range(100):
+                if app_id in streaming._STATE_PRESSURE_WARNED:
+                    break
+                _t.sleep(0.1)
+        assert app_id in streaming._STATE_PRESSURE_WARNED
+        warns = [
+            r
+            for r in caplog.records
+            if "SPARK_GRAFT_STATE_STORE" in r.getMessage()
+        ]
+        assert len(warns) == 1  # one-time, not per-batch
+        assert "rocksdb" in warns[0].getMessage().lower()
+    finally:
+        cur = streaming._STATE_PRESSURE_INSTALLED.pop(app_id, None)
+        if cur is not None:
+            spark.streams.removeListener(cur)
+        streaming._STATE_PRESSURE_WARNED.discard(app_id)
+        if prev is not None:
+            spark.streams.addListener(prev)
+            streaming._STATE_PRESSURE_INSTALLED[app_id] = prev
+
+
+def test_state_pressure_advisor_silent_on_rocksdb(spark):
+    """A RocksDB session must never warn: the probe measured it holding
+    6.7x heap of logical state — the advisor exists to steer AWAY from
+    the in-heap provider, not to nag the one that scales."""
+    from squirtle_spark import session as sess
+
+    app_id = spark.sparkContext.applicationId
+    prev_cls = None
+    try:
+        prev_cls = spark.conf.get(sess._STATE_STORE_KEY, None)
+    except Exception:
+        pass
+    prev = streaming._STATE_PRESSURE_INSTALLED.pop(app_id, None)
+    if prev is not None:
+        spark.streams.removeListener(prev)
+    streaming._STATE_PRESSURE_WARNED.discard(app_id)
+    try:
+        sess.configure_state_store(spark, "rocksdb")
+        streaming.install_state_pressure_advisor(spark, warn_fraction=0.0)
+        lst = streaming._STATE_PRESSURE_INSTALLED[app_id]
+
+        class _SO:
+            memoryUsedBytes = 10**12
+
+        class _Prog:
+            stateOperators = [_SO()]
+
+        class _Event:
+            progress = _Prog()
+
+        lst.onQueryProgress(_Event())
+        assert app_id not in streaming._STATE_PRESSURE_WARNED
+    finally:
+        cur = streaming._STATE_PRESSURE_INSTALLED.pop(app_id, None)
+        if cur is not None:
+            spark.streams.removeListener(cur)
+        if prev_cls:
+            spark.conf.set(sess._STATE_STORE_KEY, prev_cls)
+        else:
+            spark.conf.unset(sess._STATE_STORE_KEY)
+        if prev is not None:
+            spark.streams.addListener(prev)
+            streaming._STATE_PRESSURE_INSTALLED[app_id] = prev

@@ -220,6 +220,9 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
         # ADVICE r13: a stop that landed on an already-terminated query
         # tests nothing — fail the cell rather than pass vacuously
         assert m["crash"]["interrupted_active"], f"vacuous crash: {m['crash']}"
+        # ADVICE r14: and it must land after >= 1 COMMITTED batch, or
+        # recovery restarts from an empty checkpoint
+        assert m["crash"]["batches_before_crash"] >= 1, m["crash"]
         return got, q5_twin(surv).collect()
 
     record(
@@ -273,6 +276,9 @@ def main() -> None:  # noqa: C901 — a flat grid of independent cells
             metrics=m,
         ).collect()
         assert m["crash"]["interrupted_active"], f"vacuous crash: {m['crash']}"
+        # ADVICE r14: and it must land after >= 1 COMMITTED batch, or
+        # recovery restarts from an empty checkpoint
+        assert m["crash"]["batches_before_crash"] >= 1, m["crash"]
         return got, q11_twin(surv).collect()
 
     record(
