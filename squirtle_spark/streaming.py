@@ -359,6 +359,23 @@ def install_state_pressure_advisor(
     spark.streams.addListener(lst)
     _STATE_PRESSURE_INSTALLED[app_id] = lst
 
+    # Python listeners ride the py4j callback server; if the interpreter
+    # exits while progress events are still in flight, the JVM logs
+    # noisy 'Error while sending a command' stacks. Deregister at exit
+    # (atexit is LIFO, so this runs before py4j's own import-time
+    # shutdown hooks tear the gateway down).
+    import atexit
+
+    def _detach() -> None:
+        try:
+            if _STATE_PRESSURE_INSTALLED.get(app_id) is lst:
+                spark.streams.removeListener(lst)
+                _STATE_PRESSURE_INSTALLED.pop(app_id, None)
+        except Exception:
+            pass
+
+    atexit.register(_detach)
+
 
 def _read_result_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Lazily read an append-sink result dir. A drain that emitted zero
@@ -1127,34 +1144,57 @@ def run_nexmark_q4_stream(
     files_per_trigger: int = 15,
     timeout_s: int = 300,
     metrics: dict | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive :func:`nexmark_q4_stream` to completion over a bounded replay
     and fold the emitted per-(window, category) partials into the declared
     per-category average — the exact arithmetic the batch q4 performs,
     just distributed over watermark-finalized window partials. Appends a
     flush sentinel to both replay dirs first (see write_flush_epoch) so
-    every real window closes by drain time."""
+    every real window closes by drain time.
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for THIS
+    query's lifetime (restored after; the count is baked into the fresh
+    checkpoint at first batch). The chain holds SIX state stores per
+    partition — the symmetric hash join keeps 4 (left/right x keyToValue/
+    keyToNumValues in state format v2), plus one per windowed agg — and
+    each store pays a fixed per-commit cost per micro-batch on the
+    default in-heap provider, so state partitioning should track
+    PER-BATCH VOLUME, not total cores: r15 profiling measured the lane's
+    join commit time 17x lower (186s -> 11s summed) and the wall ~1.9x
+    faster at 8 partitions than at local[32]'s default 32, with
+    per-store state at bench scale under 500 rows. At 100 TB the same
+    knob turns the other way: size it so each store's state fits its
+    executor share."""
     for path, ts, keys in (
         (bids_path, "b_date_time", ["auction", "bidder"]),
         (auctions_path, "a_date_time", ["a_id", "seller"]),
     ):
         write_flush_epoch(spark, path, ts, flush_advance_s, keys)
-    partials = nexmark_q4_stream(
-        spark,
-        bids_path,
-        auctions_path,
-        window_s=window_s,
-        max_dur_s=max_dur_s,
-        delay=delay,
-        files_per_trigger=files_per_trigger,
-    )
-    rows = run_available_now(
-        partials,
-        checkpoint=checkpoint,
-        mode="append",
-        timeout_s=timeout_s,
-        metrics=metrics,
-    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(shuffle_key)
+    if state_partitions is not None:
+        spark.conf.set(shuffle_key, str(state_partitions))
+    try:
+        partials = nexmark_q4_stream(
+            spark,
+            bids_path,
+            auctions_path,
+            window_s=window_s,
+            max_dur_s=max_dur_s,
+            delay=delay,
+            files_per_trigger=files_per_trigger,
+        )
+        rows = run_available_now(
+            partials,
+            checkpoint=checkpoint,
+            mode="append",
+            timeout_s=timeout_s,
+            metrics=metrics,
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(shuffle_key, prev_parts)
     schema = (
         "win_start TIMESTAMP, category INT, sum_final BIGINT, n_auctions BIGINT"
     )
