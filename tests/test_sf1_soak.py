@@ -422,3 +422,100 @@ def test_decon_bucketed_sf10_scaling_probe(spark, tmp_path_factory, soak_record)
     assert rows["sf1"] > 0
     # identical train replicas against a fixed eval split flag identically
     assert rows["sf10"] == 10 * rows["sf1"], (rows["sf1"], rows["sf10"])
+
+
+_WHEEL_SOAK_ENTRY = "dedup_minhash_lsh"
+
+_WHEEL_DRIVER = """
+import sys, time
+assert {repo!r} not in sys.path
+import squirtle_spark
+assert {repo!r} not in squirtle_spark.__file__, squirtle_spark.__file__
+from squirtle_spark.session import get_spark
+from squirtle_spark.registry import load_all
+spark = get_spark(app_name="wheel-soak", cpus=8)
+t0 = time.time()
+pdf = load_all()[{name!r}].spark_fn(spark, {sf_dir!r}).toPandas()
+wall = time.time() - t0
+pdf.to_parquet({out!r})
+print("WHEEL_SOAK_WALL:%.3f" % wall)
+"""
+
+
+def test_sf1_soak_wheel_entry(tmp_path, sf1_dir, soak_record):
+    """One soak entry executed from the INSTALLED WHEEL, repo tree absent
+    from the driver's sys.path (VERDICT r14 #8): the deploy artifact gets
+    sf1 mileage, not just the unit-level clean-venv check. The wheel
+    subprocess runs the Spark side; this (repo-tree) process replays the
+    DuckDB oracle and value-compares, so the record row is a full oracle
+    check stamped ``wheel: true``."""
+    import subprocess
+    import sys
+    import time
+    import venv as _venv
+
+    import pandas as pd
+
+    from squirtle_spark.oracle import compare_frames, run_oracle
+    from squirtle_spark.registry import load_all
+
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
+    from build_wheel import build_wheel
+
+    whl = build_wheel(_REPO_ROOT, tmp_path / "dist")
+    venv_dir = tmp_path / "venv"
+    _venv.EnvBuilder(system_site_packages=True, with_pip=True).create(venv_dir)
+    py = str(venv_dir / "bin" / "python")
+    subprocess.run(
+        [py, "-m", "pip", "install", "--no-index", "--no-deps", "-q", whl],
+        check=True,
+        timeout=120,
+    )
+    out = str(tmp_path / "wheel_result.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            py,
+            "-c",
+            _WHEEL_DRIVER.format(
+                repo=_REPO_ROOT,
+                name=_WHEEL_SOAK_ENTRY,
+                sf_dir=sf1_dir,
+                out=out,
+            ),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    wall = time.time() - t0
+    try:
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        wheel_pdf = pd.read_parquet(out)
+        oracle_pdf = run_oracle(load_all()[_WHEEL_SOAK_ENTRY].oracle, sf1_dir)
+        res = compare_frames(_WHEEL_SOAK_ENTRY, wheel_pdf, oracle_pdf)
+    except Exception as e:
+        soak_record.append(
+            {
+                "name": f"{_WHEEL_SOAK_ENTRY}@wheel",
+                "rows": None,
+                "wall_sec": round(wall, 2),
+                "pass": False,
+                "wheel": True,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        )
+        raise
+    soak_record.append(
+        {
+            "name": f"{_WHEEL_SOAK_ENTRY}@wheel",
+            "rows": res.rows_spark,
+            "wall_sec": round(wall, 2),
+            "pass": bool(res.ok),
+            "wheel": True,
+        }
+    )
+    assert res.ok, res.message()
