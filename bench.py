@@ -1024,20 +1024,23 @@ def _stream_q5_bench(
         )
 
         def run_q4() -> None:
-            # state_partitions=8 (r15, VERDICT r14 #5): the chain holds 6
-            # state stores/partition (join 4 + two aggs), and per-store
-            # commit overhead dominated the lane at the 32-partition
-            # default — profiling measured join commit 186s -> 11s summed
-            # and ~1.9x wall at 8. Sizing state partitions to per-batch
-            # volume is the deployment rule (run_nexmark_q4_stream doc);
-            # at this lane's ~15k events/batch, 8 is the right size.
+            # r15 (VERDICT r14 #5) profiled the lane's floor: fixed
+            # per-store commit overhead, 6 state stores/partition (join
+            # 4 + two aggs). In a DEFAULT 32-partition session that
+            # overhead dominates (join commit 186s -> 11s summed and
+            # ~1.9x wall at 8 — the run_nexmark_q4_stream
+            # state_partitions knob + docstring rule came from that),
+            # but this section already runs at 4 partitions, and an
+            # interleaved 4-vs-8 A/B read 4 equal-or-better (7.8/9.6s
+            # vs 10.3/9.9s). The floor at 4 is structural: three
+            # chained stateful exchanges are inherent to join->agg->agg
+            # - so the lane inherits the section default.
             streaming.run_nexmark_q4_stream(
                 spark,
                 f"{tmp}/bids",
                 f"{tmp}/a4",
                 checkpoint=_fresh(tmp, "ckpt-q4"),
                 files_per_trigger=30,
-                state_partitions=8,
             )
 
         run_q4()  # chained-stateful path init
@@ -1238,17 +1241,22 @@ _ADJUDICATIONS: dict[str, str] = {
         "0.445s artifact and value-level changes (not plan-shape "
         "changes) in the other partsupp consumers."
     ),
-    "r15 q4 state partitioning (q4_full_query)": (
-        "INTENTIONAL r15 lane change (VERDICT r14 #5): the q4 chained "
-        "lane now runs with state_partitions=8 instead of the session "
-        "default 32. Profiling attributed the lane's floor to fixed "
-        "per-store commit overhead - 6 state stores/partition (join 4 + "
-        "2 aggs) x 32 partitions = 192 store commits per micro-batch "
-        "over <500 rows each; at 8 partitions the join's summed commit "
-        "time fell 186s -> 11s and the wall ~1.9x. Expect "
-        "q4_full_query_events_per_sec to step UP from r14's 9.6k; the "
-        "10x stress q4_chained lane keeps the 32-partition default so "
-        "one lane preserves the unbroken cross-round configuration."
+    "r15 q4 lane profile (q4_full_query)": (
+        "VERDICT r14 #5 adjudicated STRUCTURAL: profiling attributed "
+        "the lane's floor to fixed per-store commit overhead - 6 state "
+        "stores/partition (symmetric join 4 + 2 aggs). In a default "
+        "32-partition session that dominates (join commit 186s -> 11s "
+        "summed, ~1.9x wall at 8; hence the new run_nexmark_q4_stream "
+        "state_partitions knob and its size-to-per-batch-volume rule), "
+        "but the bench streaming section already runs at 4 partitions "
+        "and an interleaved 4-vs-8 A/B read 4 equal-or-better - the "
+        "remaining floor is the three chained stateful exchanges "
+        "inherent to join->agg->agg. The lane keeps the section "
+        "default; the r15 driver-visible q4 number carries the same "
+        "decaying-external-load signature as q8/ysb that round "
+        "(within-lane samples 9.16 -> 8.05 monotone on a stamped "
+        "settled start whose host later spiked to 1m=16 with an idle "
+        "VM)."
     ),
     "dedup_incremental_minhash": (
         "VERDICT r13's +17% driver-run delta adjudicated r14 "
