@@ -511,18 +511,27 @@ def _probe_core_sql(
             JOIN {sig_b} sa ON sa.doc_id = i.batch_id
             JOIN {sig_c} sb ON sb.doc_id = i.corpus_id
         ),
-        agg AS (
-            SELECT batch_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
-                   MAX(j) AS best_j
-            FROM jac GROUP BY batch_id
-        ),
         best AS (
-            SELECT a.batch_id, a.n_candidates, a.best_j,
-                   MIN(jc.corpus_id) AS best_corpus_doc
-            FROM agg a
-            JOIN jac jc ON jc.batch_id = a.batch_id AND jc.j = a.best_j
-            GROUP BY a.batch_id, a.n_candidates, a.best_j
+            -- argmax by ONE keyed window instead of the agg + j = best_j
+            -- re-join (r15 opt): Spark inlines multi-referenced CTEs, so
+            -- the join form executed the whole cand->inter->jac pipeline
+            -- TWICE (plans/r15/dedup_incremental_minhash_before.txt,
+            -- SortMergeJoin (82) over two identical 40-node subtrees).
+            -- ROW_NUMBER ordered (j DESC, corpus_id ASC) picks exactly
+            -- the old MIN(corpus_id)-at-MAX(j) row, and the partition
+            -- COUNT(*) is the old per-batch candidate count; one
+            -- Exchange on batch_id replaces agg + join + re-group.
+            SELECT batch_id, n_candidates, best_j,
+                   corpus_id AS best_corpus_doc
+            FROM (
+                SELECT batch_id, corpus_id, j AS best_j,
+                       CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT)
+                           AS n_candidates,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY batch_id
+                           ORDER BY j DESC, corpus_id ASC) AS rn
+                FROM jac
+            ) r WHERE rn = 1
         )
         SELECT s.doc_id,
                COALESCE(b.n_candidates, 0) AS n_candidates,
