@@ -148,7 +148,14 @@ def _dsir_scoring_body(d: str) -> str:
             FROM models m CROSS JOIN totals tt
         ),
         scored AS (
-            SELECT t.doc_id,
+            -- BROADCAST(l): llr is <= {b} rows by construction (one per
+            -- hashed bucket) but flows out of a checkpointed matview
+            -- aggregation whose size estimate Spark can't see, so the
+            -- planner fell back to a SortMergeJoin that re-shuffled the
+            -- whole tagged relation by f (r15 before-plan, Exchange +
+            -- 2 Sorts). The hint pins the join shape the docstring
+            -- promises; DuckDB reads the hint as a comment.
+            SELECT /*+ BROADCAST(l) */ t.doc_id,
                    {dl.bsum("t.n", d)} AS n_grams,
                    -- count bounded to DECIMAL(10,0): BIGINT * DECIMAL(18,9)
                    -- would need precision 39 > 38, making Spark silently
