@@ -93,22 +93,25 @@ WITH ranked AS (
            ) AS rn
     FROM orders
 ),
--- changelog compaction: the NET effect per key is its latest change
-net AS (
-    SELECT o_custkey AS key,
-           CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-           o_totalprice AS new_balance
-    FROM ranked WHERE rn = 1
-),
--- insert stream: keys absent from the base dimension (offset far past
--- any real custkey so the demo insert path can't collide with updates)
-inserts AS (
-    SELECT o_custkey + 100000000 AS key, 'I' AS op,
-           o_totalprice AS new_balance
-    FROM ranked WHERE rn = 1 AND o_orderkey % 97 = 0
-),
+-- changelog = net effect per key (latest change wins) plus the insert
+-- stream (keys offset far past any real custkey so the demo insert
+-- path can't collide with updates). Both streams come from the same
+-- ``ranked WHERE rn = 1`` rows; the r14 form derived them as two CTEs
+-- UNION ALLed together, and Spark inlines multi-referenced CTEs, so
+-- the orders scan + window ran TWICE (r15 before-plan: two identical
+-- scan->sort->window branches under the Union). One pass against a
+-- 2-row multiplier emits the same multiset: i=0 is the old ``net``
+-- row-for-row, i=1 (kept only when o_orderkey % 97 = 0) the old
+-- ``inserts``.
 changelog AS (
-    SELECT * FROM net UNION ALL SELECT * FROM inserts
+    SELECT CASE WHEN m.i = 1 THEN o_custkey + 100000000
+                ELSE o_custkey END AS key,
+           CASE WHEN m.i = 1 THEN 'I'
+                WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+           o_totalprice AS new_balance
+    FROM (SELECT * FROM ranked WHERE rn = 1) r
+    CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) m
+    WHERE m.i = 0 OR r.o_orderkey % 97 = 0
 ),
 merged AS (
     SELECT COALESCE(c.c_custkey, g.key) AS key,
