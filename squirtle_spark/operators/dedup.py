@@ -922,7 +922,11 @@ def span_shared_ctes(d: str) -> str:
     return f"""{span_base_ctes(d)},
 shared AS (
     SELECT sh, MIN(doc_id) AS keep_doc
-    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    -- df >= 2 distinct docs <=> MIN(doc_id) <> MAX(doc_id): same gate,
+    -- but min/max are plain partial aggregates where COUNT(DISTINCT)
+    -- forced the Expand/two-phase distinct path through the sh shuffle
+    -- (r15 opt; guide SS2.3 -- shuffle fewer bytes, cheaper agg)
+    FROM pos_sh GROUP BY sh HAVING MIN(doc_id) <> MAX(doc_id)
 )"""
 
 
@@ -956,7 +960,11 @@ def span_shared_ctes_spark(spark, sf_dir: str) -> str:
 pos_sh AS (SELECT * FROM {pos_v}),
 shared AS (
     SELECT sh, MIN(doc_id) AS keep_doc
-    FROM pos_sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    -- df >= 2 distinct docs <=> MIN(doc_id) <> MAX(doc_id): same gate,
+    -- but min/max are plain partial aggregates where COUNT(DISTINCT)
+    -- forced the Expand/two-phase distinct path through the sh shuffle
+    -- (r15 opt; guide SS2.3 -- shuffle fewer bytes, cheaper agg)
+    FROM pos_sh GROUP BY sh HAVING MIN(doc_id) <> MAX(doc_id)
 )"""
 
 
