@@ -154,7 +154,10 @@ def regex_replace_all(s: str, pat: str, rep: str, d: str) -> str:
 def regex_count(s: str, pat: str, d: str) -> str:
     """Number of regex matches in a string (BIGINT in both)."""
     if d == SPARK:
-        return f"CAST(size(regexp_extract_all({s}, '{pat}', 0)) AS BIGINT)"
+        # regexp_count (3.5+) counts without materializing the match
+        # array regexp_extract_all built per row (r15 opt, guide SS4.1:
+        # same non-overlapping left-to-right match count, no allocation)
+        return f"CAST(regexp_count({s}, '{pat}') AS BIGINT)"
     return f"CAST(len(regexp_extract_all({s}, '{pat}')) AS BIGINT)"
 
 

@@ -185,8 +185,13 @@ register_sql(
 
 
 def _chunks(d: str) -> str:
+    # r15 opt: tokenize ONCE per document (tk subquery) and count chunk
+    # tokens as the SLICE length instead of re-splitting each chunk's
+    # rebuilt string. Tokens are \s+-split non-empty strings, so
+    # len(split_tokens(concat_ws(' ', slice))) == len(slice) exactly —
+    # the old form paid one string join + one regex re-split per CHUNK.
     toks = dl.split_tokens("text", d)
-    n = dl.array_len(toks, d)
+    n = dl.array_len("tk", d)
     if d == dl.SPARK:
         # Spark's sequence(1, 0) raises (illegal boundaries) where
         # DuckDB's generate_series(1, 0) is simply empty — a zero-token
@@ -197,16 +202,18 @@ def _chunks(d: str) -> str:
             f"sequence(1, CAST({n} AS INT), {_CHUNK_STRIDE}) "
             f"ELSE array() END) _c AS start"
         )
-        chunk = f"concat_ws(' ', slice({toks}, start, {_CHUNK_SIZE}))"
+        sl = f"slice(tk, start, {_CHUNK_SIZE})"
+        chunk = f"concat_ws(' ', {sl})"
     else:
         fanout = f", unnest(generate_series(1, CAST({n} AS INT), {_CHUNK_STRIDE})) AS _c(start)"
-        chunk = f"array_to_string(list_slice({toks}, start, start + {_CHUNK_SIZE - 1}), ' ')"
+        sl = f"list_slice(tk, start, start + {_CHUNK_SIZE - 1})"
+        chunk = f"array_to_string({sl}, ' ')"
     return f"""
 SELECT doc_id,
        CAST(start AS BIGINT) AS chunk_start,
-       CAST(({dl.array_len(dl.split_tokens(chunk, d), d)}) AS BIGINT) AS chunk_tokens,
+       CAST(({dl.array_len(sl, d)}) AS BIGINT) AS chunk_tokens,
        {chunk} AS chunk_text
-FROM documents
+FROM (SELECT doc_id, {toks} AS tk FROM documents) t
 {fanout}
 """
 
