@@ -23,6 +23,8 @@ Two registry entries:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register_df
@@ -50,6 +52,11 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
 def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: corpus × broadcast(K rows), Euclidean
     distance rounded to 4 decimals, argmin with cell-id tie-break."""
+    # The zip_with fold stays (r15 A/B): unrolling the 64-term squared-L2
+    # into plain codegen arithmetic measured as a wash here (pooled mins
+    # 0.410 vs 0.415 s assign, 3.16 vs 2.92 s lloyd over 2×15 reps) — the
+    # corpus × K fan-out is only K=8 rows wide, so the interpreted-fold
+    # cost never dominates and the bigger expression tree costs planning.
     dist = F.round(
         F.sqrt(
             F.expr(
@@ -242,6 +249,13 @@ register_df(
 #: the gate exercised while dropping a small, meaningful fraction.
 SEM_THRESHOLD = 0.35
 
+#: Salt factor for the cluster-mate pair join: multiplies the K-valued
+#: join key so each cluster's quadratic pair fan-out spreads over
+#: K × _PAIR_SALT reducers instead of K. Results are salt-invariant
+#: (every a_id < b_id pair still joins exactly once); the value only
+#: sets parallelism, so production sizes it to cores/K via the env var.
+_PAIR_SALT = max(1, int(os.environ.get("SQUIRTLE_SEMDEDUP_PAIR_SALT", "4")))
+
 
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic dedup via
@@ -259,22 +273,55 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end (seeded centroids, 4-decimal rounding before
     the threshold), so DuckDB replays the full pipeline value-level.
     """
-    from .similarity import _cosine
+    from .similarity import EMB_DIM, _cosine_nrm, unrolled_fold
 
     emb = _corpus(spark)
-    assigned = assign(emb, _seed_centroids(emb)).select("vec_id", "v", "cluster")
+    # r15 opt: norms hoisted to one fold per VECTOR before the
+    # cluster-mate pair join — bit-identical to _cosine (same fold,
+    # sqrt'd once; dot/(sqrt(n1)*sqrt(n2)) == dot/(an*bn)), but the
+    # per-pair kernel is one 64-term dot instead of three, and the
+    # un-hoisted 3-fold form blew Janino's 64 KB method limit inside
+    # the join's codegen consume (whole-stage interpretation fallback).
+    nrm = unrolled_fold([f"v[{i}] * v[{i}]" for i in range(EMB_DIM)])
+    assigned = (
+        assign(emb, _seed_centroids(emb))
+        .select("vec_id", "v", "cluster")
+        .withColumn("nrm", F.sqrt(F.expr(nrm)))
+    )
+    # r15 opt: the pair join's only key is the K-valued cluster id, so
+    # every cluster's quadratic pair fan-out landed on one of K reducers
+    # — K=8 partitions on a 32-core host, 4x parallelism lost exactly
+    # where the cost is quadratic (guide §2.5: too few distinct key
+    # values). Salting by a_id spreads each cluster's pairs over
+    # _PAIR_SALT reducers; b replicates per salt value, a carries one,
+    # so each (a_id < b_id) pair still joins exactly once — the same
+    # pair multiset, (K × _PAIR_SALT)-way parallel.
     a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cluster"
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        "cluster",
+        F.pmod(F.col("vec_id"), F.lit(_PAIR_SALT)).alias("_salt"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
         F.col("cluster").alias("b_cluster"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALT - 1))).alias("b_salt"),
     )
     pairs = (
-        a.join(b, (a.cluster == b.b_cluster) & (F.col("a_id") < F.col("b_id")))
+        a.join(
+            b,
+            (a.cluster == b.b_cluster)
+            & (a._salt == F.col("b_salt").cast("bigint"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
         .select(
-            "a_id", "b_id", "cluster", F.round(_cosine("av", "bv"), 4).alias("cos_sim")
+            "a_id",
+            "b_id",
+            "cluster",
+            F.round(_cosine_nrm("av", "bv", "an", "bn"), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= SEM_THRESHOLD)
     )

@@ -44,6 +44,26 @@ L_TABLES = 4
 EMB_DIM = 64
 
 
+def unrolled_fold(terms: list[str], init: str = "0D") -> str:
+    """Left-associated ``init + t0 + t1 + …`` sum chain: bit-identical to
+    ``aggregate(…)``'s fold order (IEEE addition applied in the same
+    sequence, including the leading init so a ``-0.0`` first term still
+    normalizes to ``+0.0``), and plain arithmetic compiles into
+    WholeStageCodegen where the higher-order ``aggregate``/``zip_with``
+    forms are CodegenFallback (interpreted per row).
+
+    USE SPARINGLY (r15 A/B): the 64-term trees cost real per-query
+    Catalyst analysis time — unrolling the ANN pair kernels made their
+    warm sf0.1 walls ~2x WORSE, unrolling kmeans_assign's corpus×K
+    distance was a wash (pooled mins 0.410 vs 0.415 s over 2×15 reps),
+    and unrolling many dots into one projection ("L×k plane dots") blows
+    Janino's 64 KB method limit, falling back to whole-stage
+    interpretation. The one live use is semdedup's per-vector norm
+    projection, where the point is hoisting the fold out of the pair
+    join's codegen consume rather than the unroll itself."""
+    return "(" + " + ".join([init, *terms]) + ")"
+
+
 def _cosine(qv: str, cv: str) -> F.Column:
     dot = F.expr(f"aggregate(zip_with({qv}, {cv}, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
     n1 = F.expr(f"aggregate({qv}, 0D, (acc, x) -> acc + x * x)")
@@ -166,7 +186,15 @@ def _lsh_tables(
     n_planes: int = N_PLANES,
     l_tables: int = L_TABLES,
 ) -> DataFrame:
-    """Attach (table, bucket) rows: L tables × k sign bits per vector."""
+    """Attach (table, bucket) rows: L tables × k sign bits per vector.
+
+    The plane dots stay in zip_with form ON PURPOSE (r15): unrolling all
+    L×k 64-term dots into one projection expression blows Janino's 64 KB
+    per-method limit ("Code grows beyond 64 KB"), and Spark then falls
+    back to interpreting the WHOLE stage — strictly worse than the
+    interpreted lambdas. These dots run once per vector at ingest (the
+    matview lifecycle), not per candidate pair, so the unrolled-kernel
+    treatment (``unrolled_fold``) is reserved for the pair scans."""
     planes = _planes(l_tables * n_planes)
     entries = []
     for t in range(l_tables):
@@ -832,20 +860,28 @@ def _sq8_codes_view(spark, sf_dir) -> str:
 
 
 def _ann_sq8_spark(spark, sf_dir) -> DataFrame:
+    # r15 opt: the per-SIDE self-dots hoisted out of the pair scan — the
+    # old form re-folded qc·qc and cc·cc once per PAIR for per-vector
+    # information (integer dots, so the hoist is exactly the same value;
+    # the pair kernel now folds one dot instead of three). The dots stay
+    # zip_with: unrolling them was A/B'd at 2x WORSE warm wall (the
+    # 64-term trees cost more in per-query Catalyst analysis than the
+    # interpreted fold costs at the benched pair counts).
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     cos = (
         f"CAST({dot.format(a='qc', b='cc')} AS DOUBLE) / "
-        f"(SQRT(CAST({dot.format(a='qc', b='qc')} AS DOUBLE)) * "
-        f"SQRT(CAST({dot.format(a='cc', b='cc')} AS DOUBLE)))"
+        f"(SQRT(CAST(qn2 AS DOUBLE)) * SQRT(CAST(cn2 AS DOUBLE)))"
     )
+    self_dot = dot.format(a="c", b="c")
     codes = _sq8_codes_view(spark, sf_dir)
     return spark.sql(
         f"""
-WITH q AS (SELECT vec_id AS q_id, c AS qc FROM {codes} WHERE vec_id < {N_QUERIES}),
-cand AS (SELECT vec_id AS c_id, c AS cc FROM {codes}),
+WITH q AS (SELECT vec_id AS q_id, c AS qc, {self_dot} AS qn2
+           FROM {codes} WHERE vec_id < {N_QUERIES}),
+cand AS (SELECT vec_id AS c_id, c AS cc, {self_dot} AS cn2 FROM {codes}),
 scored AS (
     SELECT q_id, c_id, ROUND({cos}, 4) AS cos_sim
     FROM cand CROSS JOIN q
