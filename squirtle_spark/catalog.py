@@ -567,7 +567,11 @@ def clear_matviews(spark: SparkSession) -> None:
 
 
 def session_matview(
-    spark: SparkSession, name: str, sf_dir: str, build_sql: str
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build_sql: str,
+    distribute_by: str | None = None,
 ) -> str:
     """Temp-view name for the materialized ``build_sql`` relation,
     building it on first use per (session, sf_dir, ``name``).
@@ -577,6 +581,34 @@ def session_matview(
     (``register_all(force=True)``), so a test that planted a fixture
     view without invalidating cannot poison the cache under the real
     sf_dir's key.
+
+    ``distribute_by`` hash-partitions the materialized rows on the given
+    column list and makes that partitioning VISIBLE to consumers'
+    plans — the matview analogue of a bucketed table (guide §2.4): every
+    downstream aggregation/window/equi-join clustered on (a superset of)
+    these columns skips its Exchange entirely. Costs one extra shuffle
+    at build time, paid once per session; rows are unchanged. AQE is
+    disabled for the build only, because an AdaptiveSparkPlan reports
+    UnknownPartitioning to the checkpoint/cache capture — the build
+    shuffle therefore lands exactly spark.sql.shuffle.partitions
+    partitions (sized to cores locally, config-driven on a cluster).
+
+    Two measured hazards bound where this applies (r15 A/B):
+    - exprId staleness: the captured HashPartitioning keeps the build
+      plan's exprIds. If the matview's output attributes also appear in
+      ANOTHER relation of a consumer query (derived matviews pass their
+      parent's attributes through), DeduplicateRelations renumbers the
+      LogicalRDD's output but NOT its partitioning, so the partitioning
+      silently stops matching (correctness unaffected — the Exchange
+      just comes back). Alias-breaking the build output (toDF) fixes
+      the overlap but defeats the capture itself (measured: gopher went
+      back to 6 Exchanges), so there is no safe general fix; only use
+      distribute_by on matviews whose consumers reference them as the
+      sole owner of those attributes.
+    - lost AQE skew handling: a co-partitioned self-join skips its
+      Exchanges AND AQE's runtime skew splitting. The minhash band
+      self-join regressed 0.30→0.63s min / 2.4s med this way — do not
+      distribute matviews whose consumers self-join on skewed keys.
 
     ASSUMES FIXED FIXTURE DATA under ``sf_dir`` for the session's
     lifetime: the cache key cannot see a same-path parquet rewrite. A
@@ -617,7 +649,16 @@ def session_matview(
         defer_checkpoint_delete(old_df, old_key[1])
     view = f"mv{_MATVIEW_SEQ}_{name}"
     _MATVIEW_SEQ += 1
-    mat = materialize(spark, spark.sql(build_sql))
+    if distribute_by is None:
+        mat = materialize(spark, spark.sql(build_sql))
+    else:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            src = spark.sql(f"{build_sql}\nDISTRIBUTE BY {distribute_by}")
+            mat = materialize(spark, src)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
     mat.createOrReplaceTempView(view)
     _MATVIEWS[key] = (view, mat)
     return view

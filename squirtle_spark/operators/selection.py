@@ -346,6 +346,11 @@ def _gopher_repetition_spark(spark, sf_dir):
         "tok_arr",
         sf_dir,
         f"SELECT doc_id, {toks} AS tk FROM documents",
+        # r15 opt (guide §2.4): every downstream stage — both top-gram
+        # count+argmax chains, the 5-gram repeat/coverage chain, the
+        # final joins — clusters on doc_id or (doc_id, gram); a
+        # doc_id-partitioned matview makes all 6 Exchanges disappear.
+        distribute_by="doc_id",
     )
     return spark.sql(
         _gopher_repetition(
