@@ -283,10 +283,18 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-hoisted 3-fold form blew Janino's 64 KB method limit inside
     # the join's codegen consume (whole-stage interpretation fallback).
     nrm = unrolled_fold([f"v[{i}] * v[{i}]" for i in range(EMB_DIM)])
+    # Materialized ONCE per run (eager localCheckpoint, the transient-
+    # materialization class api.py documents): the salted a/b sides below
+    # are no longer identical subtrees, so ReuseExchange can't collapse
+    # them — without this checkpoint the corpus scan, the broadcast
+    # assignment AND the rn=1 window would each execute twice (the
+    # scan-budget gate caught exactly that after the salting change).
+    # Recomputed on every invocation — nothing persists across runs.
     assigned = (
         assign(emb, _seed_centroids(emb))
         .select("vec_id", "v", "cluster")
         .withColumn("nrm", F.sqrt(F.expr(nrm)))
+        .localCheckpoint(eager=True)
     )
     # r15 opt: the pair join's only key is the K-valued cluster id, so
     # every cluster's quadratic pair fan-out landed on one of K reducers

@@ -61,15 +61,21 @@ register_sql(
 
 def _q3(d: str) -> str:
     """q3 shipping priority (queries/q3.sql) — o_orderpriority stands in for
-    the fixture-absent o_shippriority."""
+    the fixture-absent o_shippriority.
+
+    lineitem leads the FROM chain (r15): written customer-first, Catalyst's
+    column-pruned size estimate put lineitem UNDER the broadcast threshold
+    and built the hash relation on the fact table (600k rows broadcast,
+    probe side 4k). Left-deep from lineitem, every join builds on the
+    filtered dimension side — the shape that survives any scale factor."""
     return f"""
 SELECT l_orderkey,
        CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
        o_orderdate,
        o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < {dl.ts_lit('1998-03-15 00:00:00', d)}
   AND l_shipdate > {dl.ts_lit('1998-03-15 00:00:00', d)}
@@ -86,13 +92,19 @@ register_sql(
 
 
 def _q5(d: str) -> str:
-    """q5 local supplier volume — verbatim (queries/q5.sql); ASIA→our region."""
+    """q5 local supplier volume — verbatim (queries/q5.sql); ASIA→our region.
+
+    lineitem leads the FROM chain (r15): written customer-first, the
+    column-pruned size estimate broadcast the 600k-row lineitem slice and
+    probed with the ~10k-row customer⋈orders side. Left-deep from
+    lineitem, each join builds on the dimension side (orders' year slice,
+    customer, supplier, nation, region) — right at every scale factor."""
     return f"""
 SELECT n_name,
        CAST(CAST(SUM({_PRICE} * (1 - {_DISC})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -649,24 +661,37 @@ def _q21(d: str) -> str:
     line's supplier must be the ONLY late supplier on a multi-supplier
     order — EXISTS + NOT EXISTS correlated self-joins on lineitem. Region
     filter (one region's nations) stands in for the single-nation filter
-    so the fixture's ~100 suppliers keep the result populated."""
+    so the fixture's ~100 suppliers keep the result populated.
+
+    Shape (r15): one per-order aggregation replaces the EXISTS/NOT EXISTS
+    self-joins. For an order, a late line of supplier s qualifies iff the
+    order has >= 2 distinct suppliers (MIN(l_suppkey) <> MAX(l_suppkey))
+    and s is the only supplier with a late line (MIN = MAX over the late
+    slice, both equal to s since s's own line is late); every late line
+    of a qualifying order then belongs to that one supplier, so the
+    per-supplier COUNT(*) of qualifying lines is SUM(nlate). The old form
+    scanned lineitem three times and broadcast two corpus-scale
+    (l_orderkey, l_suppkey) projections; this is one scan + one
+    partial-aggregable shuffle on l_orderkey. DuckDB replay of old vs new
+    text is row-identical at sf0.01 and sf0.1."""
     return """
-SELECT s_name, COUNT(*) AS numwait
-FROM supplier
-JOIN lineitem_ext l1 ON s_suppkey = l1.l_suppkey
-JOIN orders ON o_orderkey = l1.l_orderkey
+WITH per_order AS (
+    SELECT l_orderkey,
+           MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+           MIN(CASE WHEN l_receiptdate > l_commitdate THEN l_suppkey END) AS lmin,
+           MAX(CASE WHEN l_receiptdate > l_commitdate THEN l_suppkey END) AS lmax,
+           COUNT(CASE WHEN l_receiptdate > l_commitdate THEN 1 END) AS nlate
+    FROM lineitem_ext
+    GROUP BY l_orderkey
+)
+SELECT s_name, CAST(SUM(nlate) AS BIGINT) AS numwait
+FROM per_order
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = lmin
 JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderstatus = 'F'
-  AND l1.l_receiptdate > l1.l_commitdate
-  AND EXISTS (
-      SELECT 1 FROM lineitem_ext l2
-      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-  )
-  AND NOT EXISTS (
-      SELECT 1 FROM lineitem_ext l3
-      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        AND l3.l_receiptdate > l3.l_commitdate
-  )
+  AND smin <> smax
+  AND lmin = lmax
   AND n_regionkey = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name

@@ -86,11 +86,14 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
-def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
-    """EXISTS/NOT EXISTS must plan as semi/anti joins, not subquery loops."""
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """r15 rewrite: the EXISTS/NOT EXISTS self-joins collapsed into one
+    per-order aggregation — lineitem must be scanned exactly once and
+    never broadcast (the old plan broadcast two corpus-scale
+    (l_orderkey, l_suppkey) projections of it)."""
     plan = _executed_plan(load_all()["tpch_q21"].spark_fn(spark, sf_dir))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert _scan_counts(plan).get("lineitem", 0) == 1, _scan_counts(plan)
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
 
 
 def test_tpch_q9_broadcasts_dims(spark, sf_dir):
@@ -257,7 +260,8 @@ def test_no_redundant_base_table_scans(spark, sf_dir):
 _SCAN_BUDGETS = {
     "nexmark_q9": 3,  # (a) auction two-slice + bid, all events-derived
     "tpch_q2": 3,  # (a) partsupp twice (main + correlated MIN) + part
-    "tpch_q21": 3,  # l1 + EXISTS l2 + NOT EXISTS l3 — the query's shape
+    # (tpch_q21 needed 3 here until the r15 per-order-aggregate rewrite
+    # collapsed l1 + EXISTS l2 + NOT EXISTS l3 into ONE lineitem scan)
     # (b) multi-order LM models: distinct column-pruned slices of the
     # text column. MEASURED not to warrant a session matview — eagerly
     # materializing the ~10M-row pairs relation DOUBLES a single query's
