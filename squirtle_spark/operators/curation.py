@@ -143,35 +143,40 @@ register_df(
 def _dedup_incremental_body(corpus_idx: str, batch_sh: str) -> str:
     """Containment verdicts over pre-sliced corpus/batch shingle
     relations — shared verbatim by the oracle text and the Spark side's
-    materialized-view form."""
+    materialized-view form.
+
+    One pass (r15): `sizes` and `hits` each aggregated batch_sh by
+    doc_id — two shuffles over the same rows plus a second join back to
+    `d`. Because corpus_idx is DISTINCT, a batch shingle LEFT-joins at
+    most one index row, so COUNT(*) still counts shingles and
+    COUNT(i.shingle) counts the matched ones — both per-doc numbers fall
+    out of ONE aggregation over the probe join. DuckDB replay of old vs
+    new text is row-identical at sf0.01/sf0.1."""
     return textwrap.dedent(f"""
         WITH corpus_idx AS (
             SELECT DISTINCT shingle FROM ({corpus_idx}) c
         ),
         batch_sh AS ({batch_sh}),
-        sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
-            FROM batch_sh GROUP BY doc_id
-        ),
-        hits AS (
-            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_corpus
+        per_doc AS (
+            SELECT b.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(COUNT(i.shingle) AS BIGINT) AS n_in_corpus
             FROM batch_sh b
-            JOIN corpus_idx i ON b.shingle = i.shingle
+            LEFT JOIN corpus_idx i ON b.shingle = i.shingle
             GROUP BY b.doc_id
         )
         SELECT d.doc_id,
-               COALESCE(s.n_shingles, 0) AS n_shingles,
-               COALESCE(h.n_in_corpus, 0) AS n_in_corpus,
-               CASE WHEN COALESCE(s.n_shingles, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE CAST(COALESCE(h.n_in_corpus, 0) AS DOUBLE)
-                         / CAST(s.n_shingles AS DOUBLE) END AS containment,
-               CASE WHEN COALESCE(s.n_shingles, 0) > 0
-                         AND CAST(COALESCE(h.n_in_corpus, 0) AS DOUBLE)
-                             / CAST(s.n_shingles AS DOUBLE) >= {CONTAIN_THRESHOLD}
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               COALESCE(p.n_in_corpus, 0) AS n_in_corpus,
+               CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(COALESCE(p.n_in_corpus, 0) AS DOUBLE)
+                         / CAST(p.n_shingles AS DOUBLE) END AS containment,
+               CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                         AND CAST(COALESCE(p.n_in_corpus, 0) AS DOUBLE)
+                             / CAST(p.n_shingles AS DOUBLE) >= {CONTAIN_THRESHOLD}
                     THEN 'dup_of_corpus' ELSE 'accepted' END AS status
         FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0) d
-        LEFT JOIN sizes s ON s.doc_id = d.doc_id
-        LEFT JOIN hits h ON h.doc_id = d.doc_id
+        LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """)
 
 
