@@ -115,6 +115,26 @@ def davg(x: str, d: str, prec: str = "DECIMAL(20,4)") -> str:
     return f"(CAST(SUM(CAST({x} AS {prec})) AS DOUBLE) / COUNT(*))"
 
 
+def gsum(x: str, d: str, k: int = 4) -> str:
+    """:func:`dsum` for columns on the 10^-k decimal grid (money,
+    quantity, event value — every generator emits them .round(<=4)):
+    the Spark side sums BIGINT limbs (:func:`spark_grid_sum`), DuckDB
+    keeps the :func:`dsum` text byte-for-byte so the oracle semantics
+    cannot move. Value-identical on grid data; do NOT use for
+    free-precision doubles (nll/log terms), where the decimal cast's
+    shortest-repr rounding and ROUND's binary rounding can differ."""
+    if d == SPARK:
+        return f"CAST({spark_grid_sum(grid_scaled(x, k), k)} AS DOUBLE)"
+    return dsum(x, d)
+
+
+def gavg(x: str, d: str, k: int = 4) -> str:
+    """:func:`davg` on the 10^-k grid — see :func:`gsum`."""
+    if d == SPARK:
+        return f"(CAST({spark_grid_sum(grid_scaled(x, k), k)} AS DOUBLE) / COUNT(*))"
+    return davg(x, d)
+
+
 def secadd(ts: str, n: str, d: str) -> str:
     """timestamp + n seconds, n an integer SQL expression."""
     if d == SPARK:

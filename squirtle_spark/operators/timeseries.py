@@ -43,7 +43,7 @@ WITH hourly AS (
     SELECT user_id,
            {hour} AS hour_idx,
            COUNT(*) AS cnt,
-           {dl.davg('value', d)} AS avg_value
+           {dl.gavg('value', d)} AS avg_value
     FROM events
     GROUP BY user_id, {hour}
 ),

@@ -194,7 +194,7 @@ def _subq_scalar_in(d: str) -> str:
     return f"""
 SELECT event_id, user_id, event_type, value
 FROM events
-WHERE value > (SELECT {dl.davg('value', d)} FROM events)
+WHERE value > (SELECT {dl.gavg('value', d)} FROM events)
   AND event_type IN (SELECT DISTINCT event_type FROM events
                      WHERE event_type LIKE 'c%' OR event_type LIKE 's%')
 """
@@ -213,7 +213,7 @@ def _subq_correlated(d: str) -> str:
     return f"""
 SELECT e.event_id, e.user_id, e.value
 FROM events e
-WHERE e.value > 2.5 * (SELECT {dl.davg('value', d)}
+WHERE e.value > 2.5 * (SELECT {dl.gavg('value', d)}
                        FROM events e2
                        WHERE e2.user_id = e.user_id)
 """

@@ -89,8 +89,8 @@ SELECT event_type,
        COUNT(DISTINCT user_id) AS users,
        CAST(MIN(value) AS DOUBLE) AS min_value,
        CAST(MAX(value) AS DOUBLE) AS max_value,
-       {dl.dsum('value', d)} AS sum_value,
-       {dl.davg('value', d)} AS avg_value,
+       {dl.gsum('value', d)} AS sum_value,
+       {dl.gavg('value', d)} AS avg_value,
        {dl.bsum('CASE WHEN value > 100 THEN 1 ELSE 0 END', d)} AS n_big
 FROM events
 GROUP BY event_type
@@ -110,7 +110,7 @@ def _agg_multikey(d: str) -> str:
 SELECT event_type,
        user_id % 10 AS user_bucket,
        COUNT(*) AS cnt,
-       {dl.dsum('value', d)} AS sum_value
+       {dl.gsum('value', d)} AS sum_value
 FROM events
 GROUP BY event_type, user_id % 10
 """
@@ -138,7 +138,7 @@ SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS type
        CAST(GROUPING(event_type) * 2 + GROUPING(cohort) AS BIGINT) AS lattice_lvl,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       {dl.dsum('value', d)} AS sum_value
+       {dl.gsum('value', d)} AS sum_value
 FROM (SELECT event_type, user_id % 4 AS cohort, user_id, value FROM events) e
 GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort), ())
 """
@@ -156,7 +156,7 @@ def _agg_global(d: str) -> str:
     return f"""
 SELECT COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       {dl.dsum('value', d)} AS total_value,
+       {dl.gsum('value', d)} AS total_value,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts
 FROM events
@@ -252,7 +252,7 @@ def _rollup(d: str) -> str:
 SELECT event_type,
        CAST(user_id % 5 AS INT) AS user_bucket,
        COUNT(*) AS cnt,
-       {dl.dsum('value', d)} AS sum_value
+       {dl.gsum('value', d)} AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, CAST(user_id % 5 AS INT))
 """

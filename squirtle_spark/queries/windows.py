@@ -47,7 +47,7 @@ def _win_tumbling_oracle(d: str = dl.DUCK) -> str:
 SELECT {w} AS win_start,
        event_type,
        COUNT(*) AS cnt,
-       {dl.dsum('value', d)} AS sum_value
+       {dl.gsum('value', d)} AS sum_value
 FROM events
 GROUP BY {w}, event_type
 """
@@ -136,7 +136,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        {dl.secadd('MAX(ts)', str(gap), d)} AS session_end,
        COUNT(*) AS n_events,
-       {dl.dsum('value', d)} AS sum_value
+       {dl.gsum('value', d)} AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -179,7 +179,7 @@ def _win_sliding_epoch(d: str) -> str:
     counts — the degenerate 'window' the reference defaults to."""
     w = dl.tumble_start("ts", 60, d)
     return f"""
-SELECT {w} AS epoch_start, COUNT(*) AS n, {dl.dsum('value', d)} AS sum_value
+SELECT {w} AS epoch_start, COUNT(*) AS n, {dl.gsum('value', d)} AS sum_value
 FROM events
 GROUP BY {w}
 """
