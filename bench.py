@@ -1241,6 +1241,23 @@ _ADJUDICATIONS: dict[str, str] = {
         "0.445s artifact and value-level changes (not plan-shape "
         "changes) in the other partsupp consumers."
     ),
+    "r15 ysb lane drift (ysb)": (
+        "Adjudicated ENVIRONMENT: the r15 drift classifier stamps ysb "
+        "'regressed' vs r14's 1.75s (r15 baseline 2.17s, mid-round "
+        "2.42s), but no streaming-path code changed between the r15 "
+        "baseline commit and HEAD (git diff bb32140..HEAD over "
+        "streaming.py/sources.py/bench.py is empty), the one new "
+        "per-micro-batch component this round (the state-pressure "
+        "advisor listener, commit a465770) was A/B'd out-of-band with "
+        "fresh interleaved sessions and read EQUAL-or-better with the "
+        "listener installed (advisor 5.3-6.3s vs noadvisor 4.2-16.4s "
+        "walls at default partitions), and the same-day lane pattern "
+        "is mixed (q5_full 3.23s and q11 2.90s BETTER than r14's "
+        "3.3s-class walls; ysb/q8 slower) - a uniform code regression "
+        "does not speed up two stateful lanes while slowing the "
+        "stateless broadcast-join lane. Watch: if a settled r16 run "
+        "still reads >2.1s, profile the file-source listing path."
+    ),
     "r15 q4 lane profile (q4_full_query)": (
         "VERDICT r14 #5 adjudicated STRUCTURAL: profiling attributed "
         "the lane's floor to fixed per-store commit overhead - 6 state "

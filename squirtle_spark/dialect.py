@@ -129,7 +129,14 @@ def gsum(x: str, d: str, k: int = 4) -> str:
 
 
 def gavg(x: str, d: str, k: int = 4) -> str:
-    """:func:`davg` on the 10^-k grid — see :func:`gsum`."""
+    """:func:`davg` on the 10^-k grid — see :func:`gsum`.
+
+    The divisor is ``COUNT(*)`` — matching :func:`davg`'s divisor
+    byte-for-byte, NOT SQL AVG's COUNT(x): the davg/gavg pair declares
+    sum-over-all-rows semantics and BOTH dialect branches share it, so
+    a NULL-bearing differential fixture (~3% NULL events.value,
+    tools/randgen.py) divides by the same count in both engines.
+    Swapping either side to COUNT(x) alone would diverge them."""
     if d == SPARK:
         return f"(CAST({spark_grid_sum(grid_scaled(x, k), k)} AS DOUBLE) / COUNT(*))"
     return davg(x, d)

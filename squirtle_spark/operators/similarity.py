@@ -1860,90 +1860,109 @@ def _decontaminate_embedding(spark, sf_dir) -> DataFrame:
     you want; when the eval side outgrows broadcast, use the registered
     ``decontaminate_embedding_bucketed`` below — the same scoring over
     an LSH banded candidate join instead of the cross product.
+
+    r15: rendered as ONE spark.sql text (the shared `_decon_score_sql`
+    tail) instead of a ~15-step DataFrame chain — each DF method is a
+    py4j round-trip plus an eager re-analysis of the growing plan,
+    measured at 0.15-0.3 s per invocation INSIDE the bench's timed
+    region (probe, guide §1.2 step 2); the SQL text is one round-trip
+    and one analysis, and the physical plan (broadcast cross join +
+    packed-MAX argmax) is unchanged.
     """
-    ev, tr = _decon_splits(spark, sf_dir)
-    _decon_guard_eval_ids(ev)
-    packed = _decon_pk(tr.crossJoin(F.broadcast(ev)))
-    return _decon_flagged(packed)
-
-
-def _decon_splits(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    """(eval, train) embedding splits off the shared ``_emb_view``
-    matview — cast, per-vector norm, and zero-norm guard paid once per
-    session with the rest of the ANN family (r13; previously re-derived
-    here per query). ``nrm`` is the same sqrt of the same fold the old
-    inline form hoisted, so values are bit-identical to the per-pair
-    form the oracle replays."""
-    emb = spark.table(_emb_view(spark, sf_dir)).where(F.col("nrm") > 0)
-    ev = emb.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("v").alias("ev"),
-        F.col("nrm").alias("en"),
+    emb = _emb_view(spark, sf_dir)
+    _decon_guard_eval_ids(
+        spark,
+        sf_dir,
+        f"SELECT vec_id AS eval_id FROM {emb} "
+        f"WHERE nrm > 0 AND vec_id % {DECON_EVAL_MOD} = 0",
     )
-    tr = emb.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("v").alias("tv"),
-        F.col("nrm").alias("tn"),
-    )
-    return ev, tr
+    return spark.sql(f"""
+WITH ev AS (
+    SELECT vec_id AS eval_id, v AS ev, nrm AS en
+    FROM {emb} WHERE nrm > 0 AND vec_id % {DECON_EVAL_MOD} = 0
+),
+tr AS (
+    SELECT vec_id AS train_id, v AS tv, nrm AS tn
+    FROM {emb} WHERE nrm > 0 AND vec_id % {DECON_EVAL_MOD} != 0
+),
+packed AS (
+    SELECT /*+ BROADCAST(ev) */ train_id, {_DECON_PK_SQL}
+    FROM tr CROSS JOIN ev
+)
+{_decon_score_sql()}
+""")
 
 
-def _decon_guard_eval_ids(ev: DataFrame) -> None:
+#: (applicationId, sf_dir) pairs whose eval-id bound has been verified
+#: this session — the guard asserts a DATASET invariant (max id fits the
+#: 32-bit pack slot), so once per (session, dataset) is exactly as sound
+#: as per-call, and the per-call form billed one extra Spark job (~0.25 s
+#: driver-side action) to EVERY decon invocation inside the bench's
+#: timed region (r15 probe; guide §5 — no driver actions in query paths).
+#: Not a result cache: nothing about the query's OUTPUT is memoized, and
+#: a new session (new app id) re-verifies from the parquet input.
+_DECON_GUARD_OK: set[tuple[str, str]] = set()
+
+
+def _decon_guard_eval_ids(spark, sf_dir: str, ev_ids_sql: str) -> None:
     """Fail loudly if an eval id would overflow the 32-bit pack slot.
 
     The packed tie-break borrows from the cosine field if an eval id
     reaches 2^32 (a multi-billion-vector corpus) — decode would then
     return a WRONG id and score silently; fail loudly instead, same
     move as the IVF packed-argmin bound above (one scalar agg over the
-    ~1% eval slice, trivially bounded).
+    ~1% eval slice, trivially bounded). Memoized per (session, dataset):
+    see _DECON_GUARD_OK. ``ev_ids_sql`` is a SELECT producing the
+    ``eval_id`` column — only parsed/run on a memo miss.
     """
-    mx = ev.agg(F.max("eval_id")).first()[0]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DECON_GUARD_OK:
+        return
+    mx = spark.sql(f"SELECT MAX(eval_id) FROM ({ev_ids_sql})").first()[0]
     if mx is not None and mx >= _DECON_ID_SPAN - 1:
         raise ValueError(
             f"decontaminate_embedding packs eval_id into 32 bits "
             f"(got max {mx}): re-key the eval split or widen the pack"
         )
+    _DECON_GUARD_OK.add(key)
 
 
-def _decon_pk(pairs: DataFrame) -> DataFrame:
-    """(train_id, pk) rows: cosine + eval-id packed into one BIGINT.
-
-    Canonical scaled cosine = round(cos * 10000): ONE rounding, done
-    identically on both sides — an explicit round before the bigint
-    cast because Spark's double→bigint cast truncates while DuckDB's
-    rounds, which would put the two engines one ulp apart. Shared by
-    the broadcast and LSH-bucketed forms so their scores can never
-    diverge by formula.
-    """
-    dot = F.expr(
-        "aggregate(zip_with(tv, ev, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    )
-    cos = dot / (F.col("tn") * F.col("en"))
-    scaled = (F.round(cos * 10000, 0).cast("bigint") + 10000).alias("scaled")
-    return pairs.select(
-        "train_id",
-        (
-            scaled * F.lit(_DECON_ID_SPAN)
-            + (F.lit(_DECON_ID_SPAN - 1) - F.col("eval_id"))
-        ).alias("pk"),
-    )
+#: Packed score (train_id, pk): cosine + eval-id in one BIGINT.
+#: Canonical scaled cosine = round(cos * 10000): ONE rounding, done
+#: identically in both engines — an explicit ROUND before the BIGINT
+#: cast because Spark's double→bigint cast truncates while DuckDB's
+#: rounds, which would put the two engines one ulp apart. Shared by the
+#: broadcast and LSH-bucketed forms so their scores can never diverge
+#: by formula (expression-for-expression the r12-r14 DataFrame form the
+#: r15 single-SQL rewrite replaced; oracle-verified bit-identical).
+_DECON_PK_SQL = (
+    "(CAST(ROUND((aggregate(zip_with(tv, ev, (a, b) -> a * b), 0D, "
+    "(acc, x) -> acc + x) / (tn * en)) * 10000, 0) AS BIGINT) + 10000) "
+    f"* {_DECON_ID_SPAN} + ({_DECON_ID_SPAN - 1} - eval_id) AS pk"
+)
 
 
-def _decon_flagged(packed: DataFrame) -> DataFrame:
-    """Per-train argmax via MAX(pk) (map-side combine, idempotent to
-    duplicate pair rows — an LSH pair colliding in several tables
-    contributes the same pk each time), decoded and thresholded."""
-    best = packed.groupBy("train_id").agg(F.max("pk").alias("pk"))
-    decoded = best.select(
-        "train_id",
-        (F.lit(_DECON_ID_SPAN - 1) - F.col("pk") % _DECON_ID_SPAN)
-        .cast("bigint")
-        .alias("eval_id"),
-        (
-            (F.floor(F.col("pk") / _DECON_ID_SPAN).cast("bigint") - 10000) / F.lit(10000.0)
-        ).alias("cos_sim"),
-    )
-    return decoded.where(F.col("cos_sim") >= DECON_MIN_COS)
+def _decon_score_sql() -> str:
+    """Shared argmax + decode + threshold tail over a ``packed``
+    (train_id, pk) CTE, one text so the broadcast and bucketed forms
+    cannot drift. Per-train argmax via MAX(pk) — map-side combine,
+    idempotent to duplicate pair rows (an LSH pair colliding in several
+    tables contributes the same pk each time) — decoded and
+    thresholded."""
+    return f""", best AS (
+    SELECT train_id, MAX(pk) AS pk FROM packed GROUP BY train_id
+),
+decoded AS (
+    SELECT train_id,
+           CAST({_DECON_ID_SPAN - 1} - pk % {_DECON_ID_SPAN} AS BIGINT) AS eval_id,
+           -- 10000.0D: a bare 10000.0 parses as DECIMAL(5,1) in Spark
+           -- SQL and would turn cos_sim into a decimal division; the D
+           -- suffix keeps the DataFrame form's double semantics
+           (CAST(FLOOR(pk / {_DECON_ID_SPAN}) AS BIGINT) - 10000) / 10000.0D AS cos_sim
+    FROM best
+)
+SELECT train_id, eval_id, cos_sim
+FROM decoded WHERE cos_sim >= {DECON_MIN_COS}"""
 
 
 _DECON_EMB_ORACLE = f"""
@@ -2064,43 +2083,51 @@ def _decontaminate_embedding_bucketed(spark, sf_dir) -> DataFrame:
     eval_id) while still skinny, then re-join the session-materialized
     norm view (`_decon_norm_view`) once per side, so each surviving pair
     scores its cosine exactly once instead of once per colliding table
-    (~2.3× at the fixture working point). Never |tr|×|ev| rows
-    materialized, no cross product in the plan (plan-gated in
-    tests/test_plans.py); one base-table scan (the matview build).
+    (~2.3× at the fixture working point; r15 re-measured the tradeoff —
+    dropping the dedup for its Exchange read +0.2-0.25 s min/med
+    interleaved, the duplicate cosines cost more than the skinny shuffle
+    saves, so the dedup stays). Never |tr|×|ev| rows materialized, no
+    cross product in the plan (plan-gated in tests/test_plans.py); one
+    base-table scan (the matview build). r15: rendered as ONE spark.sql
+    text — see `_decontaminate_embedding`; same plan topology, ~0.25 s
+    less per-invocation DataFrame-API/analysis overhead.
     """
-    mv = spark.table(_decon_norm_view(spark, sf_dir))
-    ev = mv.where(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("v").alias("ev"),
-        F.col("nrm").alias("en"),
+    mv = _decon_norm_view(spark, sf_dir)
+    _decon_guard_eval_ids(
+        spark,
+        sf_dir,
+        f"SELECT vec_id AS eval_id FROM {mv} "
+        f"WHERE vec_id % {DECON_EVAL_MOD} = 0",
     )
-    tr = mv.where(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("v").alias("tv"),
-        F.col("nrm").alias("tn"),
-    )
-    _decon_guard_eval_ids(ev)
-
-    def skinny(id_alias: str, pred) -> DataFrame:
-        return (
-            mv.where(pred)
-            .select(F.col("vec_id").alias(id_alias), F.explode("tb").alias("t"))
-            .select(
-                id_alias,
-                F.col("t.tbl").alias("tbl"),
-                F.col("t.bucket").alias("bucket"),
-            )
-        )
-
-    ev_sk = skinny("eval_id", F.col("vec_id") % DECON_EVAL_MOD == 0)
-    tr_sk = skinny("train_id", F.col("vec_id") % DECON_EVAL_MOD != 0)
-    cand = (
-        tr_sk.join(ev_sk, ["tbl", "bucket"])
-        .select("train_id", "eval_id")
-        .dropDuplicates(["train_id", "eval_id"])
-    )
-    pairs = cand.join(tr, "train_id").join(ev, "eval_id")
-    return _decon_flagged(_decon_pk(pairs))
+    return spark.sql(f"""
+WITH ev AS (
+    SELECT vec_id AS eval_id, v AS ev, nrm AS en
+    FROM {mv} WHERE vec_id % {DECON_EVAL_MOD} = 0
+),
+tr AS (
+    SELECT vec_id AS train_id, v AS tv, nrm AS tn
+    FROM {mv} WHERE vec_id % {DECON_EVAL_MOD} != 0
+),
+ev_sk AS (
+    SELECT vec_id AS eval_id, t.tbl AS tbl, t.bucket AS bucket
+    FROM {mv} LATERAL VIEW explode(tb) _x AS t
+    WHERE vec_id % {DECON_EVAL_MOD} = 0
+),
+tr_sk AS (
+    SELECT vec_id AS train_id, t.tbl AS tbl, t.bucket AS bucket
+    FROM {mv} LATERAL VIEW explode(tb) _x AS t
+    WHERE vec_id % {DECON_EVAL_MOD} != 0
+),
+cand AS (
+    SELECT DISTINCT train_id, eval_id
+    FROM tr_sk JOIN ev_sk USING (tbl, bucket)
+),
+packed AS (
+    SELECT train_id, {_DECON_PK_SQL}
+    FROM cand JOIN tr USING (train_id) JOIN ev USING (eval_id)
+)
+{_decon_score_sql()}
+""")
 
 
 def _decon_bucketed_oracle() -> str:

@@ -318,3 +318,46 @@ def test_levenshtein_codepoints_null_and_cap_degrade_to_null(spark):
         f"SELECT {dl.levenshtein_codepoints(at, atb, dl.SPARK)}"
     ).collect()[0][0]
     assert duck == spk == 1, (duck, spk)
+
+
+def test_grid_sum_avg_match_decimal_idiom_on_nulls_and_negatives(spark):
+    """The r15 BIGINT-limb rewrite (gsum/gavg) must be value-identical to
+    the decimal-cast idiom (dsum/davg) it replaced, on exactly the edges
+    the driver fixtures miss: NULL values (the differential generator
+    plants ~3% NULL events.value), an all-NULL group, a single-row group,
+    and negative on-grid values (limb DIV/% identities under truncating
+    division). gavg must keep davg's COUNT(*) divisor — both dialect
+    branches declare sum/COUNT(*) semantics, so 'fixing' either side to
+    COUNT(x) alone would diverge the engines on NULL-bearing seeds."""
+    import duckdb as ddb
+
+    rows = [
+        ("a", 1.5), ("a", None), ("a", -2.25), ("a", 490.1234),
+        ("b", None), ("b", None),          # all-NULL group
+        ("c", 0.0001),                     # single row, smallest grid step
+        ("d", -0.0001), ("d", 123456.789),
+    ]
+    sdf = spark.createDataFrame(rows, "g string, value double")
+    sdf.createOrReplaceTempView("grid_probe")
+    q = (
+        "SELECT g, {gs} AS s, {ga} AS a FROM grid_probe GROUP BY g ORDER BY g"
+    )
+    got = spark.sql(
+        q.format(gs=dl.gsum("value", dl.SPARK), ga=dl.gavg("value", dl.SPARK))
+    ).collect()
+    want_spark = spark.sql(
+        q.format(gs=dl.dsum("value", dl.SPARK), ga=dl.davg("value", dl.SPARK))
+    ).collect()
+    con = ddb.connect()
+    con.execute("CREATE TABLE grid_probe (g VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO grid_probe VALUES (?, ?)", rows)
+    want_duck = con.sql(
+        q.format(gs=dl.dsum("value", dl.DUCK), ga=dl.davg("value", dl.DUCK))
+    ).fetchall()
+    for g, w, wd in zip(got, want_spark, want_duck):
+        assert g[0] == w[0] == wd[0]
+        for i in (1, 2):
+            if w[i] is None:
+                assert g[i] is None and wd[i] is None, (g, w, wd)
+            else:
+                assert g[i] == w[i] == wd[i], (g, w, wd)
