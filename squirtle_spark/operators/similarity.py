@@ -1444,8 +1444,13 @@ def _pq_index_views(
         cent_rows = [
             (r["cell"], list(r["cw"]), sum(x * x for x in r["cw"])) for r in cents
         ]
-        spark.createDataFrame(
-            cent_rows, "cell int, cw array<bigint>, cn2 bigint"
+        # materialize: a bare createDataFrame leaves applySchemaToPythonRDD
+        # lineage, so EVERY search re-runs the Python->JVM row conversion
+        # (a Python worker round-trip per action — r15 probe); checkpointing
+        # pins the 16 rows as JVM blocks once at index build
+        _catalog.materialize(
+            spark,
+            spark.createDataFrame(cent_rows, "cell int, cw array<bigint>, cn2 bigint"),
         ).createOrReplaceTempView(views[2])
         # keep centroids + quantized queries driver-side for coordinator
         # probe routing (_route_probes); the query vectors are quantized
@@ -1465,8 +1470,12 @@ def _pq_index_views(
     )
     cb = spark.sql(train_sql)
     # K*M = 1024 rows — index training, not data-scale; broadcast-joined
-    # into the encode and LUT stages.
-    spark.createDataFrame(cb.collect(), cb.schema).createOrReplaceTempView(views[0])
+    # into the encode and LUT stages. Materialized (JVM blocks): without
+    # it the view scans applySchemaToPythonRDD lineage and every search
+    # pays a Python worker round-trip to re-deserialize the codebook.
+    _catalog.materialize(
+        spark, spark.createDataFrame(cb.collect(), cb.schema)
+    ).createOrReplaceTempView(views[0])
     # materialize the (cell-tagged) code table — the index-persist step;
     # keeps the encode argmin out of search plans. Pinning strategy is
     # the session-wide matview knob (catalog.materialize): local
