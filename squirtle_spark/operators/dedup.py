@@ -968,7 +968,31 @@ shared AS (
 )"""
 
 
-def _dedup_spans(d: str, prologue: str | None = None) -> str:
+def _span_window_pair_sql(doc_filter: str = "TRUE") -> str:
+    """Window-form cross-doc candidate rows: (doc_id, pos, is_keep) for
+    every pos_sh row whose shingle occurs in >= 2 distinct docs, with
+    the corpus-global keeper flag — ONE sh-partitioned window pass over
+    pos_sh instead of the GROUP BY sh aggregate PLUS the pos_sh re-join
+    (guide §2.4: the agg+join shape shuffles the dominant shingle
+    relation by sh TWICE; the window shuffles it once). Spark-side only:
+    the DuckDB oracle keeps the agg+join text, so its green check proves
+    the two forms value-identical; the incremental probe keeps the join
+    form too (its ``shared_m`` is index-merged, not pos_sh-derivable).
+    ``doc_filter`` applies AFTER the window — mn/mx must see the whole
+    corpus, exactly like the corpus-global ``shared`` it replaces."""
+    return f"""(
+        SELECT doc_id, pos, doc_id = mn AS is_keep
+        FROM (SELECT doc_id, pos,
+                     MIN(doc_id) OVER (PARTITION BY sh) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY sh) AS mx
+              FROM pos_sh) m0
+        WHERE mn <> mx AND {doc_filter}
+    )"""
+
+
+def _dedup_spans(
+    d: str, prologue: str | None = None, dup_form: str = "join"
+) -> str:
     """Exact duplicate-SPAN detection (Lee et al., arXiv:2107.06499): for
     every document, how much of it is covered by word {SPAN_W}-grams that
     also occur in at least one OTHER document — the substring-level dedup
@@ -994,12 +1018,18 @@ def _dedup_spans(d: str, prologue: str | None = None) -> str:
     Beyond-parity: the reference engine has no text operators.
     """
     w = SPAN_W
-    return f"""
-WITH {prologue or span_shared_ctes(d)},
-dup AS (
+    if dup_form == "window":
+        dup = f"""dup AS (
+    SELECT doc_id, pos FROM {_span_window_pair_sql()} m
+)"""
+    else:
+        dup = """dup AS (
     SELECT p.doc_id, p.pos
     FROM pos_sh p JOIN shared s ON p.sh = s.sh
-),
+)"""
+    return f"""
+WITH {prologue or span_shared_ctes(d)},
+{dup},
 brk AS (
     SELECT doc_id, pos,
            CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w - 1}
@@ -1026,25 +1056,32 @@ cov AS (
     FROM spans GROUP BY doc_id
 )
 SELECT t.doc_id,
-       {dl.array_len('t.tk', d)} AS n_tokens,
+       t.n_tokens,
        COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(c.dup_tokens, 0) AS dup_tokens,
-       CASE WHEN {dl.array_len('t.tk', d)} = 0 THEN 0.0
+       CASE WHEN t.n_tokens = 0 THEN 0.0
             ELSE ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
-                       / CAST({dl.array_len('t.tk', d)} AS DOUBLE), 4)
+                       / CAST(t.n_tokens AS DOUBLE), 4)
        END AS dup_frac,
-       CASE WHEN {dl.array_len('t.tk', d)} = 0 THEN TRUE
+       CASE WHEN t.n_tokens = 0 THEN TRUE
             ELSE (CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
-                  / CAST({dl.array_len('t.tk', d)} AS DOUBLE)) <= 0.30
+                  / CAST(t.n_tokens AS DOUBLE)) <= 0.30
        END AS gate_pass
-FROM tk t
+-- skinny probe side: the report needs tk's LENGTH, not the token array
+-- — computing it under the join keeps the doc-keyed exchange to
+-- (doc_id, one int) per document (guide §2.3, project before exchange)
+FROM (SELECT doc_id, {dl.array_len('tk', d)} AS n_tokens FROM tk) t
 LEFT JOIN cov c ON t.doc_id = c.doc_id
 """
 
 
 def _dedup_spans_spark(spark, sf_dir) -> DataFrame:
     return spark.sql(
-        _dedup_spans(dl.SPARK, prologue=span_shared_ctes_spark(spark, sf_dir))
+        _dedup_spans(
+            dl.SPARK,
+            prologue=span_shared_ctes_spark(spark, sf_dir),
+            dup_form="window",
+        )
     )
 
 
@@ -1059,7 +1096,9 @@ register_df(
 )
 
 
-def _dedup_span_removal(d: str, prologue: str | None = None) -> str:
+def _dedup_span_removal(
+    d: str, prologue: str | None = None, pair_form: str = "join"
+) -> str:
     """Duplicate-span REMOVAL (Lee et al. arXiv:2107.06499 ExactSubstr):
     the transform that acts on what dedup_spans reports. Every word
     {SPAN_W}-gram occurring in >= 2 documents (case-insensitive match,
@@ -1103,18 +1142,25 @@ def _dedup_span_removal(d: str, prologue: str | None = None) -> str:
     """
     return f"""
 WITH {prologue or span_shared_ctes(d)},
-{_span_removal_core(d, "shared", "TRUE")}
+{_span_removal_core(d, "shared", "TRUE", pair_form=pair_form)}
 """
 
 
-def _span_removal_core(d: str, shared_rel: str, doc_filter: str) -> str:
+def _span_removal_core(
+    d: str, shared_rel: str, doc_filter: str, pair_form: str = "join"
+) -> str:
     """The covered-minus-protected excision + reassembly CTE chain shared
     by the batch transform and the incremental probe — parameterized on
     the ``shared`` relation (corpus-global ``shared`` vs index-merged
     ``shared_m``) and the document subset the transform rewrites (``TRUE``
     for the batch form; the batch split for the incremental probe), the
     _probe_core_sql convention: one text, provably identical logic on
-    both paths."""
+    both paths. ``pair_form="window"`` (Spark corpus-global form only)
+    swaps the candidate-generation subquery for the one-shuffle window
+    pass (_span_window_pair_sql) — only valid when ``shared_rel`` is the
+    corpus-global ``shared``, which the window derives from pos_sh."""
+    if pair_form == "window":
+        assert shared_rel == "shared", "window pair form is corpus-global only"
     fanout_1, _ = dl.pos_shingle_fanout(1, d)
     tok_elem = "element_at(tko, pos)" if d == dl.SPARK else "tko[pos]"
     if d == dl.SPARK:
@@ -1124,6 +1170,15 @@ def _span_removal_core(d: str, shared_rel: str, doc_filter: str) -> str:
         )
     else:
         reassemble = "string_agg(tok, ' ' ORDER BY pos)"
+    if pair_form == "window":
+        pair_sql = _span_window_pair_sql(doc_filter)
+    else:
+        pair_sql = f"""(
+        SELECT p0.doc_id, p0.pos, p0.doc_id = s.keep_doc AS is_keep
+        FROM pos_sh p0
+        JOIN {shared_rel} s ON p0.sh = s.sh
+        WHERE {doc_filter}
+    )"""
     return f"""removed AS (
     -- ONE pass over the dominant shingle-keyed join: a position is
     -- removed iff some shared-shingle occurrence covers it (covered)
@@ -1132,12 +1187,7 @@ def _span_removal_core(d: str, shared_rel: str, doc_filter: str) -> str:
     -- and folded with bool_or instead of running the join + x{SPAN_W}
     -- fan-out twice and anti-joining the twins.
     SELECT p.doc_id, p.pos + off AS tpos
-    FROM (
-        SELECT p0.doc_id, p0.pos, p0.doc_id = s.keep_doc AS is_keep
-        FROM pos_sh p0
-        JOIN {shared_rel} s ON p0.sh = s.sh
-        WHERE {doc_filter}
-    ) p
+    FROM {pair_sql} p
     {dl.lateral_series(SPAN_W, "off", d)}
     GROUP BY p.doc_id, p.pos + off
     HAVING NOT bool_or(is_keep)
@@ -1177,7 +1227,9 @@ LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 def _dedup_span_removal_spark(spark, sf_dir) -> DataFrame:
     return spark.sql(
         _dedup_span_removal(
-            dl.SPARK, prologue=span_shared_ctes_spark(spark, sf_dir)
+            dl.SPARK,
+            prologue=span_shared_ctes_spark(spark, sf_dir),
+            pair_form="window",
         )
     )
 
