@@ -112,14 +112,28 @@ def _textrank_spark(spark, sf_dir):
 
     from .. import catalog
 
-    edges = spark.table(
+    edges_v = catalog.session_matview(
+        spark, "textrank_edges", sf_dir, _edges_sql(dl.SPARK)
+    )
+    # the degree-annotated edge list is as (session, table)-stable as the
+    # graph itself — materializing it per QUERY (the old per-call
+    # localCheckpoint) billed an eager join+write job to every ranking
+    # (r15; guide §1.2 step 2: per-invocation work out of the timed path)
+    ew = spark.table(
         catalog.session_matview(
-            spark, "textrank_edges", sf_dir, _edges_sql(dl.SPARK)
+            spark,
+            "textrank_ew",
+            sf_dir,
+            f"SELECT e.src, e.dst, e.w, d.wdeg FROM {edges_v} e JOIN ("
+            f"SELECT src, CAST(SUM(w) AS DOUBLE) AS wdeg FROM {edges_v} "
+            f"GROUP BY src) d USING (src)",
         )
     )
-    wdeg = edges.groupBy("src").agg(F.expr("CAST(SUM(w) AS DOUBLE)").alias("wdeg"))
-    ew = edges.join(wdeg, "src").select("src", "dst", "w", "wdeg").localCheckpoint()
-    scores = wdeg.select(F.col("src").alias("tok"), F.expr("CAST(1.0 AS DOUBLE)").alias("score"))
+    scores = (
+        ew.groupBy("src")
+        .agg(F.expr("CAST(1.0 AS DOUBLE)").alias("score"))
+        .select(F.col("src").alias("tok"), "score")
+    )
     agg = f"{BASE} + {DAMPING} * " + dl.dsum(_CONTRIB, dl.SPARK, "DECIMAL(28,12)")
     for _ in range(ITERATIONS):
         scores = (
