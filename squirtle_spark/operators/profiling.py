@@ -463,6 +463,50 @@ def _psi_drift(d: str) -> str:
         " * LN((CAST(n_a + 0.5 AS DOUBLE) / CAST(tot_a + {sm} AS DOUBLE))"
         " / (CAST(n_b + 0.5 AS DOUBLE) / CAST(tot_b + {sm} AS DOUBLE)))"
     ).format(sm=f"{0.5 * HIST_N_BINS}")
+    if d == dl.SPARK:
+        # r15 (guide §2.4/§7.2): the shared body references `binned` twice
+        # (grid's DISTINCT types + full_bins) and `full_bins` twice (tot +
+        # final), and Spark inlines multi-referenced CTEs — 4 events scans
+        # and 9 Exchanges in the r14 plan. This branch is a single linear
+        # chain: per-type bin MAP (one agg), per-type grid fan-out off the
+        # map (explode, no join), totals as a window over the fan-out —
+        # 1 scan, 2 Exchanges. Values identical (same counts, same
+        # smoothing, same DECIMAL(28,12) reduce); DuckDB keeps the r14
+        # text (it deduplicates CTEs), so the oracle is unchanged.
+        return f"""
+WITH binned AS (
+    SELECT event_type,
+           {bucket} AS bucket,
+           CAST(COUNT(*) FILTER (WHERE ts <  {split}) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE ts >= {split}) AS BIGINT) AS n_b
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, {bucket}
+),
+typed AS (
+    SELECT event_type,
+           map_from_entries(collect_list(struct(bucket, struct(n_a, n_b)))) AS m
+    FROM binned GROUP BY event_type
+),
+full_bins AS (
+    SELECT event_type,
+           COALESCE(m[bucket].n_a, 0) AS n_a,
+           COALESCE(m[bucket].n_b, 0) AS n_b
+    FROM typed LATERAL VIEW explode(sequence(0, {HIST_N_BINS - 1})) g AS bucket
+),
+wtot AS (
+    SELECT event_type, n_a, n_b,
+           SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+           SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+    FROM full_bins
+)
+SELECT event_type,
+       CAST(ROUND(SUM(CAST({term} AS DECIMAL(28,12))), 6) AS DOUBLE) AS psi,
+       CAST(MAX(tot_a) AS BIGINT) AS n_before,
+       CAST(MAX(tot_b) AS BIGINT) AS n_after
+FROM wtot
+GROUP BY event_type
+"""
     return f"""
 WITH binned AS (
     SELECT event_type,

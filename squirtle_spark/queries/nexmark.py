@@ -114,10 +114,40 @@ def _q5(d: str) -> str:
 
     Window(size=2·slide) ⇒ every bid falls in exactly two hop windows,
     expressed as a union of two slide-aligned buckets for the oracle; the
-    Spark side uses the same arithmetic so both dialects share this body.
+    same bucket arithmetic in both dialects, so the oracle replays the
+    Spark branch's values bit-for-bit.
+
+    Spark branch (r15, guide §2.4/§7.2): Spark inlines multi-referenced
+    CTEs, so the shared UNION ALL + join-on-aggregate body planned FOUR
+    bid scans (2 for the hop fan-out, ×2 because auction_bids feeds both
+    max_bids and the final join). The Spark text fans out the two hop
+    buckets with ONE explode over one scan and takes the per-window max
+    as a window function over the single auction_bids derivation — 1
+    scan, 2 Exchanges, row-identical (num >= MAX(num) OVER (bucket) ≡
+    the join on the grouped max). DuckDB keeps the r14 text (it
+    deduplicates CTEs itself), so the oracle is unchanged.
     """
     b = dl.hop_bucket("b_date_time", HOP_SLIDE_S, d)
     start = dl.ts_from_s(f"(bucket * {HOP_SLIDE_S})", d)
+    if d == dl.SPARK:
+        return f"""
+WITH hopped AS (
+    SELECT auction, {b} - off AS bucket
+    FROM bid LATERAL VIEW explode(array(0, 1)) o AS off
+),
+auction_bids AS (
+    SELECT auction, bucket, COUNT(*) AS num
+    FROM hopped
+    GROUP BY auction, bucket
+),
+winmax AS (
+    SELECT auction, bucket, num,
+           MAX(num) OVER (PARTITION BY bucket) AS maxn
+    FROM auction_bids
+)
+SELECT auction, num, {start} AS starttime
+FROM winmax WHERE num >= maxn
+"""
     return f"""
 WITH hopped AS (
     SELECT auction, {b} AS bucket FROM bid
