@@ -124,8 +124,9 @@ def _rollup_multires(d: str) -> str:
     per-type counts/sums at HOUR grain, with the DAY grain re-aggregated
     from the hour partials rather than the raw stream — the hierarchical
     re-aggregation that makes multi-grain dashboards affordable at 100 TB
-    (the day branch aggregates 24x fewer rows, and Spark's ReuseExchange
-    shares the hourly shuffle between the two output branches). Sums ride
+    (the day branch aggregates 24x fewer rows; the Spark branch below
+    derives both grains from ONE hourly pass — ReuseExchange does NOT in
+    fact fire across the Union's branches, r15 plan audit). Sums ride
     DECIMAL so re-aggregated partials are exactly associative — the same
     totals in any grouping order, which also makes the day==sum(hours)
     invariant bitwise checkable.
