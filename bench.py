@@ -1258,6 +1258,17 @@ _ADJUDICATIONS: dict[str, str] = {
         "stateless broadcast-join lane. Watch: if a settled r16 run "
         "still reads >2.1s, profile the file-source listing path."
     ),
+    "r15 win_analytics drift (win_analytics)": (
+        "Adjudicated ENVIRONMENT: the final r15 settled record stamps "
+        "win_analytics 'regressed-same-plan' (+24.9% vs r14's 0.205s) "
+        "with an IDENTICAL plan fingerprint and zero r15 commits "
+        "touching queries/windows.py. The same record reads a median "
+        "+16.5% across ALL 48 queries vs the same-HEAD-class settled "
+        "run earlier the same day (15.798s total; even the untouched "
+        "tpch_q6 canary-class query read +21%) - uniform same-plan "
+        "elevation is session scatter, not code. Watch: if the r16 "
+        "settled run still reads >0.24s, re-time in isolation."
+    ),
     "r15 q4 lane profile (q4_full_query)": (
         "VERDICT r14 #5 adjudicated STRUCTURAL: profiling attributed "
         "the lane's floor to fixed per-store commit overhead - 6 state "
