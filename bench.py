@@ -189,6 +189,27 @@ def _prev_record(sf: float) -> tuple[int, dict, dict, dict, dict, int]:
 FINGERPRINT_VERSION = 4
 
 
+def _canary_p50_ratio(canary: "Canary", sf: float) -> float | None:
+    """This run's canary p50 over the drift baseline record's canary p50
+    (same prior-record selection rule as _prev_record: newest same-sf
+    BENCH_DETAIL of an earlier round), or None when no prior record
+    carries a canary p50. See the stamp's comment at the call site."""
+    cur = _round_number()
+    p50 = canary.stats(0).get("p50_sec")
+    if not p50:
+        return None
+    for rnd, f in reversed(_rounds_glob("BENCH_DETAIL_r*.json")):
+        if rnd >= cur:
+            continue
+        try:
+            d = json.load(open(f))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if d.get("sf") == sf and d.get("canary", {}).get("p50_sec"):
+            return round(p50 / d["canary"]["p50_sec"], 3)
+    return None
+
+
 def _plan_fingerprint(df) -> dict:
     """Stable hashes of the physical plan, ephemeral ids stripped —
     returns ``{"v2", "v3", "v4", "has_gid"}`` (v4 is the canonical
@@ -709,6 +730,15 @@ def main() -> None:
         "index_fingerprints": aux_fps,
         "drift": drift,
         "canary": canary.stats(total_reruns),
+        # Throughput-floor ratio vs the drift baseline's record: the
+        # r15 final records read settled by loadavg (host_settled=true)
+        # yet uniformly +10-18% slower, with the canary p50 at
+        # 0.082-0.084 vs 0.063-0.071 in fast sessions — the degradation
+        # the load average cannot see (thermal/steal). This stamp makes
+        # it machine-visible: a ratio well above 1 alongside uniform
+        # regressed-same-plan rows reads ENVIRONMENT, not code. Data
+        # for adjudication, deliberately NOT an auto-acquittal.
+        "canary_p50_vs_prev": _canary_p50_ratio(canary, sf),
         "streaming": streaming_stats,
         "host_load": {
             "start": load_start,
@@ -1257,6 +1287,21 @@ _ADJUDICATIONS: dict[str, str] = {
         "does not speed up two stateful lanes while slowing the "
         "stateless broadcast-join lane. Watch: if a settled r16 run "
         "still reads >2.1s, profile the file-source listing path."
+    ),
+    "r15 closing-record uniform drift (bm25_topk, bpe_train_merges, "
+    "dedup_exact, pii_scan, win_analytics, win_session, win_tumbling)": (
+        "Adjudicated ENVIRONMENT: the closing r15 record (18.673s) "
+        "stamps 7 queries regressed-same-plan - every one with an "
+        "IDENTICAL plan fingerprint and UNTOUCHED source this round - "
+        "while its canary p50 reads 0.084s vs 0.063-0.071s in the "
+        "round's fast sessions (r14 baseline 0.071) and the whole-run "
+        "median sits +16% above the same-HEAD-class 15.798s record. "
+        "Uniform same-fingerprint elevation tracking the canary floor "
+        "is host throughput degradation the loadavg settle gate cannot "
+        "see; the canary_p50_vs_prev stamp added this round makes the "
+        "class machine-visible in future records. Watch: any of the 7 "
+        "still >DRIFT_TOLERANCE in a r16 record whose canary ratio is "
+        "~1.0 is a real regression."
     ),
     "r15 win_analytics drift (win_analytics)": (
         "Adjudicated ENVIRONMENT: the final r15 settled record stamps "

@@ -441,3 +441,29 @@ def test_round_flag_rejects_missing_or_bad_value(monkeypatch):
     monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--round", "abc"])
     with pytest.raises(SystemExit, match="--round requires an integer"):
         bench._round_number()
+
+
+def test_canary_p50_ratio_reads_prior_record_and_handles_missing():
+    """The r15 throughput-floor stamp: ratio of this run's canary p50 to
+    the drift baseline record's, using _prev_record's selection rule
+    (newest same-sf, earlier-round BENCH_DETAIL). A degraded host reads
+    well above 1.0 even when loadavg says settled — the class the r15
+    closing record exhibited (p50 0.084 vs 0.063-0.071)."""
+
+    class _FakeCanary:
+        def __init__(self, p50):
+            self._p50 = p50
+
+        def stats(self, reruns):
+            return {"p50_sec": self._p50}
+
+    # the repo carries a real prior-round sf0.1 record with a canary p50
+    ratio = bench._canary_p50_ratio(_FakeCanary(0.084), sf=0.1)
+    assert ratio is not None and ratio > 0
+    # ratio is literally p50 / prior-record p50
+    prior = 0.084 / ratio
+    assert 0.01 < prior < 1.0
+    # no prior record at a never-benched sf -> None, not a crash
+    assert bench._canary_p50_ratio(_FakeCanary(0.084), sf=123.456) is None
+    # a canary with no samples (p50 absent/zero) -> None
+    assert bench._canary_p50_ratio(_FakeCanary(0.0), sf=0.1) is None
