@@ -74,10 +74,13 @@ def test_round_number_is_stable_across_same_round_reruns():
     here = os.path.dirname(os.path.abspath(bench.__file__))
 
     def newest(pat):
-        return max(
-            int(re.search(r"_r(\d+)\.json$", f).group(1))
+        # skip names the round regex doesn't match (e.g. the r15 8-core
+        # record BENCH_r15_c8.json), mirroring bench._rounds_glob
+        matches = (
+            re.search(r"_r(\d+)\.json$", f)
             for f in glob.glob(os.path.join(here, pat))
         )
+        return max(int(m.group(1)) for m in matches if m)
 
     rnd = bench._round_number()
     assert rnd == max(newest("CORRECTNESS_r*.json") + 1, newest("BENCH_r*.json"))
