@@ -372,19 +372,27 @@ def _measure_query(spark, q, sf_dir: str, canary: Canary) -> tuple[float, dict]:
     reruns = 0
     while True:
         window = [canary.sample()]
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            reps.append(time.perf_counter() - t0)
             window.append(canary.sample())
+        best = min(reps)
         clean = canary.clean(window)
         if clean or reruns >= MAX_RERUNS_PER_QUERY:
             return best, {
                 "reruns": reruns,
                 "window_max_sec": round(max(window), 4),
                 "dirty": not clean,
+                # Build-vs-probe visibility (VERDICT r15 #5): rep 1 of a
+                # session pays any matview/index build the query's first
+                # touch triggers; min amortizes it out. Recording every
+                # rep keeps index-build regressions visible without
+                # changing the headline metric (still min-of-3).
+                "reps_sec": [round(r, 3) for r in reps],
+                "first_rep_sec": round(reps[0], 3),
             }
         reruns += 1
 
@@ -1292,16 +1300,28 @@ _ADJUDICATIONS: dict[str, str] = {
     "dedup_exact, pii_scan, win_analytics, win_session, win_tumbling)": (
         "Adjudicated ENVIRONMENT: the closing r15 record (18.673s) "
         "stamps 7 queries regressed-same-plan - every one with an "
-        "IDENTICAL plan fingerprint and UNTOUCHED source this round - "
-        "while its canary p50 reads 0.084s vs 0.063-0.071s in the "
-        "round's fast sessions (r14 baseline 0.071) and the whole-run "
-        "median sits +16% above the same-HEAD-class 15.798s record. "
+        "IDENTICAL plan fingerprint - while its canary p50 reads "
+        "0.084s vs 0.063-0.071s in the round's fast sessions (r14 "
+        "baseline 0.071) and the whole-run median sits +16% above the "
+        "same-HEAD-class 15.798s record. CORRECTION (r16, VERDICT r15 "
+        "item 1): the original row ALSO claimed all 7 had 'UNTOUCHED "
+        "source this round' - overstated for win_session and "
+        "win_tumbling, whose file lines e24de77 did touch (dsum->gsum "
+        "in their oracle bodies). r16 re-derivation proves the touch "
+        "changed NOTHING EXECUTED: gsum(x, DUCK) renders byte-equal to "
+        "dsum(x, DUCK) (dialect.py - asserted in test_bench_helpers), "
+        "both queries' _win_*_oracle(DUCK) texts render byte-identical "
+        "at e24de77^ vs HEAD, and the benched Spark forms are "
+        "DataFrames (_win_session_df/_win_tumbling_df) the commit's "
+        "diff never touches - consistent with the identical plan "
+        "fingerprints. The executed-query-untouched conclusion (and "
+        "the ENVIRONMENT verdict) stands on that corrected basis. "
         "Uniform same-fingerprint elevation tracking the canary floor "
         "is host throughput degradation the loadavg settle gate cannot "
-        "see; the canary_p50_vs_prev stamp added this round makes the "
-        "class machine-visible in future records. Watch: any of the 7 "
-        "still >DRIFT_TOLERANCE in a r16 record whose canary ratio is "
-        "~1.0 is a real regression."
+        "see; the canary_p50_vs_prev stamp makes the class "
+        "machine-visible. Watch: any of the 7 still >DRIFT_TOLERANCE "
+        "in a r16 record whose canary ratio is ~1.0 is a real "
+        "regression."
     ),
     "r15 win_analytics drift (win_analytics)": (
         "Adjudicated ENVIRONMENT: the final r15 settled record stamps "

@@ -390,4 +390,8 @@ register_df(
     oracle_body=_SEMDEDUP_ORACLE,
     doc="SemDeDup: k-means-cluster-scoped cosine near-dup pruning over "
     "embeddings (pairs bounded by cluster size, keep-lowest-id survivor).",
+    # benched from r16 (VERDICT r15 #3): the heaviest LLM-pipeline
+    # operator (r15's largest win, 7.68->1.77 s warm) was invisible to
+    # the driver's numbers without this.
+    bench=True,
 )

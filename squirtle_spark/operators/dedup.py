@@ -1241,6 +1241,10 @@ register_df(
     doc="ExactSubstr span removal (Lee et al.): excise cross-doc duplicated "
     f"{SPAN_W}-gram spans everywhere but a canonical doc, reassemble text "
     "in token order; emits per-doc kept/removed counts + cleaned text.",
+    # benched from r16 (VERDICT r15 #3): the span-removal transform is
+    # the heavy half of the span family (reassembly-dominated) and was
+    # only wall-timed via ad-hoc A/Bs before.
+    bench=True,
 )
 
 

@@ -320,6 +320,17 @@ def test_levenshtein_codepoints_null_and_cap_degrade_to_null(spark):
     assert duck == spk == 1, (duck, spk)
 
 
+def test_gsum_gavg_duck_branch_byte_identical_to_dsum_davg():
+    """gsum/gavg's DuckDB branch must render BYTE-identical to dsum/davg:
+    the r15 dsum->gsum call-site swaps (e.g. windows.py oracle bodies)
+    are provably no-ops on the oracle side only while this holds — the
+    r16 adjudication of the win_session/win_tumbling drift rows cites
+    this invariant (bench._ADJUDICATIONS 'r15 closing-record')."""
+    for x in ("value", "l_extendedprice * (1 - l_discount)"):
+        assert dl.gsum(x, dl.DUCK) == dl.dsum(x, dl.DUCK)
+        assert dl.gavg(x, dl.DUCK) == dl.davg(x, dl.DUCK)
+
+
 def test_grid_sum_avg_match_decimal_idiom_on_nulls_and_negatives(spark):
     """The r15 BIGINT-limb rewrite (gsum/gavg) must be value-identical to
     the decimal-cast idiom (dsum/davg) it replaced, on exactly the edges
