@@ -105,31 +105,176 @@ def _emb_view(spark, sf_dir) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow batch kernel for the brute-force pair scans (guide §4.2): the
+# per-pair ``aggregate(zip_with(...))`` dot is CodegenFallback —
+# interpreted per row per pair — and unrolling it was measured 2x worse
+# (see unrolled_fold). The scale-correct form hands whole candidate
+# batches to NumPy: one (batch x queries) matmul per Arrow batch replaces
+# |batch|·|queries| interpreted 64-term folds. The query block is bounded
+# (|queries| = N_QUERIES = 10) and cached per (app, session, sf_dir) like
+# _PQ_QUERIES — the same driver-side probe-routing lifecycle r14
+# sanctioned for the IVF index (nothing persists across sessions; the
+# catalog invalidation hook clears it).
+#
+# Value contract: the kernel emits the RAW double cosine (dot / (qn·cn));
+# the JVM applies the SAME ``F.round(·, 4)`` the expression form used, so
+# the only divergence window is the dot's float accumulation order
+# (NumPy pairwise vs the fold's left-to-right) — beneath the declared
+# 4-decimal rounding exactly as DuckDB's own accumulation order already
+# is. IEEE edge parity is preserved: 0/0 → NaN and x/0 → ±Inf in both
+# engines, NULL/ragged vectors score NULL (matching zip_with's NULL
+# propagation).
+# ---------------------------------------------------------------------------
+
+_BRUTE_Q: dict[tuple, tuple] = {}
+
+
+def _invalidate_brute_queries(spark) -> None:
+    """catalog.invalidate() hook: drop this session's cached query block
+    (same reason as _invalidate_pq_index — a same-path parquet rewrite
+    leaves the cache key unchanged)."""
+    for key in [k for k in _BRUTE_Q if k[1] == id(spark)]:
+        _BRUTE_Q.pop(key)
+
+
+_catalog.register_invalidation_hook(_invalidate_brute_queries)
+
+
+def _brute_query_block(spark, sf_dir):
+    """(q_ids int64[Q], Q float64[Q,dim], qn float64[Q]) of the bounded
+    query set (vec_id < N_QUERIES), collected once per (app, session,
+    sf_dir) off the embedding matview; None if any query row is NULL or
+    ragged (callers then fall back to the expression kernel, whose
+    zip_with NULL propagation defines the semantics for that case)."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if key not in _BRUTE_Q:
+        rows = (
+            spark.table(_emb_view(spark, sf_dir))
+            .where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "v", "nrm")
+            .collect()
+        )
+        rows.sort(key=lambda r: r[0])
+        if any(r[1] is None or len(r[1]) != EMB_DIM or r[2] is None for r in rows):
+            _BRUTE_Q[key] = None
+        else:
+            _BRUTE_Q[key] = (
+                np.array([r[0] for r in rows], dtype=np.int64),
+                np.array([r[1] for r in rows], dtype=np.float64),
+                np.array([r[2] for r in rows], dtype=np.float64),
+            )
+    return _BRUTE_Q[key]
+
+
+def _brute_pair_scores_arrow(
+    candidates: DataFrame, q_ids, qm, qn, labeled: bool
+) -> DataFrame:
+    """(q_id, c_id[, c_label], cos_raw) for every candidate × query pair
+    via mapInArrow + NumPy matmul. ``candidates`` must be exactly
+    (c_id, cv, cn[, c_label]) — project before calling (guide §4.1:
+    opaque functions defeat column pruning)."""
+    dim = qm.shape[1]
+    nq = len(q_ids)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            cid = b.column("c_id").to_numpy(zero_copy_only=False)
+            cn_col = b.column("cn")
+            cn = cn_col.to_numpy(zero_copy_only=False)
+            arr = b.column("cv")
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            # NULL cn/cv or ragged cv scores NULL (zip_with semantics);
+            # a NaN that is PRESENT flows through the division to NaN,
+            # exactly as the JVM expression does — so gate on nullness,
+            # not isnan.
+            cn_null = cn_col.is_null().to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                good = (~cn_null) & (lens == dim)
+            if good.all():
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                C = flat.reshape(n, dim)
+            else:
+                C = np.zeros((n, dim), dtype=np.float64)
+                lists = arr.to_pylist()
+                for i in range(n):
+                    if good[i]:
+                        C[i] = lists[i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (C @ qm.T) / (cn[:, None] * qn[None, :])
+            valid = np.repeat(good, nq)
+            cols = {
+                "q_id": pa.array(np.tile(q_ids, n)),
+                "c_id": pa.array(np.repeat(cid, nq)),
+                "cos_raw": pa.array(
+                    cos.reshape(-1), mask=~valid if not good.all() else None
+                ),
+            }
+            if labeled:
+                cols["c_label"] = b.column("c_label").take(
+                    pa.array(np.repeat(np.arange(n), nq))
+                )
+            yield pa.RecordBatch.from_arrays(
+                list(cols.values()), list(cols.keys())
+            )
+
+    schema = "q_id bigint, c_id bigint, cos_raw double"
+    if labeled:
+        schema += ", c_label int"
+    return candidates.mapInArrow(kernel, schema)
+
+
 def _ann_brute(spark, sf_dir) -> DataFrame:
     emb = spark.table(_emb_view(spark, sf_dir))
-    q = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .where(F.col("nrm") > 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
+    block = _brute_query_block(spark, sf_dir)
+    if block is not None:
+        q_ids, qm, qn = block
+        mask = qn > 0  # same nrm > 0 gate the expression form applies
+        c = emb.where(F.col("nrm") > 0).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
         )
-    )
-    c = emb.where(F.col("nrm") > 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+        scored = (
+            _brute_pair_scores_arrow(
+                c, q_ids[mask], qm[mask], qn[mask], labeled=False
+            )
+            .where(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"))
         )
-    )
+    else:
+        q = (
+            emb.where(F.col("vec_id") < N_QUERIES)
+            .where(F.col("nrm") > 0)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            )
+        )
+        c = emb.where(F.col("nrm") > 0).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id",
+                "c_id",
+                F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
+            )
+        )
     w = "(PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"
     return (
         scored.withColumn("rank", F.expr(f"ROW_NUMBER() OVER {w}"))
@@ -624,31 +769,40 @@ def _knn_classify(spark, sf_dir) -> DataFrame:
     joins above — the vote/ranking pipeline is unchanged.
     """
     emb = spark.table(_emb_view(spark, sf_dir))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-        F.col("label").alias("c_label"),
-    )
-    neigh = (
-        c.crossJoin(F.broadcast(q))
-        .select(
+    block = _brute_query_block(spark, sf_dir)
+    if block is not None:
+        q_ids, qm, qn = block  # kNN applies no norm gate — NaN/Inf flow as IEEE
+        c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.col("label").alias("c_label"),
+        )
+        scored = _brute_pair_scores_arrow(c, q_ids, qm, qn, labeled=True).select(
+            "q_id", "c_id", "c_label", F.round("cos_raw", 4).alias("cos_sim")
+        )
+    else:
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.col("label").alias("c_label"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
             "q_id",
             "c_id",
             "c_label",
             F.round(_cosine_nrm("qv", "cv", "qn", "cn"), 4).alias("cos_sim"),
         )
-        .withColumn(
-            "rank",
-            F.expr("ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"),
-        )
-        .where(F.col("rank") <= TOP_K)
-    )
+    neigh = scored.withColumn(
+        "rank",
+        F.expr("ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)"),
+    ).where(F.col("rank") <= TOP_K)
     votes = neigh.groupBy("q_id", "c_label").agg(F.count("*").alias("votes"))
     return (
         votes.withColumn(
