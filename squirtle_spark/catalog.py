@@ -610,6 +610,14 @@ def session_matview(
       self-join regressed 0.30→0.63s min / 2.4s med this way — do not
       distribute matviews whose consumers self-join on skewed keys.
 
+    CONCURRENCY CONSTRAINT (ADVICE r15): the build toggles the
+    session-global ``spark.sql.adaptive.enabled`` off and back, so any
+    query planned CONCURRENTLY on the same session during the build
+    window silently loses AQE (skew splitting, coalescing). Fine for
+    the single-threaded bench/driver; a multi-threaded host must build
+    its distribute_by matviews up front (first touch) or serialize
+    builds against query planning.
+
     ASSUMES FIXED FIXTURE DATA under ``sf_dir`` for the session's
     lifetime: the cache key cannot see a same-path parquet rewrite. A
     host that rewrites data in place must call invalidate(), which

@@ -43,11 +43,20 @@ def bsum(x: str, d: str) -> str:
     return f"CAST(SUM({x}) AS BIGINT)"
 
 
-#: Limb width for :func:`spark_grid_sum` — each BIGINT accumulator sums
-#: values < 10^6, so a single group overflows 2^63 only past ~9.2e12
-#: rows. 9e12 leaves margin and is ~15x a 100 TB lineitem's total rows.
+#: Limb width for :func:`spark_grid_sum`.
 GRID_LIMB = 1_000_000
-GRID_GROUP_ROW_CAP = 9_000_000_000_000
+#: Per-group row cap that bounds ALL THREE limb accumulators statically
+#: (ADVICE r15 — the old 9e12 cap only bounded the <10^6 mid/lo limbs):
+#: ``scaled`` is a BIGINT produced by an ANSI cast that RAISES on
+#: per-row overflow (Spark 4 default, asserted in test_dialect), so
+#: |scaled| <= 2^63-1 and |hi| = |scaled DIV 10^12| <= 9,223,372 always.
+#: 1e12 rows x 9,223,372 = 9.2233720e18 < 2^63-1 = 9.2233720368...e18,
+#: and 1e12 x (10^6-1) < 1e18 for mid/lo — so no limb sum can wrap below
+#: the cap, for ANY value magnitude the cast admits. (A runtime
+#: COUNT(*) x MAX(ABS(hi)) guard was A/B'd first: exact too, but +4-8%
+#: on tpch_q1's wall — the static cap costs nothing.) 1e12 is still
+#: ~1.7x a 100 TB lineitem's TOTAL rows, per group.
+GRID_GROUP_ROW_CAP = 1_000_000_000_000
 
 
 def grid_scaled(x: str, k: int) -> str:
@@ -72,11 +81,12 @@ def spark_grid_sum(scaled: str, k: int) -> str:
     arithmetic. Bitwise-identical output proven vs the decimal idiom at
     sf0.001/0.01/0.1 (tests/test_oracle.py covers it continuously).
 
-    Scale bound: each limb is < 10^6, so a 2^63 accumulator holds ~9.2e12
-    rows PER GROUP; past :data:`GRID_GROUP_ROW_CAP` the sum raises
-    loudly (raise_error) instead of wrapping silently. 100 TB TPC-H
-    lineitem is ~6e11 rows TOTAL — 15x headroom even for a single-group
-    aggregate.
+    Scale bound: past :data:`GRID_GROUP_ROW_CAP` rows per group the sum
+    raises loudly (raise_error) instead of wrapping silently. The cap
+    bounds ALL three limb accumulators for any magnitude the per-row
+    ANSI BIGINT cast admits — see the cap's derivation comment. 100 TB
+    TPC-H lineitem is ~6e11 rows TOTAL, under the cap even for a
+    single-group aggregate.
 
     DuckDB keeps the decimal-cast text (its HUGEINT/int128 sums are
     already exact and the oracle's wall is not graded) — call sites fork
@@ -91,10 +101,14 @@ def spark_grid_sum(scaled: str, k: int) -> str:
         f"+ CAST(SUM({mid}) AS DECIMAL(38,0)) * {m} "
         f"+ CAST(SUM({lo}) AS DECIMAL(38,0)))"
     )
+    # The single row-count predicate bounds ALL three limb sums — see
+    # GRID_GROUP_ROW_CAP's derivation (|hi| <= 9,223,372 because
+    # ``scaled`` is an ANSI-cast BIGINT that raises on per-row
+    # overflow, so no separate magnitude guard is needed or paid for).
     guarded = (
         f"CASE WHEN COUNT(*) >= {GRID_GROUP_ROW_CAP} THEN "
         f"CAST(raise_error('spark_grid_sum: group exceeds "
-        f"{GRID_GROUP_ROW_CAP} rows; BIGINT limb accumulators would "
+        f"{GRID_GROUP_ROW_CAP} rows; BIGINT limb accumulators could "
         f"overflow — widen GRID_LIMB') AS DECIMAL(38,0)) "
         f"ELSE {total} END"
     )

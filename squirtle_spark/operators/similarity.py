@@ -2067,6 +2067,20 @@ packed AS (
 _DECON_GUARD_OK: set[tuple[str, str]] = set()
 
 
+def _invalidate_decon_guard(spark) -> None:
+    """catalog.invalidate() hook (ADVICE r15): a same-session in-place
+    parquet rewrite leaves the (applicationId, sf_dir) memo key
+    unchanged, so without this the 32-bit pack-slot guard would be
+    silently skipped for the rewritten data. Conservatively drops every
+    memo of this application (newSession shares the applicationId)."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _DECON_GUARD_OK if k[0] == app]:
+        _DECON_GUARD_OK.discard(key)
+
+
+_catalog.register_invalidation_hook(_invalidate_decon_guard)
+
+
 def _decon_guard_eval_ids(spark, sf_dir: str, ev_ids_sql: str) -> None:
     """Fail loudly if an eval id would overflow the 32-bit pack slot.
 

@@ -446,12 +446,19 @@ def test_round_flag_rejects_missing_or_bad_value(monkeypatch):
         bench._round_number()
 
 
-def test_canary_p50_ratio_reads_prior_record_and_handles_missing():
+def test_canary_p50_ratio_reads_prior_record_and_handles_missing(
+    tmp_path, monkeypatch
+):
     """The r15 throughput-floor stamp: ratio of this run's canary p50 to
     the drift baseline record's, using _prev_record's selection rule
     (newest same-sf, earlier-round BENCH_DETAIL). A degraded host reads
     well above 1.0 even when loadavg says settled — the class the r15
-    closing record exhibited (p50 0.084 vs 0.063-0.071)."""
+    closing record exhibited (p50 0.084 vs 0.063-0.071).
+
+    Hermetic (ADVICE r15): a synthetic prior-round record in a tmp dir
+    via a monkeypatched _rounds_glob, so pruning historical artifacts or
+    running pytest from another cwd can't break the test."""
+    import json
 
     class _FakeCanary:
         def __init__(self, p50):
@@ -460,12 +467,22 @@ def test_canary_p50_ratio_reads_prior_record_and_handles_missing():
         def stats(self, reruns):
             return {"p50_sec": self._p50}
 
-    # the repo carries a real prior-round sf0.1 record with a canary p50
-    ratio = bench._canary_p50_ratio(_FakeCanary(0.084), sf=0.1)
-    assert ratio is not None and ratio > 0
-    # ratio is literally p50 / prior-record p50
-    prior = 0.084 / ratio
-    assert 0.01 < prior < 1.0
+    prior = tmp_path / "BENCH_DETAIL_r07.json"
+    prior.write_text(json.dumps({"sf": 0.1, "canary": {"p50_sec": 0.07}}))
+    current = tmp_path / "BENCH_DETAIL_r08.json"  # own-round: must be skipped
+    current.write_text(json.dumps({"sf": 0.1, "canary": {"p50_sec": 0.5}}))
+
+    def fake_glob(pattern):
+        if pattern.startswith("BENCH_DETAIL"):
+            return [(7, str(prior)), (8, str(current))]
+        return []
+
+    monkeypatch.setattr(bench, "_rounds_glob", fake_glob)
+    monkeypatch.setattr(bench, "_round_number", lambda: 8)
+    # ratio is literally p50 / prior-record p50 (own-round record ignored)
+    assert bench._canary_p50_ratio(_FakeCanary(0.084), sf=0.1) == round(
+        0.084 / 0.07, 3
+    )
     # no prior record at a never-benched sf -> None, not a crash
     assert bench._canary_p50_ratio(_FakeCanary(0.084), sf=123.456) is None
     # a canary with no samples (p50 absent/zero) -> None

@@ -331,6 +331,44 @@ def test_gsum_gavg_duck_branch_byte_identical_to_dsum_davg():
         assert dl.gavg(x, dl.DUCK) == dl.davg(x, dl.DUCK)
 
 
+def test_grid_sum_row_cap_bounds_every_limb_and_fires(spark, monkeypatch):
+    """ADVICE r15: the old 9e12 row cap only bounded the <10^6 mid/lo
+    limbs — the hi limb scales with per-row magnitude. The fix is a
+    STATIC bound, not a runtime guard (a COUNT(*) x MAX(ABS(hi)) guard
+    A/B'd +4-8% on tpch_q1): |hi| <= (2^63-1) DIV 10^12 because
+    ``scaled`` is an ANSI BIGINT cast that raises per row, so
+    GRID_GROUP_ROW_CAP = 1e12 bounds all three limb sums. This test
+    pins the three premises: the arithmetic, the ANSI raise, and the
+    cap predicate actually firing."""
+    import pytest
+
+    # 1. the static arithmetic that makes the cap sufficient
+    hi_max = ((1 << 63) - 1) // (dl.GRID_LIMB * dl.GRID_LIMB)
+    assert dl.GRID_GROUP_ROW_CAP * hi_max < (1 << 63) - 1
+    assert dl.GRID_GROUP_ROW_CAP * (dl.GRID_LIMB - 1) < (1 << 63) - 1
+
+    # 2. the per-row cast raises (ANSI), it does not wrap — the premise
+    #    that bounds |scaled| and hence |hi|
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        spark.sql(f"SELECT {dl.grid_scaled('1e19', 4)}").collect()
+
+    # 3. the cap predicate fires (cap lowered so 2 rows trip it)
+    sdf = spark.createDataFrame([("a", 1.5), ("a", 2.5)], "g string, value double")
+    sdf.createOrReplaceTempView("cap_probe")
+    monkeypatch.setattr(dl, "GRID_GROUP_ROW_CAP", 2)
+    lowered = dl.gsum("value", dl.SPARK)
+    monkeypatch.undo()
+    with pytest.raises(Exception, match="spark_grid_sum"):
+        spark.sql(f"SELECT g, {lowered} AS s FROM cap_probe GROUP BY g").collect()
+    ok = spark.sql(
+        "SELECT g, {} AS s FROM cap_probe GROUP BY g".format(
+            dl.gsum("value", dl.SPARK)
+        )
+    ).collect()
+    assert float(ok[0]["s"]) == 4.0
+
+
 def test_grid_sum_avg_match_decimal_idiom_on_nulls_and_negatives(spark):
     """The r15 BIGINT-limb rewrite (gsum/gavg) must be value-identical to
     the decimal-cast idiom (dsum/davg) it replaced, on exactly the edges
