@@ -1005,7 +1005,7 @@ def _bpe_words0(d: str) -> str:
     return f"SELECT ' ' || {chars} || ' ' AS s, wn FROM ({counts}) base"
 
 
-def _bpe_train_merges(d: str, w0_src: str | None = None) -> str:
+def _bpe_train_merges(d: str, w0_src: str | None = None, k: int = BPE_TRAIN_K) -> str:
     """BPE tokenizer TRAINING, {BPE_TRAIN_K} merges unrolled in one plan
     (Sennrich et al. 2016 §3.2): start from character symbols, then per
     round: count adjacent symbol pairs corpus-wide -> take the most
@@ -1034,7 +1034,7 @@ def _bpe_train_merges(d: str, w0_src: str | None = None) -> str:
     words0 = w0_src if w0_src is not None else _bpe_words0(d)
     fanout, one = dl.pos_shingle_fanout(2, d)
     rounds = []
-    for r in range(1, BPE_TRAIN_K + 1):
+    for r in range(1, k + 1):
         prev = "w0" if r == 1 else f"w{r - 1}"
         rounds.append(f"""
         cnt{r} AS (
@@ -1059,7 +1059,7 @@ def _bpe_train_merges(d: str, w0_src: str | None = None) -> str:
         )""")
     finals = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, pair, merged, n FROM best{r}"
-        for r in range(1, BPE_TRAIN_K + 1)
+        for r in range(1, k + 1)
     )
     return f"""
 WITH w0 AS ({words0}),
@@ -1097,6 +1097,80 @@ register_df(
     "recount; winners reflect prior rounds' merges.",
     bench=True,
 )
+
+
+#: Merge count above which :func:`bpe_train_merges_at` switches from the
+#: single-plan unrolled form to the per-round checkpointed (stepped)
+#: form. The unrolled chain references each round's corpus twice (next
+#: round's pair count AND the merge application), and Spark inlines
+#: multi-referenced CTEs, so the plan carries ~2^K-1 count/argmax legs —
+#: fine at the declared K=3 (7 legs; stepped measured +19% at bench
+#: fixture scale, r15 §19, and a wash at 10x), super-exponential soon
+#: after. Measured on the 10x stress corpus, min-of-3 warm per fresh
+#: session (OPTIMIZATION_r16.md): K=3 unrolled 0.865s vs stepped 0.870s
+#: (wash); K=4 1.346 vs 1.138 (-15%); K=5 1.864 vs 1.350 (-28%);
+#: K=6 2.613 vs 1.322 (-49%) — the crossover is at K=4, so 3 is the
+#: last unrolled K.
+BPE_STEPPED_K_THRESHOLD = 3
+
+
+def bpe_train_merges_at(spark, sf_dir, k: int = BPE_TRAIN_K, form: str = "auto"):
+    """BPE training at an arbitrary merge count ``k`` — the scale form of
+    the registered ``bpe_train_merges`` entry (which stays the declared
+    K=3 unrolled plan, byte-identical oracle; this is the
+    ``ann_ivfpq_topk_at`` pattern for tokenizer training).
+
+    ``form``: "unrolled" (one Catalyst plan, zero driver round-trips,
+    ~2^k-1 legs), "stepped" (per-round localCheckpoint, linear in k, one
+    1-row argmax collect per round — the only viable shape at
+    vocabulary-scale K), or "auto" (stepped past
+    :data:`BPE_STEPPED_K_THRESHOLD`). Both forms emit the identical
+    (merge_rank, pair, merged, n) rows — asserted in tests/test_analytics
+    at a K above and below the threshold."""
+    if form == "auto":
+        form = "stepped" if k > BPE_STEPPED_K_THRESHOLD else "unrolled"
+    if form == "unrolled":
+        return spark.sql(
+            _bpe_train_merges(dl.SPARK, w0_src=_bpe_w0_src(spark, sf_dir), k=k)
+        )
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+
+    view = catalog.session_matview(spark, "bpe_w0", sf_dir, _bpe_words0(dl.SPARK))
+    fanout, one = dl.pos_shingle_fanout(2, dl.SPARK)
+    cur = spark.table(view).selectExpr("s", "wn")
+    bests = []
+    for r in range(1, k + 1):
+        cur_view = f"bpe_step_w{r - 1}"
+        cur.createOrReplaceTempView(cur_view)
+        best = spark.sql(f"""
+            SELECT pair, n, replace(pair, ' ', '') AS merged FROM (
+                SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+                FROM (
+                    SELECT {one} AS pair, wn
+                    FROM (SELECT {dl.split_tokens('s', dl.SPARK)} AS tk, wn
+                          FROM {cur_view}) t
+                    {fanout}
+                ) p
+                GROUP BY pair
+            ) ORDER BY n DESC, pair ASC LIMIT 1
+        """).localCheckpoint(eager=True)
+        bests.append(best.selectExpr(f"{r} AS merge_rank", "pair", "merged", "n"))
+        if r == k:
+            break
+        w = best.first()  # 1 row: the winning pair as a literal, no broadcast
+        pat, rep = f" {w['pair']} ", f" {w['merged']} "
+        cur = cur.select(
+            F.expr(
+                f"replace(replace(s, '{pat}', '{rep}'), '{pat}', '{rep}')"
+            ).alias("s"),
+            "wn",
+        ).localCheckpoint(eager=True)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("merge_rank")
 
 
 def _bpe_compression_curve(d: str, w0_src: str | None = None) -> str:

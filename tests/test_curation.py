@@ -339,6 +339,29 @@ def test_bpe_train_merges_chain(spark):
     assert rows[2]["pair"] == "ab ab" and rows[2]["merged"] == "abab"
 
 
+def test_bpe_stepped_form_matches_unrolled_across_threshold(spark, sf_dir):
+    """VERDICT r15 #8: bpe_train_merges_at gates its plan form on K —
+    unrolled at the declared K=3 (measured faster at bench scale),
+    per-round checkpointed past BPE_STEPPED_K_THRESHOLD (the unrolled
+    chain is ~2^K-1 legs; stepped measured -15%/-49% at K=4/K=6 on the
+    10x corpus). Both forms must emit identical rows at a K below and a
+    K above the threshold, and 'auto' must pick the measured side."""
+    from squirtle_spark.operators import text
+
+    for k in (2, text.BPE_STEPPED_K_THRESHOLD + 2):
+        u = [tuple(r) for r in text.bpe_train_merges_at(
+            spark, sf_dir, k=k, form="unrolled").collect()]
+        s = [tuple(r) for r in text.bpe_train_merges_at(
+            spark, sf_dir, k=k, form="stepped").collect()]
+        a = [tuple(r) for r in text.bpe_train_merges_at(
+            spark, sf_dir, k=k, form="auto").collect()]
+        assert u == s == a and len(u) == k
+    # the registered K=3 entry's text is the unchanged unrolled plan
+    assert text._bpe_train_merges(dl.SPARK, w0_src="W0") == text._bpe_train_merges(
+        dl.SPARK, w0_src="W0", k=text.BPE_TRAIN_K
+    )
+
+
 def test_stream_curation_redacts_pii(spark, tmp_path):
     """With redact_pii on, accepted rows store masked text while dedup
     still keys on raw content: two docs identical except for their PII
