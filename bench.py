@@ -1264,6 +1264,24 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "r16 settled-record residual drift (win_analytics, dsir_select)": (
+        "Adjudicated ENVIRONMENT with cross-tree evidence: the r16 "
+        "settled record (canary ratio 1.03, host_settled=true) retired "
+        "six of the seven r15-flagged rows as noise/improved but "
+        "stamped win_analytics +26.4% (0.227->0.287) and dsir_select "
+        "+22.8% (0.359->0.441) regressed-same-plan. Both sources are "
+        "untouched this round and both fingerprints identical. "
+        "Same-day interleaved isolation re-times read the PRE-ROUND "
+        "tree (2e6d66f) at the same or HIGHER walls than r16 HEAD "
+        "(win_analytics pre 0.311-0.365 vs head 0.298-0.326 min; "
+        "dsir_select pre 0.511-0.556 vs head 0.437-0.511) - a this-"
+        "round code regression cannot make the tree WITHOUT the code "
+        "slower. The baseline record's 0.227/0.359 were fast readings "
+        "of the same scatter band (r15 driver read these queries at "
+        "0.314/0.446). Watch: renewed via the drift watchlist as "
+        "usual; convict only if a future canary~1.0 record reads "
+        "beyond the isolation band above."
+    ),
     "r15 partsupp supplier-count spread (tpch_q2, tpch_q9, tpch_q11, "
     "tpch_q16, tpch_q20)": (
         "INTENTIONAL r15 fixture-bridge change (VERDICT r14 #2): the "
