@@ -124,58 +124,24 @@ def _rollup_multires(d: str) -> str:
     per-type counts/sums at HOUR grain, with the DAY grain re-aggregated
     from the hour partials rather than the raw stream — the hierarchical
     re-aggregation that makes multi-grain dashboards affordable at 100 TB
-    (the day branch aggregates 24x fewer rows; the Spark branch below
-    derives both grains from ONE hourly pass — ReuseExchange does NOT in
-    fact fire across the Union's branches, r15 plan audit). Sums ride
+    (the day branch aggregates 24x fewer rows; both engines run the
+    two-branch text — the r15 single-derivation Spark fork was measured
+    slower at every scale and reverted in r16, see below). Sums ride
     DECIMAL so re-aggregated partials are exactly associative — the same
     totals in any grouping order, which also makes the day==sum(hours)
     invariant bitwise checkable.
     """
     hour = dl.tumble_start("ts", 3600, d)
     day = dl.tumble_start("bucket_start", 86_400, d)
-    if d == dl.SPARK:
-        # r15 (guide §2.4/§7.2): `hourly` is referenced by both output
-        # grains and Spark inlines multi-referenced CTEs — the r14 plan
-        # ran the events scan + hourly aggregate TWICE (no ReuseExchange
-        # fired across the Union's branches). Single derivation instead:
-        # day totals as a window over the hour rows (DECIMAL sums are
-        # exactly associative, so window-SUM == the re-aggregated GROUP
-        # BY), then each hour row explodes to its hour output plus — on
-        # one designated row per (type, day) — the day output. Keeps the
-        # hierarchical 24x-fewer-rows day re-aggregation the operator
-        # demonstrates; DuckDB keeps the r14 two-branch text (it
-        # deduplicates CTEs), so the oracle is unchanged.
-        return f"""
-WITH hourly AS (
-    SELECT event_type,
-           {hour} AS bucket_start,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(value AS DECIMAL(20,4))) AS sum_value
-    FROM events
-    GROUP BY event_type, {hour}
-),
-w AS (
-    SELECT event_type, bucket_start, n_events, sum_value,
-           {day} AS day_start,
-           SUM(n_events) OVER pw AS d_n,
-           SUM(sum_value) OVER pw AS d_sum,
-           ROW_NUMBER() OVER (
-               PARTITION BY event_type, {day} ORDER BY bucket_start) AS rn
-    FROM hourly
-    WINDOW pw AS (PARTITION BY event_type, {day})
-)
-SELECT g.grain, event_type, g.bucket_start, g.n_events, g.sum_value
-FROM w
-LATERAL VIEW explode(CASE WHEN rn = 1 THEN array(
-    struct('hour' AS grain, bucket_start, n_events,
-           CAST(sum_value AS DOUBLE) AS sum_value),
-    struct('day' AS grain, day_start AS bucket_start,
-           CAST(d_n AS BIGINT) AS n_events, CAST(d_sum AS DOUBLE) AS sum_value)
-) ELSE array(
-    struct('hour' AS grain, bucket_start, n_events,
-           CAST(sum_value AS DOUBLE) AS sum_value)
-) END) x AS g
-"""
+    # r16 REVERT of the r15 single-derivation Spark fork (a53fdda), per
+    # VERDICT r15 #7's measured-crossover criterion: the window-over-
+    # hours form lost at EVERY measured scale (sf0.1 +9%, 10x fixture
+    # +6%, 30x fixture +2-18% across position-swapped fresh-session
+    # A/Bs — OPTIMIZATION_r16.md). The duplicated scan+partial-agg leg
+    # is vectorized and collapses map-side to ~3.6k hour rows, so
+    # re-reading the corpus stays cheaper than the added window +
+    # explode at any measurable scale; both dialects share the
+    # two-branch text again (byte-identical to the pre-r15 form).
     return f"""
 WITH hourly AS (
     SELECT event_type,
