@@ -273,7 +273,7 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end (seeded centroids, 4-decimal rounding before
     the threshold), so DuckDB replays the full pipeline value-level.
     """
-    from .similarity import EMB_DIM, _cosine_nrm, unrolled_fold
+    from .similarity import EMB_DIM, unrolled_fold
 
     emb = _corpus(spark)
     # r15 opt: norms hoisted to one fold per VECTOR before the
@@ -316,20 +316,93 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
         F.col("cluster").alias("b_cluster"),
-        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALT - 1))).alias("b_salt"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(_PAIR_SALT - 1).cast("bigint"))
+        ).alias("b_salt"),
     )
+    # r16 (guide §4.2): the salted equi-join scored each of the ~|cluster|²/2
+    # pairs with the interpreted aggregate(zip_with(...)) fold — 62.7 s at
+    # the 10x corpus (25M pairs), ~95% of the operator's wall. The pair
+    # generation is now a COGROUP on the same (cluster, salt) keys (same
+    # two shuffles, same bytes — b still replicates per salt), and the
+    # scoring inside each group is ONE NumPy float64 block matmul instead
+    # of per-pair folds. The kernel emits only pairs whose RAW cosine can
+    # survive the declared round-then-threshold gate (cutoff loosened by
+    # 1e-9 below the exact HALF_UP boundary 0.349950, plus every NaN pair
+    # — Spark's NaN >= x is TRUE, probe-verified); the exact
+    # `round(cos, 4) >= SEM_THRESHOLD` filter still runs in the JVM, so
+    # the only divergence window vs the fold is the dot's accumulation
+    # order, beneath the declared 4-decimal rounding exactly as the
+    # DuckDB oracle's own fold order already is. NULL/ragged vectors
+    # score no pairs (parity: their folded cosine is NULL, which never
+    # passes the threshold). Per-group memory is bounded by cluster size
+    # (the operator's own k ~ sqrt(N) bound) and the matmul runs in
+    # 1024-row a-side chunks.
+    raw_cut = SEM_THRESHOLD - 0.5 * 1e-4 - 1e-9
+
+    def _score_block(left, right):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["cluster", "a_id", "b_id", "cos_raw"]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ("int64", "int64", "int64", "float64"))})
+
+        def block(df, vcol, ncol, icol):
+            ok = df[vcol].map(
+                lambda v: v is not None and len(v) == EMB_DIM
+            ) & df[ncol].notna()
+            d = df[ok]
+            if d.empty:
+                return None
+            return (
+                d[icol].to_numpy(dtype=np.int64),
+                np.stack(d[vcol].to_numpy()).astype(np.float64),
+                d[ncol].to_numpy(dtype=np.float64),
+            )
+
+        lb = block(left, "av", "an", "a_id")
+        rb = block(right, "bv", "bn", "b_id")
+        if lb is None or rb is None:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ("int64", "int64", "int64", "float64"))})
+        a_ids, A, an = lb
+        b_ids, B, bn = rb
+        cl = int(left["cluster"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(a_ids), 1024):
+            Ac, aidc, anc = A[s : s + 1024], a_ids[s : s + 1024], an[s : s + 1024]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (Ac @ B.T) / (anc[:, None] * bn[None, :])
+            keep = (np.less.outer(aidc, b_ids)) & (
+                (cos >= raw_cut) | np.isnan(cos)
+            )
+            ii, jj = np.nonzero(keep)
+            out_a.append(aidc[ii])
+            out_b.append(b_ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(sum(map(len, out_a)), cl, dtype=np.int64),
+                "a_id": np.concatenate(out_a) if out_a else [],
+                "b_id": np.concatenate(out_b) if out_b else [],
+                "cos_raw": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
     pairs = (
-        a.join(
-            b,
-            (a.cluster == b.b_cluster)
-            & (a._salt == F.col("b_salt").cast("bigint"))
-            & (F.col("a_id") < F.col("b_id")),
+        a.groupBy("cluster", "_salt")
+        .cogroup(b.groupBy("b_cluster", "b_salt"))
+        .applyInPandas(
+            _score_block,
+            "cluster bigint, a_id bigint, b_id bigint, cos_raw double",
         )
         .select(
             "a_id",
             "b_id",
             "cluster",
-            F.round(_cosine_nrm("av", "bv", "an", "bn"), 4).alias("cos_sim"),
+            F.round("cos_raw", 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= SEM_THRESHOLD)
     )
