@@ -1264,6 +1264,21 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: longer crosses DRIFT_TOLERANCE (and hence gets no drift row).
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
+    "r16 intentional plan changes (ann_cosine_topk, knn_classify, "
+    "semdedup, rollup_multires, + all 13 gsum consumers)": (
+        "Four INTENTIONAL r16 rewrites move plan fingerprints: the two "
+        "brute cosine kernels and semdedup's pair scoring now run "
+        "Arrow batch kernels (MapInArrow / FlatMapCoGroupsInPandas + "
+        "NumPy matmul, commits fe52202/498d90a; oracle + 5-seed "
+        "differential green, raw-cos emitted and the declared "
+        "round(.,4) still applied in the JVM), and rollup_multires "
+        "REVERTED to the pre-r15 two-branch text (d06a5fa, measured "
+        "faster at every scale). The gsum consumers' fingerprints also "
+        "move because the overflow cap literal changed 9e12->1e12 "
+        "(2d1fea9, static bound replacing the too-loose row cap; "
+        "values bitwise-verified at 3 SFs). Any plan-change drift row "
+        "on these entries vs an r15-era record is these commits."
+    ),
     "r16 settled-record residual drift (win_analytics, dsir_select)": (
         "Adjudicated ENVIRONMENT with cross-tree evidence: the r16 "
         "settled record (canary ratio 1.03, host_settled=true) retired "
