@@ -1265,15 +1265,22 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 #: Cleared as items resolve; the long-form evidence lives in SCALING.md.
 _ADJUDICATIONS: dict[str, str] = {
     "r16 intentional plan changes (ann_cosine_topk, knn_classify, "
-    "semdedup, rollup_multires, + all 13 gsum consumers)": (
-        "Four INTENTIONAL r16 rewrites move plan fingerprints: the two "
+    "semdedup, rollup_multires, dedup_span_removal[_incremental], "
+    "+ all 13 gsum consumers)": (
+        "Five INTENTIONAL r16 rewrites move plan fingerprints: the two "
         "brute cosine kernels and semdedup's pair scoring now run "
         "Arrow batch kernels (MapInArrow / FlatMapCoGroupsInPandas + "
         "NumPy matmul, commits fe52202/498d90a; oracle + 5-seed "
         "differential green, raw-cos emitted and the declared "
-        "round(.,4) still applied in the JVM), and rollup_multires "
+        "round(.,4) still applied in the JVM), rollup_multires "
         "REVERTED to the pre-r15 two-branch text (d06a5fa, measured "
-        "faster at every scale). The gsum consumers' fingerprints also "
+        "faster at every scale), and dedup_span_removal (+ the "
+        "incremental twin) reassembles per-row from the per-doc "
+        "removed-position array instead of exploding every corpus "
+        "token through a doc-keyed (pos, tok)-struct collect_list "
+        "(guide SS2.3; oracle green at 3 SFs, position-swapped A/B "
+        "old mins 1.33-2.86 vs new 0.79-1.79 over 4 fresh-session "
+        "rounds). The gsum consumers' fingerprints also "
         "move because the overflow cap literal changed 9e12->1e12 "
         "(2d1fea9, static bound replacing the too-loose row cap; "
         "values bitwise-verified at 3 SFs). Any plan-change drift row "

@@ -1158,18 +1158,28 @@ def _span_removal_core(
     both paths. ``pair_form="window"`` (Spark corpus-global form only)
     swaps the candidate-generation subquery for the one-shuffle window
     pass (_span_window_pair_sql) — only valid when ``shared_rel`` is the
-    corpus-global ``shared``, which the window derives from pos_sh."""
+    corpus-global ``shared``, which the window derives from pos_sh.
+
+    Reassembly, Spark side (r16; guide §2.3 — shuffle fewer bytes): the
+    removed positions aggregate into ONE small per-doc array
+    (removed_agg) and each surviving document rebuilds per-row from its
+    own token array (array_except over the position sequence keeps
+    ascending order; element_at re-reads the ORIGINAL-case token) — the
+    pre-r16 form exploded EVERY corpus token into a row, anti-joined
+    the explosion against removed, and re-shuffled all tokens as
+    (pos, tok) structs through a doc-keyed collect_list + array_sort.
+    Only docs WITH removals enter the rebuild branch; untouched docs
+    take the verbatim text_orig passthrough without ever being
+    exploded. n_kept = n_tokens − |removed| exactly because removed
+    positions are grouped distinct per doc and always lie in
+    [1, n_tokens] (pos ≤ n_tokens − W + 1, off ≤ W − 1). The DuckDB
+    oracle keeps the explode/anti-join/string_agg text byte-identical,
+    so its green check proves the two forms value-identical."""
     if pair_form == "window":
         assert shared_rel == "shared", "window pair form is corpus-global only"
     fanout_1, _ = dl.pos_shingle_fanout(1, d)
-    tok_elem = "element_at(tko, pos)" if d == dl.SPARK else "tko[pos]"
-    if d == dl.SPARK:
-        reassemble = (
-            "concat_ws(' ', transform(array_sort(collect_list("
-            "struct(pos, tok))), s -> s.tok))"
-        )
-    else:
-        reassemble = "string_agg(tok, ' ' ORDER BY pos)"
+    tok_elem = "tko[pos]"
+    reassemble = "string_agg(tok, ' ' ORDER BY pos)"
     if pair_form == "window":
         pair_sql = _span_window_pair_sql(doc_filter)
     else:
@@ -1179,7 +1189,7 @@ def _span_removal_core(
         JOIN {shared_rel} s ON p0.sh = s.sh
         WHERE {doc_filter}
     )"""
-    return f"""removed AS (
+    removed = f"""removed AS (
     -- ONE pass over the dominant shingle-keyed join: a position is
     -- removed iff some shared-shingle occurrence covers it (covered)
     -- and NO occurrence covering it is the span's canonical keeper
@@ -1191,7 +1201,33 @@ def _span_removal_core(
     {dl.lateral_series(SPAN_W, "off", d)}
     GROUP BY p.doc_id, p.pos + off
     HAVING NOT bool_or(is_keep)
+)"""
+    if d == dl.SPARK:
+        n_removed = "COALESCE(CAST(size(r.rpos) AS BIGINT), 0)"
+        return f"""{removed},
+tk_f AS (
+    SELECT * FROM tk WHERE {doc_filter}
 ),
+removed_agg AS (
+    -- per-doc removed-position set as ONE array row: tpos values are
+    -- distinct per doc (the removed GROUP BY keys on them), so the
+    -- array is a set and only its membership and size are consumed
+    SELECT doc_id, collect_list(tpos) AS rpos
+    FROM removed GROUP BY doc_id
+)
+SELECT t.doc_id,
+       {dl.array_len('t.tk', d)} AS n_tokens,
+       {dl.array_len('t.tk', d)} - {n_removed} AS n_kept,
+       {n_removed} AS n_removed,
+       CASE WHEN r.doc_id IS NULL THEN t.text_orig
+            ELSE concat_ws(' ', transform(
+                array_except(sequence(1, size(t.tk)), r.rpos),
+                p -> element_at(t.tko, p)))
+       END AS text_clean
+FROM tk_f t
+LEFT JOIN removed_agg r ON r.doc_id = t.doc_id
+"""
+    return f"""{removed},
 tk_f AS (
     SELECT * FROM tk WHERE {doc_filter}
 ),

@@ -96,6 +96,20 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
 
 
+def test_span_removal_reassembles_without_token_explosion(spark, sf_dir):
+    """r16 rewrite: reassembly decides with the per-doc removed-position
+    ARRAY and rebuilds text per-row (array_except over the position
+    sequence) — the pre-r16 form exploded every corpus token into a row
+    and re-shuffled all of them as (pos, tok) structs through a
+    doc-keyed collect_list + array_sort. Both registered forms (batch
+    window-pair and incremental join-pair) share the tail."""
+    for name in ["dedup_span_removal", "dedup_span_removal_incremental"]:
+        plan = _executed_plan(load_all()[name].spark_fn(spark, sf_dir))
+        assert "collect_list(struct(pos" not in plan, name
+        assert "collect_list(tpos" in plan, name
+        assert "array_except" in plan, name
+
+
 def test_tpch_q9_broadcasts_dims(spark, sf_dir):
     """part/supplier/nation are broadcast into the lineitem-side join."""
     plan = _executed_plan(load_all()["tpch_q9"].spark_fn(spark, sf_dir))
