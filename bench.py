@@ -1266,8 +1266,8 @@ _STRESS_CHANGED_LANES: dict[str, str] = {}
 _ADJUDICATIONS: dict[str, str] = {
     "r16 intentional plan changes (ann_cosine_topk, knn_classify, "
     "semdedup, rollup_multires, dedup_span_removal[_incremental], "
-    "+ all 13 gsum consumers)": (
-        "Five INTENTIONAL r16 rewrites move plan fingerprints: the two "
+    "dedup_spans, + all 13 gsum consumers)": (
+        "Six INTENTIONAL r16 rewrites move plan fingerprints: the two "
         "brute cosine kernels and semdedup's pair scoring now run "
         "Arrow batch kernels (MapInArrow / FlatMapCoGroupsInPandas + "
         "NumPy matmul, commits fe52202/498d90a; oracle + 5-seed "
@@ -1280,7 +1280,10 @@ _ADJUDICATIONS: dict[str, str] = {
         "token through a doc-keyed (pos, tok)-struct collect_list "
         "(guide SS2.3; oracle green at 3 SFs, position-swapped A/B "
         "old mins 1.33-2.86 vs new 0.79-1.79 over 4 fresh-session "
-        "rounds). The gsum consumers' fingerprints also "
+        "rounds). dedup_spans' fingerprint additionally moves because "
+        "span_pos_sh is now matview-distributed by sh (the gopher "
+        "capture; sh-Exchange gone from both span plans, 1.5-1.7x at "
+        "the 10x fixture, sf0.1 wash). The gsum consumers' fingerprints also "
         "move because the overflow cap literal changed 9e12->1e12 "
         "(2d1fea9, static bound replacing the too-loose row cap; "
         "values bitwise-verified at 3 SFs). Any plan-change drift row "

@@ -955,6 +955,7 @@ def span_shared_ctes_spark(spark, sf_dir: str) -> str:
         "span_pos_sh",
         sf_dir,
         f"SELECT doc_id, pos, {one} AS sh FROM {tk_v} {fanout}",
+        distribute_by="sh",
     )
     return f"""tk AS (SELECT * FROM {tk_v}),
 pos_sh AS (SELECT * FROM {pos_v}),

@@ -110,6 +110,17 @@ def test_span_removal_reassembles_without_token_explosion(spark, sf_dir):
         assert "array_except" in plan, name
 
 
+def test_span_family_skips_shingle_exchange(spark, sf_dir):
+    """r16: span_pos_sh is matview-distributed by sh, so the doc-frequency
+    window over it must NOT re-shuffle by sh (captured HashPartitioning,
+    the gopher_repetition distribute_by mechanism). If the exprId-staleness
+    hazard documented at catalog.session_matview ever bites here, this
+    exchange silently returns — correctness unaffected, win lost."""
+    for name in ["dedup_spans", "dedup_span_removal"]:
+        plan = _executed_plan(load_all()[name].spark_fn(spark, sf_dir))
+        assert "Exchange hashpartitioning(sh#" not in plan, name
+
+
 def test_tpch_q9_broadcasts_dims(spark, sf_dir):
     """part/supplier/nation are broadcast into the lineitem-side join."""
     plan = _executed_plan(load_all()["tpch_q9"].spark_fn(spark, sf_dir))
