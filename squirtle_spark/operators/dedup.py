@@ -1204,7 +1204,14 @@ def _span_removal_core(
     HAVING NOT bool_or(is_keep)
 )"""
     if d == dl.SPARK:
-        n_removed = "COALESCE(CAST(size(r.rpos) AS BIGINT), 0)"
+        al = dl.array_len("t.tk", d)
+        # NULL-text algebra mirrors the explode form exactly (caught by
+        # the randomized differential lane, seed 11): a NULL-text doc
+        # produced zero kept rows there, so n_kept COALESCEs to 0 (never
+        # NULL), n_removed = n_tokens - n_kept stays NULL, and the CASE
+        # (0 = NULL is not TRUE) falls through to the rebuild branch,
+        # which concat_ws-collapses its NULL array to '' — never NULL.
+        n_kept = f"COALESCE({al} - COALESCE(CAST(size(r.rpos) AS BIGINT), 0), 0)"
         return f"""{removed},
 tk_f AS (
     SELECT * FROM tk WHERE {doc_filter}
@@ -1217,10 +1224,11 @@ removed_agg AS (
     FROM removed GROUP BY doc_id
 )
 SELECT t.doc_id,
-       {dl.array_len('t.tk', d)} AS n_tokens,
-       {dl.array_len('t.tk', d)} - {n_removed} AS n_kept,
-       {n_removed} AS n_removed,
-       CASE WHEN r.doc_id IS NULL THEN t.text_orig
+       {al} AS n_tokens,
+       {n_kept} AS n_kept,
+       {al} - {n_kept} AS n_removed,
+       CASE WHEN {n_kept} = {al}
+            THEN t.text_orig
             ELSE concat_ws(' ', transform(
                 array_except(sequence(1, size(t.tk)), r.rpos),
                 p -> element_at(t.tko, p)))
